@@ -1,0 +1,118 @@
+"""Shared helpers: Arrow batch utilities, distributed zip_with_index,
+sparse per-batch reductions.
+
+Everything here is vectorized (numpy / pyarrow.compute); no Python
+row loops in hot paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def table_from_arrays(**cols) -> pa.Table:
+    """Build a pyarrow Table from name→array kwargs (numpy or pa arrays)."""
+    names = list(cols.keys())
+    arrays = [
+        c if isinstance(c, (pa.Array, pa.ChunkedArray)) else pa.array(np.asarray(c))
+        for c in cols.values()
+    ]
+    return pa.table(arrays, names=names)
+
+
+def col_np(batch: pa.Table, name: str) -> np.ndarray:
+    """Zero-copy-ish numpy view of a column (combines chunks if needed)."""
+    col = batch.column(name)
+    if col.num_chunks == 1:
+        return col.chunk(0).to_numpy(zero_copy_only=False)
+    return col.combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def sparse_min_reduce(keys: np.ndarray, values: np.ndarray):
+    """Group ``values`` by ``keys`` and take the per-key min.
+
+    Returns (unique_keys, min_values). This is the within-batch partial
+    aggregation (combiner) run before any shuffle — the distributed
+    analogue of the reference doing all merging through a single shared
+    union-find array (src/disjoint_set.hpp:54-64): here every batch
+    pre-merges locally so the shuffle only moves one row per key per
+    batch.
+    """
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = values[order]
+    boundaries = np.empty(len(k), dtype=bool)
+    if len(k):
+        boundaries[0] = True
+        np.not_equal(k[1:], k[:-1], out=boundaries[1:])
+    starts = np.flatnonzero(boundaries)
+    mins = np.minimum.reduceat(v, starts) if len(starts) else v[:0]
+    return k[starts], mins
+
+
+def sparse_sum_reduce(keys: np.ndarray, values: np.ndarray):
+    """Group ``values`` by ``keys`` and sum per key (within-batch combiner)."""
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = values[order]
+    boundaries = np.empty(len(k), dtype=bool)
+    if len(k):
+        boundaries[0] = True
+        np.not_equal(k[1:], k[:-1], out=boundaries[1:])
+    starts = np.flatnonzero(boundaries)
+    sums = np.add.reduceat(v, starts) if len(starts) else v[:0]
+    return k[starts], sums
+
+
+def zip_with_index(
+    ds: "ray.data.Dataset", index_name: str = "index"
+) -> "ray.data.Dataset":
+    """Assign a contiguous global row index 0..N-1 in the dataset's current
+    (materialized) block order.
+
+    Ray Data has no built-in zip_with_index; the Dataset API cannot express
+    "my global offset" inside ``map_batches``, so this drops to block refs:
+    materialize, count rows per block with tiny remote tasks, prefix-sum the
+    offsets on the driver (P integers, not data), then relabel each block in
+    parallel. This mirrors the reference's sequential dense-label
+    linearization after parallel extraction
+    (src/SegmentImageImpl_Scanline.cpp:88-95) with the sequential part
+    reduced to a P-length prefix sum.
+    """
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.25)
+    def _index(t: pa.Table, off: int) -> pa.Table:
+        idx = np.arange(off, off + t.num_rows, dtype=np.int64)
+        return t.append_column(index_name, pa.array(idx))
+
+    out_refs = [_index.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def dataset_to_numpy(ds: "ray.data.Dataset", *cols: str) -> dict[str, np.ndarray]:
+    """Stream a (small, vertex-state-sized) dataset into driver numpy arrays.
+
+    Only for results that are O(vertices) or smaller — never edges.
+    """
+    parts: dict[str, list[np.ndarray]] = {c: [] for c in cols}
+    for batch in ds.select_columns(list(cols)).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        for c in cols:
+            parts[c].append(col_np(batch, c))
+    return {
+        c: (np.concatenate(v) if v else np.empty(0))
+        for c, v in parts.items()
+    }
