@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the imtag_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship link-graph pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 inventory + training-data ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query (same column
+names; floats rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() anywhere in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +15,376 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: documents → synthesized HTML pages → link
+    extraction (actor pool) → graph build (vid dictionary, dedup) →
+    connected components + PageRank → joined per-vertex table."""
+    import pyarrow as pa
+    import ray
+
+    from imtag_ray.config import EngineConfig
+    from imtag_ray.pipelines.cc import connected_components
+    from imtag_ray.pipelines.pagerank import pagerank
+    from imtag_ray.pipelines.queries import doc_pages
+    from imtag_ray.stages.extract import LinkExtractor
+    from imtag_ray.stages.graph_build import build_graph, degrees
+    from imtag_ray.util import col_np, dataset_to_numpy
+
+    cfg = EngineConfig(num_partitions=8, max_iterations=50)
+    pages = doc_pages(SF_SMOKE)
+    edges = pages.select_columns(["url", "html"]).map_batches(
+        LinkExtractor, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    graph = build_graph(edges, cfg)
+    cc = connected_components(graph, cfg)
+    comp = dataset_to_numpy(cc.sort("vid"), "component_id")["component_id"]
+    pr = pagerank(graph, cfg, mode="broadcast")
+    out = dataset_to_numpy(pr.sort("vid"), "vid", "url", "rank")
+    deg = degrees(graph, "out")
+    return pa.table(
+        {
+            "vid": pa.array(out["vid"], pa.int64()),
+            "url": pa.array([str(u) for u in out["url"]], pa.string()),
+            "component_id": pa.array(comp, pa.int64()),
+            "rank": pa.array(out["rank"], pa.float64()),
+            "out_degree": pa.array(deg, pa.int64()),
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from imtag_ray.pipelines import dataops as d
+    from imtag_ray.pipelines import queries as q
+    from imtag_ray import relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction pipeline (pages → edges/texts) ---------------------
+        "doc_edges": q.doc_edges_q,
+        "doc_texts": q.doc_texts_q,
+        # --- graph analytics ----------------------------------------------
+        "copart_edges": q.copart_edges_q,
+        "copart_degree": q.copart_degree_q,
+        "copart_top20": q.copart_top20_q,
+        "copart_triangles": q.copart_triangles_q,
+        "copart_pagerank12": q.copart_pagerank12_q,
+        "geo_components": q.geo_components_q,
+        "geo_component_sizes": q.geo_component_sizes_q,
+        # --- text analysis -------------------------------------------------
+        "doc_token_stats": d.doc_token_stats_q,
+        "doc_langid": d.doc_langid_q,
+        "doc_fingerprint": d.doc_fingerprint_q,
+        # --- dedup ---------------------------------------------------------
+        "dedup_exact": d.dedup_exact_q,
+        "minhash_pairs": d.minhash_pairs_q,
+        "simhash_pairs": d.simhash_pairs_q,
+        "ngram_pairs": d.ngram_pairs_q,
+        # --- similarity search --------------------------------------------
+        "embed_knn": d.embed_knn_q,
+        "embed_knn_ivf": d.embed_knn_ivf_q,
+        "embed_dup_pairs": d.embed_dup_pairs_q,
+        # --- relational / windowed ----------------------------------------
+        "q1_pricing": r.q1_pricing_summary,
+        "top_customers": r.top_customers_by_revenue,
+        "events_hourly": r.events_hourly_windows,
+        "events_sessions": r.events_sessionize,
+        "events_asof": r.events_asof_latest_order,
+        "supplier_parts": r.supplier_part_counts,
+    }
+
+
+_COPART_PAIRS = """
+    SELECT DISTINCT a.l_partkey AS pa_, b.l_partkey AS pb_
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+_PURL = "'part://' || lpad(CAST({c} AS VARCHAR), 9, '0')"
+
+_GEO_EDGES = """
+    SELECT 'n://' || lpad(CAST(n_nationkey AS VARCHAR),4,'0') AS s,
+           'r://' || lpad(CAST(n_regionkey AS VARCHAR),4,'0') AS d FROM nation
+    UNION ALL
+    SELECT 'c://' || lpad(CAST(c_custkey AS VARCHAR),9,'0'),
+           'n://' || lpad(CAST(c_nationkey AS VARCHAR),4,'0') FROM customer
+    UNION ALL
+    SELECT 's://' || lpad(CAST(s_suppkey AS VARCHAR),9,'0'),
+           'n://' || lpad(CAST(s_nationkey AS VARCHAR),4,'0') FROM supplier
+"""
+
+_GEO_COMPONENTS = f"""
+    WITH RECURSIVE e(s, d) AS ({_GEO_EDGES}),
+    und AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+    verts(v) AS (SELECT DISTINCT s FROM und),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT u.d, r.l FROM reach r JOIN und u ON u.s = r.v
+    ),
+    minl AS (SELECT v, min(l) AS ml FROM reach GROUP BY v)
+"""
+
+_DOC_TARGETS = """
+    SELECT doc_id, 0 AS ord, doc_id % 10 AS tgt FROM documents
+    UNION ALL
+    SELECT doc_id, j, (doc_id * 7 + 13 * j) % (SELECT count(*) FROM documents)
+    FROM (SELECT doc_id, unnest(range(1, 2 + doc_id % 5)) AS j FROM documents)
+"""
+
+_DURL = "'https://docs.example/d' || CAST({c} AS VARCHAR)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    purl_a = _PURL.format(c="pa_")
+    purl_b = _PURL.format(c="pb_")
+    return {
+        "doc_edges": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            fil AS (SELECT DISTINCT doc_id, tgt FROM targets WHERE tgt != doc_id)
+            SELECT {_DURL.format(c='doc_id')} AS src_url,
+                   {_DURL.format(c='tgt')} AS dst_url
+            FROM fil ORDER BY src_url, dst_url
+        """,
+        "doc_texts": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            fil AS (SELECT doc_id, ord, tgt FROM targets WHERE tgt != doc_id),
+            anchors AS (
+                SELECT doc_id,
+                       string_agg('d' || CAST(tgt AS VARCHAR), ' ' ORDER BY ord, tgt) AS atext
+                FROM fil GROUP BY doc_id
+            )
+            SELECT {_DURL.format(c='d.doc_id')} AS url,
+                   trim(regexp_replace(coalesce(d.text,''), '\\s+', ' ', 'g')
+                        || ' ' || coalesce(a.atext, '')) AS text
+            FROM documents d LEFT JOIN anchors a ON a.doc_id = d.doc_id
+            ORDER BY url
+        """,
+        "copart_edges": f"""
+            WITH pairs AS ({_COPART_PAIRS})
+            SELECT {purl_a} AS src_url, {purl_b} AS dst_url
+            FROM pairs ORDER BY src_url, dst_url
+        """,
+        "copart_degree": f"""
+            WITH pairs AS ({_COPART_PAIRS}),
+            und AS (SELECT pa_ AS u FROM pairs UNION ALL SELECT pb_ FROM pairs)
+            SELECT {_PURL.format(c='u')} AS url,
+                   CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY u ORDER BY url
+        """,
+        "copart_top20": f"""
+            WITH pairs AS ({_COPART_PAIRS}),
+            und AS (SELECT pa_ AS u FROM pairs UNION ALL SELECT pb_ FROM pairs),
+            deg AS (SELECT {_PURL.format(c='u')} AS url,
+                           CAST(count(*) AS BIGINT) AS degree
+                    FROM und GROUP BY u)
+            SELECT url, degree FROM deg ORDER BY degree DESC, url LIMIT 20
+        """,
+        "copart_triangles": f"""
+            WITH pairs AS ({_COPART_PAIRS}),
+            verts AS (SELECT DISTINCT pa_ AS p FROM pairs
+                      UNION SELECT DISTINCT pb_ FROM pairs),
+            tri AS (
+                SELECT e1.pa_ AS a, e1.pb_ AS b, e2.pb_ AS c
+                FROM pairs e1
+                JOIN pairs e2 ON e2.pa_ = e1.pb_
+                JOIN pairs e3 ON e3.pa_ = e1.pa_ AND e3.pb_ = e2.pb_
+            ),
+            pv AS (SELECT a AS p FROM tri UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri),
+            cnt AS (SELECT p, count(*) AS c FROM pv GROUP BY p)
+            SELECT {_PURL.format(c='v.p')} AS url,
+                   CAST(coalesce(cnt.c, 0) AS BIGINT) AS triangles
+            FROM verts v LEFT JOIN cnt ON cnt.p = v.p ORDER BY url
+        """,
+        "copart_pagerank12": f"""
+            WITH RECURSIVE pairs AS ({_COPART_PAIRS}),
+            und AS (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            verts AS (SELECT DISTINCT s AS v FROM und),
+            vc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+            outdeg AS (SELECT s AS v, CAST(count(*) AS DOUBLE) AS deg
+                       FROM und GROUP BY s),
+            pr(it, v, r) AS (
+                SELECT 0, v, 1.0 / (SELECT n FROM vc) FROM verts
+                UNION ALL
+                SELECT pr.it + 1, u.d,
+                       (1.0 - 0.85) / any_value((SELECT n FROM vc))
+                       + 0.85 * sum(pr.r / od.deg)
+                FROM pr
+                JOIN und u ON u.s = pr.v
+                JOIN outdeg od ON od.v = pr.v
+                WHERE pr.it < 12
+                GROUP BY pr.it, u.d
+            )
+            SELECT {_PURL.format(c='v')} AS url, round(r, 9) AS rank
+            FROM pr WHERE it = 12 ORDER BY url
+        """,
+        "geo_components": f"""
+            {_GEO_COMPONENTS}
+            SELECT v AS url,
+                   CAST(dense_rank() OVER (ORDER BY ml) - 1 AS BIGINT)
+                       AS component_id
+            FROM minl ORDER BY url
+        """,
+        "geo_component_sizes": f"""
+            {_GEO_COMPONENTS},
+            comp AS (SELECT v, CAST(dense_rank() OVER (ORDER BY ml) - 1 AS BIGINT)
+                            AS component_id FROM minl)
+            SELECT component_id, CAST(count(*) AS BIGINT) AS size
+            FROM comp GROUP BY component_id ORDER BY component_id
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   round(CASE WHEN trim(text) = '' THEN 0.0
+                         ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                              / len(regexp_split_to_array(trim(text), '\\s+'))
+                         END, 6) AS avg_token_len,
+                   round(CAST(length(text)
+                              - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                          AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_langid": """
+            WITH t AS (
+                SELECT doc_id,
+                       ' ' || regexp_replace(lower(coalesce(text, '')),
+                                             '\\s+', ' ', 'g') || ' ' AS s
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                    (length(s)-length(replace(s,' der ','')))/5
+                  + (length(s)-length(replace(s,' und ','')))/5
+                  + (length(s)-length(replace(s,' die ','')))/5
+                  + (length(s)-length(replace(s,' nicht ','')))/7 AS c_de,
+                    (length(s)-length(replace(s,' the ','')))/5
+                  + (length(s)-length(replace(s,' and ','')))/5
+                  + (length(s)-length(replace(s,' of ','')))/4
+                  + (length(s)-length(replace(s,' is ','')))/4 AS c_en,
+                    (length(s)-length(replace(s,' el ','')))/4
+                  + (length(s)-length(replace(s,' los ','')))/5
+                  + (length(s)-length(replace(s,' las ','')))/5
+                  + (length(s)-length(replace(s,' una ','')))/5 AS c_es,
+                    (length(s)-length(replace(s,' le ','')))/4
+                  + (length(s)-length(replace(s,' les ','')))/5
+                  + (length(s)-length(replace(s,' des ','')))/5
+                  + (length(s)-length(replace(s,' est ','')))/5 AS c_fr
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN c_de=0 AND c_en=0 AND c_es=0 AND c_fr=0 THEN 'und'
+                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM c ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "embed_knn": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            sims AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+                FROM q, embeddings e WHERE e.vec_id != q.qid
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, round(s, 9) AS cos_sim
+            FROM ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id
+        """,
+        "embed_dup_pairs": """
+            WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings WHERE vec_id < 1000)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.e, b.e), 9) AS cos_sim
+            FROM sub a, sub b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.e, b.e) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o.o_custkey AS c_custkey, any_value(c.c_name) AS c_name,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey
+            ORDER BY sum(o.o_totalprice) DESC, c_custkey LIMIT 20
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+            ORDER BY user_id, window_start
+        """,
+        "events_sessions": """
+            WITH x AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            y AS (
+                SELECT user_id, ts, event_id,
+                       CAST(sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM x
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM y GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "events_asof": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   (SELECT max(o.o_orderkey) FROM orders o
+                    WHERE o.o_custkey = e.user_id
+                      AND o.o_orderdate = (
+                          SELECT max(o2.o_orderdate) FROM orders o2
+                          WHERE o2.o_custkey = e.user_id
+                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
+            FROM events e ORDER BY e.event_id
+        """,
+        "supplier_parts": """
+            SELECT l_suppkey,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        # minhash_pairs / simhash_pairs / ngram_pairs / embed_knn_ivf:
+        # intentionally omitted (hash-scheme / approximate ops are not
+        # ANSI-SQL-expressible; pytest checks them differentially).
+    }

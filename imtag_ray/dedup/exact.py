@@ -1,0 +1,76 @@
+"""Exact deduplication over a text/bytes column.
+
+Pattern (ray_guide 'Aggregation at scale'): vectorized content-hash in
+``map_batches`` → ``groupby(hash)`` keep-first. 'First' is defined by
+min id (deterministic under any block order — never arrival order,
+SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..util import col_np, table_from_arrays
+
+
+def add_content_hash(
+    ds: "ray.data.Dataset", text_col: str, out_col: str = "content_hash"
+) -> "ray.data.Dataset":
+    """md5 hex of the RAW column bytes (exact dedup; see
+    functions.textfn.fingerprint_md5 for the normalized variant)."""
+
+    def h(batch: pa.Table) -> pa.Table:
+        vals = batch.column(text_col).to_pylist()
+        hx = [
+            hashlib.md5(
+                (v if isinstance(v, bytes) else (v or "").encode("utf-8"))
+            ).hexdigest()
+            for v in vals
+        ]
+        return batch.append_column(out_col, pa.array(hx, type=pa.string()))
+
+    return ds.map_batches(h, batch_format="pyarrow")
+
+
+def dedup_exact_ids(
+    ds: "ray.data.Dataset", text_col: str, id_col: str
+) -> "ray.data.Dataset":
+    """→ (id_col, n_copies): the surviving min-id per distinct content,
+    with its duplicate count. One hash shuffle; map-side hashing."""
+    hashed = add_content_hash(ds.select_columns([id_col, text_col]), text_col)
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(
+            Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+        )
+        .select_columns([id_col, "n_copies"])
+    )
+
+
+def dedup_exact(
+    ds: "ray.data.Dataset", text_col: str, id_col: str
+) -> "ray.data.Dataset":
+    """→ full surviving rows (broadcast semi-join of survivor ids —
+    survivor set is O(distinct), shipped once via ray.put; at 100 TB the
+    same shape works per-hash-partition)."""
+    ids = dedup_exact_ids(ds, text_col, id_col).select_columns([id_col])
+    from ..util import dataset_to_numpy
+
+    keep = dataset_to_numpy(ids, id_col)[id_col]
+    keep_ref = ray.put(np.sort(keep))
+
+    def f(batch: pa.Table, _ref=keep_ref) -> pa.Table:
+        k = ray.get(_ref)
+        vals = col_np(batch, id_col)
+        pos = np.searchsorted(k, vals)
+        pos[pos >= len(k)] = len(k) - 1 if len(k) else 0
+        mask = (k[pos] == vals) if len(k) else np.zeros(len(vals), bool)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,246 @@
+"""Connected components — the engine's heart, grafted from the
+reference's union-find CCL.
+
+Semantics mirrored from /root/reference:
+- ``disjoint_set::unite`` with ``lt_cmp`` ("smaller root wins",
+  src/disjoint_set.hpp:22-27,125-137) ≡ hash-min propagation: every
+  vertex repeatedly adopts the smallest label among itself and its
+  neighbors. Both compute the same fixpoint: label(v) = min vid in
+  v's component.
+- ``compressed_freeze`` (dense final labels in first-appearance scan
+  order, src/disjoint_set.hpp:73-96) ≡ canonical dense relabel by
+  component min-url rank. Because build_graph assigns vids in sorted
+  url order, min vid == vid of min url, so the relabel is a pure
+  integer ranking and is deterministic under ANY block order.
+- the reference's deliberately non-atomic path-halving writeback
+  (src/disjoint_set.hpp:54-64) ≡ driver-side pointer jumping between
+  rounds (labels[labels] until fixpoint) — shortcuts long chains so
+  rounds ~ O(log diameter), not O(diameter) (cf. "Finding connected
+  components in map-reduce in logarithmic rounds", ICDE 2013).
+
+Two execution modes (config.vertex_state):
+- **broadcast**: per-vertex labels live in a numpy array, ``ray.put``
+  once per round, read zero-copy (plasma shared memory) by every edge
+  task; per-batch combiner emits only IMPROVING candidates; one small
+  ``groupby.min`` merges partials. Right up to ~10^8 vertices/node.
+- **shuffle**: labels are a Dataset co-joined to edges by hash each
+  round — the 10^12-vertex scale path; convergence detected via the
+  strictly-decreasing label sum (labels only ever decrease, so equal
+  consecutive sums ⇔ fixpoint) without a second join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..stages.graph_build import Graph
+from ..util import col_np, dataset_to_numpy, sparse_min_reduce, table_from_arrays
+
+
+def _pick_mode(graph: Graph, cfg: EngineConfig) -> str:
+    if cfg.vertex_state != "auto":
+        return cfg.vertex_state
+    return (
+        "broadcast"
+        if graph.num_vertices <= cfg.broadcast_max_vertices
+        else "shuffle"
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast mode
+# ---------------------------------------------------------------------------
+
+
+def _cc_broadcast(
+    graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None
+) -> np.ndarray:
+    V = graph.num_vertices
+    labels = np.arange(V, dtype=np.int64)
+    edges = graph.edges
+
+    start_round = 0
+    if ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            labels = ckpt.load_arrays(m, "label")["label"]
+            start_round = m["iteration"] + 1
+
+    for rnd in range(start_round, cfg.max_iterations):
+        ref = ray.put(labels)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            # Relax on component ROOTS, not vertices: an edge whose
+            # endpoints have different labels proposes uniting the two
+            # label-roots (bigger root adopts smaller). With driver-side
+            # pointer jumping this contracts whole components per round —
+            # union-by-min over a distributed edge scan, O(log diameter)
+            # rounds (vs O(diameter) for per-vertex hash-min).
+            lab = ray.get(_ref)
+            src = col_np(batch, "src")
+            dst = col_np(batch, "dst")
+            ls = lab[src]
+            ld = lab[dst]
+            ne = ls != ld
+            ls = ls[ne]
+            ld = ld[ne]
+            keys = np.maximum(ls, ld)
+            vals = np.minimum(ls, ld)
+            k, v = sparse_min_reduce(keys, vals)
+            return table_from_arrays(vid=k, cand=v)
+
+        partials = edges.map_batches(step, batch_format="pyarrow")
+        if V <= cfg.broadcast_max_vertices // max(cfg.num_partitions, 1):
+            # stream ≤V-row per-block partials to the driver, scatter-min
+            n_updates = 0
+            for b in partials.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            ):
+                n_updates += b.num_rows
+                np.minimum.at(labels, col_np(b, "vid"), col_np(b, "cand"))
+            if n_updates == 0:
+                break  # no improving edge anywhere → converged
+        else:
+            agg = partials.groupby("vid").aggregate(
+                Min("cand", alias_name="cand")
+            )
+            res = dataset_to_numpy(agg, "vid", "cand")
+            if len(res["vid"]) == 0:
+                break
+            np.minimum.at(labels, res["vid"], res["cand"])
+        # pointer jumping: labels always point at a member of the same
+        # component with a smaller-or-equal vid, so composition is sound
+        while True:
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        if ckpt is not None and cfg.checkpoint_every and (
+            (rnd + 1) % cfg.checkpoint_every == 0
+        ):
+            ckpt.write_arrays(rnd, {"label": labels})
+        if on_round is not None:
+            on_round(rnd, labels)
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# shuffle mode (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _label_sum(labels_ds: "ray.data.Dataset") -> int:
+    out = labels_ds.aggregate(Sum("label", alias_name="s"))
+    return int(out["s"])
+
+
+def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None) -> "ray.data.Dataset":
+    P = cfg.num_partitions
+    labels = (
+        graph.vertices.select_columns(["vid"])
+        .map_batches(
+            lambda t: table_from_arrays(
+                vid=col_np(t, "vid"), label=col_np(t, "vid")
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = _label_sum(labels)
+    edges = graph.edges.select_columns(["src", "dst"])
+
+    for rnd in range(cfg.max_iterations):
+        by_src = (
+            edges.join(
+                labels, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .select_columns(["dst", "label"])
+            .rename_columns({"dst": "vid"})
+        )
+        by_dst = (
+            edges.join(
+                labels, join_type="inner", num_partitions=P,
+                on=("dst",), right_on=("vid",),
+            )
+            .select_columns(["src", "label"])
+            .rename_columns({"src": "vid"})
+        )
+        candidates = by_src.union(by_dst).union(labels)
+        labels = (
+            candidates.groupby("vid")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = _label_sum(labels)
+        if on_round is not None:
+            on_round(rnd, labels)
+        if cur_sum == prev_sum:
+            break  # labels are monotone non-increasing → fixpoint
+        prev_sum = cur_sum
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# canonical relabel + public API
+# ---------------------------------------------------------------------------
+
+
+def canonical_relabel(raw_labels: np.ndarray) -> np.ndarray:
+    """Dense component ids 0..M-1 ranked by component min-vid (== min-url
+    because vids are url-sorted). The distributed-safe analogue of
+    compressed_freeze's first-appearance order (src/disjoint_set.hpp:73-96)."""
+    uniq = np.unique(raw_labels)  # sorted ascending = min-url order
+    return np.searchsorted(uniq, raw_labels).astype(np.int64)
+
+
+def connected_components(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mode: str | None = None,
+    on_round=None,
+) -> "ray.data.Dataset":
+    """→ Dataset (vid, url, component_id) with canonical dense component
+    ids; exact-conformant to the reference's CCL under the lattice
+    encoding (tests/test_cc_lattice.py)."""
+    mode = mode or _pick_mode(graph, cfg)
+    ckpt = None
+    if cfg.checkpoint_dir and cfg.checkpoint_every:
+        from ..state.checkpoint import CheckpointManager, graph_fingerprint
+
+        ckpt = CheckpointManager(
+            cfg.checkpoint_dir, "cc", graph_fingerprint(graph),
+            num_partitions=cfg.num_partitions,
+        )
+    if mode == "broadcast":
+        raw = _cc_broadcast(graph, cfg, on_round=on_round, ckpt=ckpt)
+    elif mode == "shuffle":
+        labels_ds = _cc_shuffle(graph, cfg, on_round=on_round)
+        res = dataset_to_numpy(labels_ds, "vid", "label")
+        raw = np.empty(graph.num_vertices, dtype=np.int64)
+        raw[res["vid"]] = res["label"]
+    else:
+        raise ValueError(mode)
+
+    comp = canonical_relabel(raw)
+    comp_ref = ray.put(comp)
+
+    def attach(batch: pa.Table, _ref=comp_ref) -> pa.Table:
+        c = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        return batch.append_column("component_id", pa.array(c[vid]))
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
+def component_sizes(cc: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(component_id, size) — the analogue of per-component npixels
+    (include/imtag_statistics.hpp:59-66)."""
+    from ray.data.aggregate import Count
+
+    return cc.groupby("component_id").aggregate(Count(alias_name="size"))

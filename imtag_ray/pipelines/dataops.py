@@ -1,0 +1,157 @@
+"""Training-data query pipelines over documents/embeddings (driver
+brief: dedup, similarity search, text analysis). Column names match the
+DuckDB oracles in __ray_entry__.oracle_sql."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..ann.knn import embedding_dup_pairs, knn_brute_force, knn_ivf
+from ..dedup.exact import dedup_exact_ids
+from ..dedup.minhash import minhash_dup_pairs
+from ..dedup.ngram import ngram_dup_pairs
+from ..dedup.simhash import simhash_dup_pairs, simhash_table
+from ..functions.textfn import fingerprint_md5, langid, quality_metrics, token_count
+from ..util import col_np
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def doc_token_stats_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        m = quality_metrics(df["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars": m["n_chars"],
+                "n_tokens": m["n_tokens"],
+                "avg_token_len": m["avg_token_len"],
+                "punct_ratio": m["punct_ratio"],
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas").sort("doc_id")
+
+
+def doc_langid_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "lang_pred": langid(df["text"])}
+        )
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def doc_fingerprint_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "fp": fingerprint_md5(df["text"]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def dedup_exact_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_exact_ids(ds, "text", "doc_id").sort("doc_id")
+
+
+def minhash_pairs_q(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5)
+
+
+def simhash_pairs_q(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dup_pairs(ds, "doc_id", "text", hamming_k=8)
+
+
+def simhash_table_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_table(ds, "doc_id", "text").sort("doc_id")
+
+
+def ngram_pairs_q(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return ngram_dup_pairs(
+        ds, "doc_id", "text", "source", threshold=0.55, n=3
+    )
+
+
+# --- similarity search -----------------------------------------------------
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _query_matrix(sf_dir: str):
+    emb = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .sort("vec_id")
+        .limit(N_QUERIES)
+        .to_pandas()
+    )
+    q = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    return q, emb["vec_id"].to_numpy()
+
+
+def embed_knn_q(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q, qids = _query_matrix(sf_dir)
+    out = knn_brute_force(ds, "vec_id", "embedding", q, qids, k=TOP_K)
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "query_id": out["query_id"],
+            "neighbor_id": out["neighbor_id"],
+            "cos_sim": pc.round(out["cos_sim"], 9),
+        }
+    )
+
+
+def embed_knn_ivf_q(sf_dir: str) -> pa.Table:
+    """IVF variant — approximate; rows-only oracle (recall is checked
+    against brute force in pytest instead)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q, qids = _query_matrix(sf_dir)
+    return knn_ivf(ds, "vec_id", "embedding", q, qids, k=TOP_K)
+
+
+def embed_dup_pairs_q(sf_dir: str) -> pa.Table:
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(_pc.less(t["vec_id"], 1000)),  # bound O(n²) oracle
+        batch_format="pyarrow",
+    )
+    out = embedding_dup_pairs(ds, "vec_id", "embedding", threshold=0.35)
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "id_a": out["id_a"],
+            "id_b": out["id_b"],
+            "cos_sim": pc.round(out["cos_sim"], 9),
+        }
+    )

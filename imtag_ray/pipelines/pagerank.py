@@ -1,0 +1,232 @@
+"""PageRank — power iteration with dangling-mass redistribution.
+
+Engine mapping (SURVEY.md §7.1 M4): per-iteration contributions are a
+``map_batches`` over the edge table with a WITHIN-BATCH combiner
+(sparse per-dst partial sums), then a small ``groupby(dst).sum``
+shuffle. The combiner is the skew treatment: a hub destination
+receives at most one row per edge block instead of one per in-edge,
+so the final aggregate sees ≤ #blocks rows per hot key — the salted
+partial/final split of SURVEY.md §4.1 with salt = block id.
+
+Formula (matches networkx.pagerank on an unweighted simple DiGraph):
+    r' = (1-d)/V + d * (Σ_in r[src]/outdeg[src] + dangling_mass/V)
+Convergence: L1 < V * tol (networkx's criterion) and L∞ < tol; float64
+throughout (SURVEY.md §7.4).
+
+Modes: broadcast (numpy rank vector via ray.put per round; ≤~10^8
+vertices/node) and shuffle (rank as a Dataset joined to edges each
+round — the 10^12-vertex path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..stages.graph_build import Graph, degrees
+from ..util import col_np, dataset_to_numpy, sparse_sum_reduce, table_from_arrays
+
+
+def _pick_mode(graph: Graph, cfg: EngineConfig) -> str:
+    if cfg.vertex_state != "auto":
+        return cfg.vertex_state
+    return (
+        "broadcast"
+        if graph.num_vertices <= cfg.broadcast_max_vertices
+        else "shuffle"
+    )
+
+
+def _pr_broadcast(
+    graph: Graph, cfg: EngineConfig, on_iter=None, ckpt=None
+) -> np.ndarray:
+    V = graph.num_vertices
+    d = cfg.pagerank_damping
+    outdeg = degrees(graph, "out").astype(np.float64)
+    dangling = outdeg == 0
+    ranks = np.full(V, 1.0 / V, dtype=np.float64)
+    edges = graph.edges
+
+    start_iter = 0
+    if ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            ranks = ckpt.load_arrays(m, "rank")["rank"]
+            start_iter = m["iteration"] + 1
+
+    for it in range(start_iter, cfg.max_iterations):
+        contrib = np.zeros(V, dtype=np.float64)
+        nz = outdeg > 0
+        contrib[nz] = ranks[nz] / outdeg[nz]
+        ref = ray.put(contrib)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            src = col_np(batch, "src")
+            dst = col_np(batch, "dst")
+            k, s = sparse_sum_reduce(dst, c[src])
+            return table_from_arrays(vid=k, part=s)
+
+        partials = edges.map_batches(step, batch_format="pyarrow")
+        incoming = np.zeros(V, dtype=np.float64)
+        if V <= cfg.broadcast_max_vertices // max(cfg.num_partitions, 1):
+            # vertex state fits comfortably: stream ≤V-row partials
+            # straight to the driver and scatter-add (no second shuffle)
+            for b in partials.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            ):
+                np.add.at(incoming, col_np(b, "vid"), col_np(b, "part"))
+        else:
+            agg = partials.groupby("vid").aggregate(
+                Sum("part", alias_name="part")
+            )
+            res = dataset_to_numpy(agg, "vid", "part")
+            incoming[res["vid"]] = res["part"]
+
+        dangling_mass = float(ranks[dangling].sum())
+        new = (1.0 - d) / V + d * (incoming + dangling_mass / V)
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        if ckpt is not None and cfg.checkpoint_every and (
+            (it + 1) % cfg.checkpoint_every == 0
+        ):
+            ckpt.write_arrays(it, {"rank": ranks}, {"delta_l1": delta})
+        if on_iter is not None:
+            on_iter(it, ranks, delta)
+        if delta < V * cfg.pagerank_tol:
+            break
+    return ranks
+
+
+def _pr_shuffle(graph: Graph, cfg: EngineConfig, on_iter=None) -> "ray.data.Dataset":
+    P = cfg.num_partitions
+    V = graph.num_vertices
+    d = cfg.pagerank_damping
+
+    outdeg = degrees(graph, "out").astype(np.float64)
+    deg_ref = ray.put(outdeg)
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        vid = col_np(batch, "vid")
+        od = ray.get(deg_ref)[vid]
+        return table_from_arrays(
+            vid=vid,
+            rank=np.full(len(vid), 1.0 / V),
+            outdeg=od,
+        )
+
+    state = (
+        graph.vertices.select_columns(["vid"])
+        .map_batches(init_state, batch_format="pyarrow")
+        .materialize()
+    )
+    edges = graph.edges.select_columns(["src", "dst"])
+
+    for it in range(cfg.max_iterations):
+        # dangling mass: small aggregate over the state table
+        def dang(batch: pa.Table) -> pa.Table:
+            r = col_np(batch, "rank")
+            od = col_np(batch, "outdeg")
+            return table_from_arrays(m=np.array([r[od == 0].sum()]))
+
+        dm_tbl = state.map_batches(dang, batch_format="pyarrow").aggregate(
+            Sum("m", alias_name="m")
+        )
+        dangling_mass = float(dm_tbl["m"])
+
+        contribs = (
+            edges.join(
+                state, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .map_batches(
+                lambda t: table_from_arrays(
+                    vid=col_np(t, "dst"),
+                    part=col_np(t, "rank") / col_np(t, "outdeg"),
+                ),
+                batch_format="pyarrow",
+            )
+            # map-side combiner: ≤1 row per dst per block before shuffle
+            .map_batches(
+                lambda t: table_from_arrays(
+                    *(),
+                    **dict(
+                        zip(
+                            ("vid", "part"),
+                            sparse_sum_reduce(col_np(t, "vid"), col_np(t, "part")),
+                        )
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("vid")
+            .aggregate(Sum("part", alias_name="part"))
+        )
+
+        base = (1.0 - d) / V + d * dangling_mass / V
+
+        def update(batch: pa.Table, _base=base, _d=d) -> pa.Table:
+            old = col_np(batch, "rank")
+            part = batch.column("part").to_numpy(zero_copy_only=False)
+            part = np.nan_to_num(np.where(part == None, 0.0, part).astype(np.float64))  # noqa: E711
+            new = _base + _d * part
+            out = table_from_arrays(
+                vid=col_np(batch, "vid"),
+                rank=new,
+                outdeg=col_np(batch, "outdeg"),
+                delta=np.abs(new - old),
+            )
+            return out
+
+        joined = state.join(
+            contribs, join_type="left_outer", num_partitions=P,
+            on=("vid",), right_on=("vid",),
+        ).map_batches(update, batch_format="pyarrow")
+        joined = joined.materialize()
+        delta = float(joined.aggregate(Sum("delta", alias_name="s"))["s"])
+        state = joined.drop_columns(["delta"]).materialize()
+        if on_iter is not None:
+            on_iter(it, state, delta)
+        if delta < V * cfg.pagerank_tol:
+            break
+    return state
+
+
+def pagerank(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mode: str | None = None,
+    on_iter=None,
+) -> "ray.data.Dataset":
+    """→ Dataset (vid, url, rank), float64, Σrank ≈ 1."""
+    mode = mode or _pick_mode(graph, cfg)
+    ckpt = None
+    if cfg.checkpoint_dir and cfg.checkpoint_every:
+        from ..state.checkpoint import CheckpointManager, graph_fingerprint
+
+        ckpt = CheckpointManager(
+            cfg.checkpoint_dir, "pagerank", graph_fingerprint(graph),
+            num_partitions=cfg.num_partitions,
+        )
+    if mode == "broadcast":
+        ranks = _pr_broadcast(graph, cfg, on_iter=on_iter, ckpt=ckpt)
+    elif mode == "shuffle":
+        state = _pr_shuffle(graph, cfg, on_iter=on_iter)
+        res = dataset_to_numpy(state, "vid", "rank")
+        ranks = np.empty(graph.num_vertices, dtype=np.float64)
+        ranks[res["vid"]] = res["rank"]
+    else:
+        raise ValueError(mode)
+
+    ref = ray.put(ranks)
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        r = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        return batch.append_column("rank", pa.array(r[vid]))
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")

@@ -1,0 +1,267 @@
+"""Driver-facing query pipelines over the sf_dir tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table
+whose column names match its DuckDB oracle in __ray_entry__.oracle_sql.
+Graph inputs are derived deterministically from the TPC-H-ish tables:
+
+- **copart graph**: undirected edges between parts co-occurring in the
+  same order (SQL-expressible self-join) — exercises degree/top-k/
+  triangles/PageRank.
+- **geo graph**: customer→nation, supplier→nation, nation→region star
+  edges — small diameter, known components (one per region) for the CC
+  oracle's recursive-CTE closure.
+- **doc pages**: each document wrapped as an HTML page whose anchors
+  follow sources.synth.doc_link_targets — the full extract→normalize→
+  dedup pipeline checked against a pure-SQL reconstruction of the
+  formula (DuckDB never parses HTML).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..config import EngineConfig
+from ..sources.synth import pages_from_documents
+from ..stages.extract import LinkExtractor, TextExtractor
+from ..stages.graph_build import Graph, build_graph, degrees
+from ..util import col_np, dataset_to_numpy, table_from_arrays
+
+QCFG = EngineConfig(num_partitions=8, extract_concurrency=4)
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def part_url(keys: np.ndarray) -> list[str]:
+    # lpad(9) keeps lexicographic url order == numeric key order, so
+    # canonical min-url component ids follow numeric part ids.
+    return [f"part://{int(k):09d}" for k in keys]
+
+
+# ---------------------------------------------------------------------------
+# copart graph
+# ---------------------------------------------------------------------------
+
+
+def copart_edge_urls(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct undirected co-purchase pairs (src_url < dst_url), via a
+    hash-partitioned self-join of lineitem on the order key."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    right = li.rename_columns({"l_partkey": "p2"})
+    pairs = li.join(
+        right, join_type="inner", num_partitions=QCFG.num_partitions,
+        on=("l_orderkey",),
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = col_np(t, "l_partkey")
+        b = col_np(t, "p2")
+        m = a < b
+        key = a[m].astype(np.int64) * (1 << 32) + b[m]
+        uniq = np.unique(key)
+        return table_from_arrays(pk_a=uniq >> 32, pk_b=uniq & ((1 << 32) - 1))
+
+    dedup = (
+        pairs.map_batches(canon, batch_format="pyarrow")
+        .groupby(["pk_a", "pk_b"])
+        .count()
+    )
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_url": pa.array(part_url(col_np(t, "pk_a")), pa.string()),
+                "dst_url": pa.array(part_url(col_np(t, "pk_b")), pa.string()),
+            }
+        )
+
+    return dedup.map_batches(to_urls, batch_format="pyarrow")
+
+
+def copart_graph(sf_dir: str) -> Graph:
+    return build_graph(copart_edge_urls(sf_dir), QCFG)
+
+
+def copart_edges_q(sf_dir: str) -> "ray.data.Dataset":
+    return copart_edge_urls(sf_dir).sort(["src_url", "dst_url"])
+
+
+def copart_degree_q(sf_dir: str) -> pa.Table:
+    g = copart_graph(sf_dir)
+    deg = degrees(g, "undirected")
+    urls = g.urls_array()
+    return pa.table(
+        {"url": pa.array([str(u) for u in urls], pa.string()),
+         "degree": pa.array(deg, pa.int64())}
+    )
+
+
+def copart_top20_q(sf_dir: str) -> pa.Table:
+    tbl = copart_degree_q(sf_dir)
+    deg = tbl["degree"].to_numpy()
+    urls = np.array(tbl["url"].to_pylist(), dtype=object)
+    order = np.lexsort((urls, -deg))[:20]
+    return pa.table(
+        {"url": pa.array(urls[order].tolist(), pa.string()),
+         "degree": pa.array(deg[order], pa.int64())}
+    )
+
+
+def copart_triangles_q(sf_dir: str) -> "ray.data.Dataset":
+    from .triangles import triangle_counts
+
+    g = copart_graph(sf_dir)
+    return (
+        triangle_counts(g, QCFG)
+        .select_columns(["url", "triangles"])
+        .sort("url")
+    )
+
+
+def copart_pagerank12_q(sf_dir: str) -> "ray.data.Dataset":
+    """PageRank, fixed 12 iterations (tol=0) so a recursive-CTE DuckDB
+    oracle can replay the identical trajectory; ranks rounded to 9dp.
+    Co-purchase edges are undirected → symmetrize before ranking."""
+    from .pagerank import pagerank
+
+    cfg = EngineConfig(
+        num_partitions=8, max_iterations=12, pagerank_tol=0
+    )
+    urls = copart_edge_urls(sf_dir)
+    both = urls.union(
+        urls.map_batches(
+            lambda t: pa.table(
+                {"src_url": t["dst_url"], "dst_url": t["src_url"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    g = build_graph(both, QCFG)
+    pr = pagerank(g, cfg, mode="broadcast")
+
+    def roundr(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["url"],
+             "rank": pc.round(t["rank"], 9)}
+        )
+
+    return pr.map_batches(roundr, batch_format="pyarrow").sort("url")
+
+
+# ---------------------------------------------------------------------------
+# geo graph (components oracle)
+# ---------------------------------------------------------------------------
+
+
+def geo_edge_urls(sf_dir: str) -> "ray.data.Dataset":
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def nat(t: pa.Table) -> pa.Table:
+        n = col_np(t, "n_nationkey")
+        r = col_np(t, "n_regionkey")
+        return pa.table(
+            {"src_url": pa.array([f"n://{x:04d}" for x in n], pa.string()),
+             "dst_url": pa.array([f"r://{x:04d}" for x in r], pa.string())}
+        )
+
+    def cus(t: pa.Table) -> pa.Table:
+        c = col_np(t, "c_custkey")
+        n = col_np(t, "c_nationkey")
+        return pa.table(
+            {"src_url": pa.array([f"c://{x:09d}" for x in c], pa.string()),
+             "dst_url": pa.array([f"n://{x:04d}" for x in n], pa.string())}
+        )
+
+    def sup(t: pa.Table) -> pa.Table:
+        s = col_np(t, "s_suppkey")
+        n = col_np(t, "s_nationkey")
+        return pa.table(
+            {"src_url": pa.array([f"s://{x:09d}" for x in s], pa.string()),
+             "dst_url": pa.array([f"n://{x:04d}" for x in n], pa.string())}
+        )
+
+    return (
+        nation.map_batches(nat, batch_format="pyarrow")
+        .union(cust.map_batches(cus, batch_format="pyarrow"))
+        .union(supp.map_batches(sup, batch_format="pyarrow"))
+    )
+
+
+def geo_components_q(sf_dir: str) -> "ray.data.Dataset":
+    from .cc import connected_components
+
+    g = build_graph(geo_edge_urls(sf_dir), QCFG)
+    return (
+        connected_components(g, QCFG)
+        .select_columns(["url", "component_id"])
+        .sort("url")
+    )
+
+
+def geo_component_sizes_q(sf_dir: str) -> "ray.data.Dataset":
+    from .cc import component_sizes, connected_components
+
+    g = build_graph(geo_edge_urls(sf_dir), QCFG)
+    cc = connected_components(g, QCFG)
+    return component_sizes(cc).sort("component_id")
+
+
+# ---------------------------------------------------------------------------
+# document pages: extraction pipeline
+# ---------------------------------------------------------------------------
+
+
+def doc_pages(sf_dir: str) -> "ray.data.Dataset":
+    docs = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .sort("doc_id")
+        .to_pandas()
+    )
+    tbl = pages_from_documents(docs["doc_id"].tolist(), docs["text"].tolist())
+    return ray.data.from_arrow(tbl)
+
+
+def doc_edges_q(sf_dir: str) -> "ray.data.Dataset":
+    """Full extraction pipeline on synthesized doc pages → distinct
+    (src_url, dst_url). The DuckDB oracle reconstructs the link formula
+    in SQL without parsing HTML."""
+    pages = doc_pages(sf_dir)
+    edges = pages.select_columns(["url", "html"]).map_batches(
+        LinkExtractor, batch_format="pyarrow",
+        batch_size=QCFG.extract_batch_size, concurrency=QCFG.extract_concurrency,
+    )
+
+    def dedup(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        edges.map_batches(dedup, batch_format="pyarrow")
+        .groupby(["src_url", "dst_url"])
+        .count()
+        .select_columns(["src_url", "dst_url"])
+        .sort(["src_url", "dst_url"])
+    )
+
+
+def doc_texts_q(sf_dir: str) -> "ray.data.Dataset":
+    """Pinned text extraction over the synthesized pages → (url, text)."""
+    pages = doc_pages(sf_dir)
+    return (
+        pages.select_columns(["url", "html"])
+        .map_batches(
+            TextExtractor, batch_format="pyarrow",
+            batch_size=QCFG.extract_batch_size,
+            concurrency=QCFG.extract_concurrency,
+        )
+        .sort("url")
+    )

@@ -1,0 +1,221 @@
+"""Relational demonstrations of the engine's aggregate/join machinery
+over the driver's TPC-H-ish tables (SURVEY.md §2.5 'algebraic partial
+aggregates' — per-batch partial aggregation before the small groupby,
+mirroring the reference's closed-form per-run aggregation,
+include/imtag_statistics.hpp:68-86).
+
+Every function takes ``sf_dir`` and returns a result with column names
+matching its DuckDB oracle in __ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .util import col_np, table_from_arrays
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-shaped pricing summary over lineitem (column-pruned read,
+    vectorized Arrow expressions, partial-then-final aggregation)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = pa.scalar(datetime.datetime(1998, 9, 2), type=pa.timestamp("us"))
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        # float sums differ from a serial oracle by ~1e-9 relative
+        # (summation order); round identically on both sides
+        for c, dp in (("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 6)):
+            t = t.set_column(
+                t.schema.get_field_index(c), c, pc.round(t[c], dp)
+            )
+        return t
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .map_batches(roundcols, batch_format="pyarrow")
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+def top_customers_by_revenue(sf_dir: str, k: int = 20) -> pa.Table:
+    """Broadcast join (orders ⨝ customer) + top-k: the small side ships
+    once via ray.put, the big side streams (ray_guide 'Joins')."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from .util import sparse_sum_reduce
+
+        keys, sums = sparse_sum_reduce(
+            col_np(t, "o_custkey"), col_np(t, "o_totalprice")
+        )
+        return table_from_arrays(c_custkey=keys, revenue=sums)
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    top = agg.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+    tbl = top.to_pandas()
+    lookup = ray.get(cust_ref)
+    tbl["c_name"] = tbl["c_custkey"].map(lookup)
+    tbl["revenue"] = tbl["revenue"].round(2)
+    return pa.Table.from_pandas(
+        tbl[["c_custkey", "c_name", "revenue"]], preserve_index=False
+    )
+
+
+def events_hourly_windows(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window aggregate (streaming-shaped op, ray_guide
+    'Streaming-shaped workloads'): 1-hour event-time windows per user."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())  # µs since epoch
+        hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
+        return t.append_column("window_start", hour.cast(pa.timestamp("us")))
+
+    return (
+        ev.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("sum_value"),
+                "sum_value",
+                pc.round(t["sum_value"], 2),
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["user_id", "window_start"])
+    )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Session windows per user (gap-based): sort-within-group pandas
+    kernel inside map_groups — the per-key ordered-log pattern."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = gap.cumsum().fillna(0).astype("int64")
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id")
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "count"),
+            )
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "session_start", "session_end", "n_events"]]
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .sort(["user_id", "session_id"])
+    )
+
+
+def events_asof_latest_order(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (ray_guide 'As-of / range join'): each event matched to
+    the user's most recent order at or before the event time
+    (user_id ↔ o_custkey). merge_asof within co-grouped buckets."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    orders = orders.sort_values(["o_orderdate", "o_orderkey"])
+    # latest-by-date wins on date ties → keep the max orderkey per (cust, date)
+    orders = orders.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+        o_orderkey=("o_orderkey", "max")
+    )
+    ord_ref = ray.put(orders)
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        odf = ray.get(ord_ref)
+        uid = g["user_id"].iloc[0]
+        mine = odf[odf["o_custkey"] == uid].sort_values("o_orderdate")
+        g = g.sort_values("ts")
+        out = pd.merge_asof(
+            g, mine, left_on="ts", right_on="o_orderdate",
+            direction="backward",
+        )
+        out["o_orderkey"] = out["o_orderkey"].astype("Int64")  # null-safe int
+        return out[["event_id", "user_id", "ts", "o_orderkey"]]
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+def supplier_part_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct-count style aggregate: distinct parts per supplier from
+    lineitem (map-side pair dedup → groupby count)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def dedup(t: pa.Table) -> pa.Table:
+        s = col_np(t, "l_suppkey")
+        p = col_np(t, "l_partkey")
+        key = s.astype(np.int64) * (1 << 32) + p
+        uniq = np.unique(key)
+        return table_from_arrays(
+            l_suppkey=uniq >> 32, l_partkey=uniq & ((1 << 32) - 1)
+        )
+
+    return (
+        ds.map_batches(dedup, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .count()
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="n_parts"))
+        .sort("l_suppkey")
+    )

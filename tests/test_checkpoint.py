@@ -1,0 +1,104 @@
+"""Checkpoint/resume: resumed run must be bit-identical to an
+uninterrupted run (FIXTURES.md F5)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+import ray.data
+
+from imtag_ray.config import EngineConfig
+from imtag_ray.pipelines.cc import connected_components
+from imtag_ray.pipelines.pagerank import pagerank
+from imtag_ray.sources.synth import named_graph_edges
+from imtag_ray.stages.graph_build import build_graph
+from imtag_ray.state.checkpoint import CheckpointManager, graph_fingerprint
+from imtag_ray.util import dataset_to_numpy
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def ranks_of(ds):
+    out = dataset_to_numpy(ds.sort("vid"), "rank")
+    return out["rank"]
+
+
+def test_pagerank_resume_bit_identical(ckpt_dir):
+    tbl = named_graph_edges("powerlaw")
+    g = build_graph(ray.data.from_arrow(tbl))
+
+    # uninterrupted: 6 iterations
+    cfg_full = EngineConfig(num_partitions=4, max_iterations=6, pagerank_tol=0)
+    full = ranks_of(pagerank(g, cfg_full, mode="broadcast"))
+
+    # interrupted after 3 (checkpoint every iter), then resumed to 6
+    cfg_half = EngineConfig(
+        num_partitions=4, max_iterations=3, pagerank_tol=0,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    pagerank(g, cfg_half, mode="broadcast")
+    iters = sorted(os.listdir(os.path.join(ckpt_dir, "pagerank")))
+    assert iters == ["iter=00000", "iter=00001", "iter=00002"]
+
+    cfg_resume = EngineConfig(
+        num_partitions=4, max_iterations=6, pagerank_tol=0,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    resumed = ranks_of(pagerank(g, cfg_resume, mode="broadcast"))
+    assert np.array_equal(full, resumed)  # bit-identical
+
+
+def test_incomplete_checkpoint_ignored(ckpt_dir):
+    tbl = named_graph_edges("two_cliques")
+    g = build_graph(ray.data.from_arrow(tbl))
+    cfg = EngineConfig(
+        num_partitions=2, max_iterations=4,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    cc1 = dataset_to_numpy(
+        connected_components(g, cfg).sort("vid"), "component_id"
+    )["component_id"]
+    # corrupt the newest checkpoint: remove its manifest → incomplete
+    d = os.path.join(ckpt_dir, "cc")
+    newest = sorted(os.listdir(d))[-1]
+    os.remove(os.path.join(d, newest, "_manifest.json"))
+    cc2 = dataset_to_numpy(
+        connected_components(g, cfg).sort("vid"), "component_id"
+    )["component_id"]
+    assert np.array_equal(cc1, cc2)
+
+
+def test_fingerprint_mismatch_not_resumed(ckpt_dir):
+    t1 = named_graph_edges("two_cliques")
+    t2 = named_graph_edges("barbell")
+    g1 = build_graph(ray.data.from_arrow(t1))
+    g2 = build_graph(ray.data.from_arrow(t2))
+    cfg = EngineConfig(
+        num_partitions=2, max_iterations=4,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    pagerank(g1, cfg, mode="broadcast")
+    mgr = CheckpointManager(ckpt_dir, "pagerank", graph_fingerprint(g2))
+    assert mgr.latest() is None  # different input → no resumable checkpoint
+
+
+def test_manifest_lineage(ckpt_dir):
+    tbl = named_graph_edges("two_cliques")
+    g = build_graph(ray.data.from_arrow(tbl))
+    cfg = EngineConfig(
+        num_partitions=2, max_iterations=3, pagerank_tol=0,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    pagerank(g, cfg, mode="broadcast")
+    with open(os.path.join(ckpt_dir, "pagerank", "iter=00002", "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["iteration"] == 2
+    assert m["parent"].endswith("iter=00001")
+    assert m["input_fingerprint"] == graph_fingerprint(g)
+    assert "delta_l1" in m["metrics"]
+    assert m["n_rows"] == g.num_vertices

@@ -1,0 +1,116 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from imtag_ray.dedup.exact import dedup_exact, dedup_exact_ids
+from imtag_ray.dedup.minhash import (
+    MinHasher,
+    _exact_jaccard,
+    _token_shingles,
+    minhash_dup_pairs,
+    survivors_from_pairs,
+)
+from imtag_ray.dedup.ngram import ngram_dup_pairs, ngram_jaccard
+from imtag_ray.dedup.simhash import simhash64, simhash_dup_pairs
+
+
+def docs_table():
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base, "s0"),
+        (1, base, "s0"),                      # exact dup of 0
+        (2, base + " extra token", "s0"),     # near dup of 0
+        (3, "completely different words entirely unrelated content here", "s1"),
+        (4, base.replace("quick", "slow"), "s0"),  # near dup
+        (5, "", "s1"),                        # empty
+        (6, "the quick brown fox jumps over the lazy dog again and again", "s1"),  # exact dup, other source
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_dedup_exact():
+    ds = ray.data.from_arrow(docs_table())
+    out = dedup_exact_ids(ds, "text", "doc_id").to_pandas()
+    surv = dict(zip(out["doc_id"], out["n_copies"]))
+    assert surv[0] == 3  # docs 0,1,6 identical → min id 0 survives
+    assert 1 not in surv and 6 not in surv
+    assert surv[5] == 1
+    full = dedup_exact(ds, "text", "doc_id").to_pandas()
+    assert sorted(full["doc_id"]) == [0, 2, 3, 4, 5]
+
+
+def test_minhash_identical_signatures():
+    mh = MinHasher("doc_id", "text")
+    s1 = mh.signature("a b c d e f g h")
+    s2 = mh.signature("a b c d e f g h")
+    assert np.array_equal(s1, s2)
+    s3 = mh.signature("totally different text body")
+    assert not np.array_equal(s1, s3)
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher("doc_id", "text", num_perm=256)
+    a = "w" + " w".join(str(i) for i in range(100))
+    b = "w" + " w".join(str(i) for i in range(80))  # high overlap
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    true = _exact_jaccard(_token_shingles(a, 3), _token_shingles(b, 3))
+    assert abs(est - true) < 0.15
+
+
+def test_minhash_dup_pairs_finds_dups():
+    ds = ray.data.from_arrow(docs_table())
+    pairs = minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5)
+    found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 1) in found and (0, 6) in found and (1, 6) in found
+    assert (0, 2) in found  # near dup above 0.5
+    assert not any(3 in p for p in found)  # unrelated doc clean
+    ids = docs_table()["doc_id"].to_numpy()
+    surv = survivors_from_pairs(ids, pairs)
+    assert 0 in surv and 1 not in surv and 6 not in surv
+    assert 3 in surv and 5 in surv
+
+
+def test_simhash_properties():
+    h1 = simhash64("the quick brown fox jumps over the lazy dog")
+    h2 = simhash64("the quick brown fox jumps over the lazy dogs")
+    h3 = simhash64("an utterly different sentence about data engines")
+    assert h1 == simhash64("the quick brown fox jumps over the lazy dog")
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13
+    assert simhash64("") == 0
+
+
+def test_simhash_dup_pairs():
+    ds = ray.data.from_arrow(docs_table())
+    pairs = simhash_dup_pairs(ds, "doc_id", "text", hamming_k=8)
+    found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 1) in found and (0, 6) in found  # exact dups: distance 0
+    hs = dict(
+        zip(pairs["id_a"].to_pylist(), pairs["hamming"].to_pylist())
+    )
+
+
+def test_ngram_jaccard_scalar():
+    assert ngram_jaccard("abc", "abc") == 1.0
+    assert ngram_jaccard("", "") == 1.0
+    assert 0 < ngram_jaccard("abcdef", "abcxef") < 1
+
+
+def test_ngram_dup_pairs_within_source():
+    ds = ray.data.from_arrow(docs_table())
+    pairs = ngram_dup_pairs(ds, "doc_id", "text", "source", threshold=0.55)
+    found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 1) in found          # same source exact dup
+    assert (0, 6) not in found      # dup but DIFFERENT source (blocking)
+    assert (0, 4) in found          # near dup same source

@@ -1,0 +1,107 @@
+"""Label propagation (differential vs reference loop) and triangle
+counts (vs networkx), both modes."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from imtag_ray.config import EngineConfig
+from imtag_ray.pipelines.labelprop import (
+    label_propagation,
+    label_propagation_reference,
+)
+from imtag_ray.pipelines.triangles import triangle_counts
+from imtag_ray.sources.synth import gurl, named_graph_edges
+from imtag_ray.stages.graph_build import build_graph
+from imtag_ray.util import dataset_to_numpy
+
+CFG = EngineConfig(num_partitions=4)
+
+
+def engine_lp(tbl, seeds):
+    g = build_graph(ray.data.from_arrow(tbl))
+    lp = label_propagation(g, seeds, CFG)
+    out = dataset_to_numpy(lp, "url", "label")
+    return dict(zip([str(u) for u in out["url"]], [str(x) for x in out["label"]]))
+
+
+def test_labelprop_two_cliques():
+    tbl = named_graph_edges("two_cliques")
+    seeds = {gurl(0): "red", gurl(5): "blue"}  # one per clique
+    ours = engine_lp(tbl, seeds)
+    pairs = list(zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist()))
+    theirs = label_propagation_reference(pairs, seeds)
+    assert ours == theirs
+    # every clique member got its seed's color
+    assert all(ours[gurl(i)] == "red" for i in range(5))
+    assert all(ours[gurl(i)] == "blue" for i in range(5, 12))
+
+
+def test_labelprop_barbell_competition():
+    tbl = named_graph_edges("barbell")
+    seeds = {gurl(0): "a", gurl(24): "b", gurl(3): "a"}
+    ours = engine_lp(tbl, seeds)
+    pairs = list(zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist()))
+    theirs = label_propagation_reference(pairs, seeds)
+    assert ours == theirs
+
+
+def test_labelprop_gnp_differential():
+    tbl = named_graph_edges("gnp")
+    seeds = {gurl(i): f"c{i % 3}" for i in range(0, 30, 7)}
+    ours = engine_lp(tbl, seeds)
+    pairs = list(zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist()))
+    theirs = label_propagation_reference(pairs, seeds)
+    assert ours == theirs
+
+
+def test_labelprop_unreached_vertices_empty():
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {"src_url": ["u/a", "u/c"], "dst_url": ["u/b", "u/d"]}
+    )  # two disjoint edges
+    ours = engine_lp(tbl, {"u/a": "x"})
+    assert ours == {"u/a": "x", "u/b": "x", "u/c": "", "u/d": ""}
+
+
+def nx_triangles(tbl):
+    import networkx as nx
+
+    g = nx.Graph()
+    for s, d in zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist()):
+        if s != d:
+            g.add_edge(s, d)
+    return nx.triangles(g)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("name", ["two_cliques", "barbell", "gnp", "star"])
+def test_triangles_vs_networkx(mode, name):
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl))
+    tc = triangle_counts(g, CFG, mode=mode)
+    out = dataset_to_numpy(tc, "url", "triangles")
+    ours = dict(zip([str(u) for u in out["url"]], out["triangles"]))
+    theirs = nx_triangles(tbl)
+    assert ours == theirs
+
+
+def test_triangles_reciprocal_edges_not_double_counted():
+    import pyarrow as pa
+
+    # triangle with every edge present in BOTH directions
+    tbl = pa.table(
+        {
+            "src_url": ["a", "b", "b", "c", "c", "a"],
+            "dst_url": ["b", "a", "c", "b", "a", "c"],
+        }
+    )
+    g = build_graph(ray.data.from_arrow(tbl))
+    tc = triangle_counts(g, CFG)
+    out = dataset_to_numpy(tc, "url", "triangles")
+    assert dict(zip([str(u) for u in out["url"]], out["triangles"])) == {
+        "a": 1,
+        "b": 1,
+        "c": 1,
+    }
