@@ -65,6 +65,9 @@ def run_bench() -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # match shuffle reduce-partition count to the cluster instead of the
+    # 200-partition default (huge fixed overhead at this scale)
+    ctx.min_parallelism = NUM_CPUS
 
     from imtag_ray.config import EngineConfig
     from imtag_ray.pipelines.cc import connected_components

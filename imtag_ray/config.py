@@ -36,6 +36,13 @@ class EngineConfig:
     #: crossover for "auto": above this many vertices use shuffle state.
     broadcast_max_vertices: int = 50_000_000
 
+    #: vocabulary fast path: up to this many distinct urls the vid
+    #: dictionary is collected+sorted on the driver (strings are heavier
+    #: than the numeric vertex state, so this cap is much lower than
+    #: broadcast_max_vertices); above it, the distributed
+    #: distinct→sort→zip_with_index path runs.
+    driver_vocab_max: int = 3_000_000
+
     #: hub salting: a destination with in-degree above this threshold is
     #: split into ``ceil(degree/threshold)`` salted sub-keys before the
     #: per-round groupby, then re-merged (partial+final aggregation;

@@ -134,6 +134,17 @@ def _triangles_shuffle(
             batch_format="pyarrow",
         )
     )
+    # A graph can produce ZERO wedges (e.g. a star oriented leaf→hub);
+    # Ray's hash-join aggregator chokes on schema-less empty partitions,
+    # so union one impossible sentinel wedge (negative vids never match
+    # a closing edge and are dropped in explode()).
+    sentinel = ray.data.from_arrow(
+        pa.table({"u": pa.array([-1], pa.int64()),
+                  "v": pa.array([-1], pa.int64()),
+                  "w": pa.array([-1], pa.int64())})
+    )
+    wedges = wedges.union(sentinel)
+
     # close the wedge: (v,w) must be an oriented edge
     closing = oriented.rename_columns({"u": "v", "v": "w"})
     tris = wedges.join(
@@ -141,6 +152,8 @@ def _triangles_shuffle(
     )
 
     def explode(batch: pa.Table) -> pa.Table:
+        ok = pa.compute.greater_equal(batch["u"], 0)
+        batch = batch.filter(ok)
         uu = col_np(batch, "u")
         vv = col_np(batch, "v")
         ww = col_np(batch, "w")

@@ -78,50 +78,82 @@ def _dedup_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-class _UrlToId:
-    """Actor-pool stage: map url columns → vid columns via a broadcast
-    dictionary (ray.put once, built into a Python dict once per ACTOR in
-    __init__ — never per batch)."""
+# Per-worker-process cache for the broadcast vocabulary index: Ray
+# reuses worker processes across tasks, so the pandas hash index is
+# built once per worker (the stateful-stage pattern WITHOUT paying
+# actor-pool startup — plain tasks stay elastic).
+_VOCAB_INDEX_CACHE: dict = {}
 
-    def __init__(self, vocab_ref, cols: tuple = (("src_url", "src"), ("dst_url", "dst"))):
-        urls = ray.get(vocab_ref)
-        self._map = {u: i for i, u in enumerate(urls)}
-        self._cols = cols
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+def _vocab_index(vocab_ref):
+    import pandas as pd
+
+    key = vocab_ref.hex()
+    idx = _VOCAB_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = pd.Index(ray.get(vocab_ref))
+        _VOCAB_INDEX_CACHE.clear()  # one vocabulary at a time per worker
+        _VOCAB_INDEX_CACHE[key] = idx
+    return idx
+
+
+def make_url_mapper(vocab_ref, cols=(("src_url", "src"), ("dst_url", "dst"))):
+    """Stateless map_batches fn: url columns → vid columns via the
+    broadcast sorted vocabulary (vectorized hash lookups)."""
+
+    def url_to_id(batch: pa.Table) -> pa.Table:
+        idx = _vocab_index(vocab_ref)
         out = {}
-        m = self._map
-        for in_col, out_col in self._cols:
-            vals = batch.column(in_col).to_pylist()
-            out[out_col] = np.fromiter(
-                (m[v] for v in vals), dtype=np.int64, count=len(vals)
-            )
+        for in_col, out_col in cols:
+            vals = idx.get_indexer(batch.column(in_col).to_pylist())
+            if len(vals) and vals.min() < 0:
+                raise KeyError(f"url missing from vocabulary in {in_col}")
+            out[out_col] = vals.astype(np.int64)
         return table_from_arrays(**out)
+
+    return url_to_id
+
+
+def _both_endpoints(batch: pa.Table) -> pa.Table:
+    urls = pa.concat_arrays(
+        [
+            batch.column("src_url").combine_chunks(),
+            batch.column("dst_url").combine_chunks(),
+        ]
+    )
+    # within-batch dedup combiner
+    return pa.table({"url": urls.unique()})
 
 
 def build_vertices(
     edges_urls: "ray.data.Dataset", cfg: EngineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
-    """Distinct urls over both endpoints → sorted → dense vids.
+    """Distinct urls over both endpoints → sorted → dense vids
+    (distributed scale path).
 
-    distinct is a hash-shuffle groupby (scales); the sort is the one
+    distinct is a shuffle groupby (scales); the sort is the one
     all-to-all this stage needs; id assignment is block-local after a
     P-length prefix sum (no driver data pass)."""
-
-    def both_endpoints(batch: pa.Table) -> pa.Table:
-        urls = pa.concat_arrays(
-            [
-                batch.column("src_url").combine_chunks(),
-                batch.column("dst_url").combine_chunks(),
-            ]
-        )
-        # within-batch dedup combiner
-        return pa.table({"url": urls.unique()})
-
-    urls = edges_urls.map_batches(both_endpoints, batch_format="pyarrow")
+    urls = edges_urls.map_batches(_both_endpoints, batch_format="pyarrow")
     distinct = urls.groupby("url").count().select_columns(["url"])
     vertices = zip_with_index(distinct.sort("url"), index_name="vid")
     return vertices.select_columns(["vid", "url"]).materialize()
+
+
+def collect_vocab(
+    edges_urls: "ray.data.Dataset", cap: int
+) -> "np.ndarray | None":
+    """Fast-path vocabulary: stream per-batch-unique urls to the driver,
+    sort once. Returns None (caller falls back to the distributed path)
+    when the distinct count exceeds ``cap``. Streamed volume is the
+    per-batch uniques, not the raw edge list."""
+    seen: set = set()
+    per_batch = edges_urls.map_batches(_both_endpoints, batch_format="pyarrow")
+    for b in per_batch.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        seen.update(b.column("url").to_pylist())
+        if len(seen) > cap:
+            return None
+    return np.array(sorted(seen), dtype=object)
 
 
 def build_graph(
@@ -131,23 +163,46 @@ def build_graph(
 ) -> Graph:
     """Full graph build: vertex dictionary, url→vid mapping, exact edge
     dedup (SURVEY.md §2.7 — extraction emits duplicate (src,dst) pairs),
-    capacity guard."""
+    capacity guard.
+
+    Dictionary strategy: driver collect+sort under ``driver_vocab_max``
+    distinct urls (one streaming pass; the vocabulary is broadcast
+    anyway for the map-side join), else the distributed
+    distinct→sort→zip_with_index path."""
+    vocab: "np.ndarray | None" = None
     if vertices is None:
-        vertices = build_vertices(edges_urls, cfg)
-    num_vertices = vertices.count()
+        vocab = collect_vocab(edges_urls, cfg.driver_vocab_max)
+        if vocab is None:
+            vertices = build_vertices(edges_urls, cfg)
+        else:
+            num_vertices = len(vocab)
+            vertices = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "vid": pa.array(
+                            np.arange(num_vertices, dtype=np.int64)
+                        ),
+                        "url": pa.array(vocab.tolist(), pa.string()),
+                    }
+                )
+            ).repartition(max(1, min(cfg.num_partitions, num_vertices // 4096 + 1))).materialize()
+    if vocab is None:
+        num_vertices = vertices.count()
+    else:
+        num_vertices = len(vocab)
     check_capacity(num_vertices, cfg.vid_dtype)
 
     if num_vertices <= cfg.broadcast_max_vertices:
-        # broadcast map-side join: ship the dictionary once via ray.put
-        from ..util import dataset_to_numpy
+        # broadcast map-side join: ship the sorted dictionary once via
+        # ray.put; lookups are vectorized and cached per worker process
+        if vocab is None:
+            from ..util import dataset_to_numpy
 
-        urls_sorted = dataset_to_numpy(vertices.sort("vid"), "url")["url"]
-        vocab_ref = ray.put([str(u) for u in urls_sorted])
+            vocab = dataset_to_numpy(vertices.sort("vid"), "url")["url"]
+            vocab = np.array([str(u) for u in vocab], dtype=object)
+        vocab_ref = ray.put(vocab)
         ids = edges_urls.map_batches(
-            _UrlToId,
-            fn_constructor_args=(vocab_ref,),
-            batch_format="pyarrow",
-            concurrency=cfg.extract_concurrency,
+            make_url_mapper(vocab_ref), batch_format="pyarrow"
         )
     else:
         # scale path: two hash-partitioned shuffle joins on url

@@ -19,5 +19,8 @@ def ray_session():
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # default shuffle parallelism is 200 reduce partitions — far too many
+    # for a small local cluster; match it to the CPU count
+    ctx.min_parallelism = 8
     yield
     ray.shutdown()
