@@ -29,14 +29,14 @@ def entry() -> Any:
     from imtag_ray.pipelines.cc import connected_components
     from imtag_ray.pipelines.pagerank import pagerank
     from imtag_ray.pipelines.queries import doc_pages
-    from imtag_ray.stages.extract import LinkExtractor
+    from imtag_ray.stages.extract import link_extract_fn
     from imtag_ray.stages.graph_build import build_graph, degrees
     from imtag_ray.util import col_np, dataset_to_numpy
 
     cfg = EngineConfig(num_partitions=8, max_iterations=50)
     pages = doc_pages(SF_SMOKE)
     edges = pages.select_columns(["url", "html"]).map_batches(
-        LinkExtractor, batch_format="pyarrow", batch_size=256, concurrency=2
+        link_extract_fn, batch_format="pyarrow", batch_size=256
     )
     graph = build_graph(edges, cfg)
     cc = connected_components(graph, cfg)

@@ -14,20 +14,20 @@ import ray.data
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..sources.pages import read_pages
-from ..stages.extract import LinkExtractor, TextExtractor
+from ..stages.extract import link_extract_fn, text_extract_fn
 
 
 def extract_edges(
     pages: "ray.data.Dataset", cfg: EngineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
     """pages → (src_url, dst_url) raw edge rows (duplicates kept; dedup is
-    the graph build's job). Reads only url+html columns when the caller
-    passes a pruned dataset."""
+    the graph build's job). Stateless tasks (regex state lives in the
+    long-lived workers; swap in the LinkExtractor actor class when the
+    parser carries heavy per-worker state)."""
     return pages.map_batches(
-        LinkExtractor,
+        link_extract_fn,
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency,
         zero_copy_batch=True,
     )
 
@@ -38,10 +38,9 @@ def extract_texts(
     """pages → (url, text) with the PINNED extractor (byte-identity
     invariant per BASELINE.json input_hint)."""
     return pages.map_batches(
-        TextExtractor,
+        text_extract_fn,
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency,
         zero_copy_batch=True,
     )
 

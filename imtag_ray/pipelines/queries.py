@@ -26,7 +26,7 @@ import ray.data
 
 from ..config import EngineConfig
 from ..sources.synth import pages_from_documents
-from ..stages.extract import LinkExtractor, TextExtractor
+from ..stages.extract import link_extract_fn, text_extract_fn
 from ..stages.graph_build import Graph, build_graph, degrees
 from ..util import col_np, dataset_to_numpy, table_from_arrays
 
@@ -234,8 +234,8 @@ def doc_edges_q(sf_dir: str) -> "ray.data.Dataset":
     in SQL without parsing HTML."""
     pages = doc_pages(sf_dir)
     edges = pages.select_columns(["url", "html"]).map_batches(
-        LinkExtractor, batch_format="pyarrow",
-        batch_size=QCFG.extract_batch_size, concurrency=QCFG.extract_concurrency,
+        link_extract_fn, batch_format="pyarrow",
+        batch_size=QCFG.extract_batch_size,
     )
 
     def dedup(t: pa.Table) -> pa.Table:
@@ -259,9 +259,8 @@ def doc_texts_q(sf_dir: str) -> "ray.data.Dataset":
     return (
         pages.select_columns(["url", "html"])
         .map_batches(
-            TextExtractor, batch_format="pyarrow",
+            text_extract_fn, batch_format="pyarrow",
             batch_size=QCFG.extract_batch_size,
-            concurrency=QCFG.extract_concurrency,
         )
         .sort("url")
     )

@@ -75,7 +75,43 @@ def extract_links(src_url: str, html_bytes: bytes) -> list[str]:
     return links
 
 
-# --- actor-pool batch stages ----------------------------------------------
+# --- batch stages ----------------------------------------------------------
+#
+# Two flavors per stage:
+#  - plain FUNCTIONS (default): the extractor's only state is the
+#    module-level compiled regexes, which live in the long-lived worker
+#    processes — stateless tasks are elastic and pay zero pool startup.
+#  - callable CLASSES (actor pools): the pattern for genuinely heavy
+#    per-worker state (models, interning tables); kept API-compatible and
+#    tested so swapping in a real parser is a one-line change.
+
+
+def link_extract_fn(batch: pa.Table) -> pa.Table:
+    """Stateless pages batch → edges batch (src_url, dst_url); 1→k."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    src_out: list[str] = []
+    dst_out: list[str] = []
+    for u, h in zip(urls, htmls):
+        links = extract_links(u, h or b"")
+        src_out.extend([u] * len(links))
+        dst_out.extend(links)
+    return pa.table(
+        {
+            "src_url": pa.array(src_out, type=pa.string()),
+            "dst_url": pa.array(dst_out, type=pa.string()),
+        }
+    )
+
+
+def text_extract_fn(batch: pa.Table) -> pa.Table:
+    """Stateless pages batch → (url, text) batch, 1→1; pinned extractor."""
+    urls = batch.column("url")
+    htmls = batch.column("html").to_pylist()
+    texts = pa.array(
+        [extract_text(h or b"") for h in htmls], type=pa.large_string()
+    )
+    return pa.table({"url": urls, "text": texts})
 
 
 class LinkExtractor:
@@ -91,20 +127,7 @@ class LinkExtractor:
         self._href_re = _HREF_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        src_out: list[str] = []
-        dst_out: list[str] = []
-        for u, h in zip(urls, htmls):
-            links = extract_links(u, h or b"")
-            src_out.extend([u] * len(links))
-            dst_out.extend(links)
-        return pa.table(
-            {
-                "src_url": pa.array(src_out, type=pa.string()),
-                "dst_url": pa.array(dst_out, type=pa.string()),
-            }
-        )
+        return link_extract_fn(batch)
 
 
 class TextExtractor:
@@ -118,9 +141,4 @@ class TextExtractor:
         self._ws = _WS_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url")
-        htmls = batch.column("html").to_pylist()
-        texts = pa.array(
-            [extract_text(h or b"") for h in htmls], type=pa.large_string()
-        )
-        return pa.table({"url": urls, "text": texts})
+        return text_extract_fn(batch)

@@ -17,7 +17,7 @@ vid dtype.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
@@ -41,6 +41,9 @@ class Graph:
     edges: "ray.data.Dataset"
     num_vertices: int
     num_edges: int
+    #: memoized degree arrays per direction (the reference's cached-state
+    #: pattern: re-running an algorithm must not recompute the run table)
+    _deg_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     # -- driver-side numpy views (vertex-state-sized only, never edges) ----
     def urls_array(self) -> np.ndarray:
@@ -237,7 +240,11 @@ def build_graph(
 
 def degrees(graph: Graph, direction: str = "out") -> np.ndarray:
     """Per-vertex degree (distinct neighbors) as a driver numpy array of
-    length V (vertex-state-sized). direction: out | in | undirected."""
+    length V (vertex-state-sized). direction: out | in | undirected.
+    Memoized per graph."""
+    cached = graph._deg_cache.get(direction)
+    if cached is not None:
+        return cached
 
     def partial(batch: pa.Table) -> pa.Table:
         src = col_np(batch, "src")
@@ -263,4 +270,5 @@ def degrees(graph: Graph, direction: str = "out") -> np.ndarray:
 
     res = dataset_to_numpy(agg, "vid", "deg")
     out[res["vid"]] = res["deg"]
+    graph._deg_cache[direction] = out
     return out

@@ -78,5 +78,7 @@ def test_pagerank_modes_agree():
     cfg = EngineConfig(num_partitions=4, pagerank_tol=0, max_iterations=10)
     a = run_engine(tbl, "broadcast", cfg)
     b = run_engine(tbl, "shuffle", cfg)
+    c = run_engine(tbl, "blocks", cfg)
     for u in a:
         assert a[u] == pytest.approx(b[u], abs=1e-12)
+        assert a[u] == pytest.approx(c[u], abs=1e-12)
