@@ -48,9 +48,20 @@ def part_url(keys: np.ndarray) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+# Per-session caches: several queries share the same derived graph; the
+# driver runs all queries in one Ray session, so materialized datasets
+# (object-store refs) stay valid. Mirrors the reference's cached-run-
+# table reuse across algorithm runs (include/imtag.hpp:87).
+_EDGE_URLS_CACHE: dict = {}
+_GRAPH_CACHE: dict = {}
+
+
 def copart_edge_urls(sf_dir: str) -> "ray.data.Dataset":
     """Distinct undirected co-purchase pairs (src_url < dst_url), via a
     hash-partitioned self-join of lineitem on the order key."""
+    cached = _EDGE_URLS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     right = li.rename_columns({"l_partkey": "p2"})
     pairs = li.join(
@@ -80,11 +91,16 @@ def copart_edge_urls(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return dedup.map_batches(to_urls, batch_format="pyarrow")
+    out = dedup.map_batches(to_urls, batch_format="pyarrow").materialize()
+    _EDGE_URLS_CACHE[sf_dir] = out
+    return out
 
 
 def copart_graph(sf_dir: str) -> Graph:
-    return build_graph(copart_edge_urls(sf_dir), QCFG)
+    key = (sf_dir, "plain")
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(copart_edge_urls(sf_dir), QCFG)
+    return _GRAPH_CACHE[key]
 
 
 def copart_edges_q(sf_dir: str) -> "ray.data.Dataset":
@@ -132,16 +148,19 @@ def copart_pagerank12_q(sf_dir: str) -> "ray.data.Dataset":
     cfg = EngineConfig(
         num_partitions=8, max_iterations=12, pagerank_tol=0
     )
-    urls = copart_edge_urls(sf_dir)
-    both = urls.union(
-        urls.map_batches(
-            lambda t: pa.table(
-                {"src_url": t["dst_url"], "dst_url": t["src_url"]}
-            ),
-            batch_format="pyarrow",
+    key = (sf_dir, "sym")
+    if key not in _GRAPH_CACHE:
+        urls = copart_edge_urls(sf_dir)
+        both = urls.union(
+            urls.map_batches(
+                lambda t: pa.table(
+                    {"src_url": t["dst_url"], "dst_url": t["src_url"]}
+                ),
+                batch_format="pyarrow",
+            )
         )
-    )
-    g = build_graph(both, QCFG)
+        _GRAPH_CACHE[key] = build_graph(both, QCFG)
+    g = _GRAPH_CACHE[key]
     pr = pagerank(g, cfg, mode="broadcast")
 
     def roundr(t: pa.Table) -> pa.Table:
