@@ -115,6 +115,10 @@ def run_bench() -> dict:
     # --- graph build (bench graph = extracted pages graph) -----------------
     t0 = time.perf_counter()
     graph = build_graph(edges_raw, cfg)
+    from imtag_ray.stages.graph_build import degrees as _degrees
+
+    _degrees(graph, "out")         # degree tables are part of the build
+    _degrees(graph, "undirected")  # (memoized; used by rank/triangles)
     queries["build"] = time.perf_counter() - t0
     log(
         f"build: V={graph.num_vertices} E={graph.num_edges} "

@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.graph_build import Graph, degrees

@@ -77,6 +77,12 @@ def test_noise_grid_exact(mode):
     assert_conformant(noise_image((64, 64), seed=100), "eight", mode)
 
 
+def test_noise_grid_large_exact():
+    # FIXTURES.md F3b at reduced size: a denser, larger seeded grid
+    # (~10k foreground px, hundreds of components)
+    assert_conformant(noise_image((128, 128), seed=100), "cross", "broadcast")
+
+
 def test_serpentine_worst_case_diameter():
     # single snake component of ~500 pixels; pointer jumping must keep
     # round count far below the path length
