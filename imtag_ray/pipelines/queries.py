@@ -281,5 +281,13 @@ def doc_texts_q(sf_dir: str) -> "ray.data.Dataset":
             text_extract_fn, batch_format="pyarrow",
             batch_size=QCFG.extract_batch_size,
         )
+        .map_batches(
+            # DuckDB's VARCHAR maps to arrow string; avoid a
+            # large_string-vs-string schema mismatch in the compare
+            lambda t: pa.table(
+                {"url": t["url"], "text": t["text"].cast(pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
         .sort("url")
     )

@@ -56,14 +56,14 @@ rel_refs = st.one_of(
 )
 
 
-@settings(max_examples=500, deadline=None)
+@settings(max_examples=500, deadline=None, derandomize=True)
 @given(href=st.one_of(absolute_urls(), rel_refs))
 def test_fast_path_equals_slow_path(href):
     base = "https://site3.example/dir/page"
     assert normalize_url(base, href) == slow_normalize(base, href)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(href=st.text(min_size=0, max_size=40))
 def test_fast_path_on_garbage(href):
     base = "https://b.example/x"
