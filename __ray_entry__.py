@@ -136,6 +136,203 @@ _DOC_TARGETS = """
 
 _DURL = "'https://docs.example/d' || CAST({c} AS VARCHAR)"
 
+# --- hash-scheme oracles (exact SQL replays of the engine's dedup /
+# ANN pipelines; every constant below mirrors the engine's defaults) ---
+
+# Python-normalized text: " ".join(text.split())
+_STRIP = r"regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g')"
+
+_NGRAM_SQL = r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN length(t) < 3 THEN [t]
+                  ELSE list_distinct(list_transform(range(1, length(t) - 1),
+                                     i -> substring(t, CAST(i AS INTEGER), 3)))
+             END AS g
+      FROM norm
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.g, b.g)) AS i,
+             len(a.g) AS la, len(b.g) AS lb
+      FROM grams a JOIN grams b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT id_a, id_b,
+             CASE WHEN la = 0 AND lb = 0 THEN 1.0
+                  ELSE CAST(i AS DOUBLE) / (la + lb - i) END AS jac
+      FROM pairs
+    )
+    SELECT id_a, id_b, round(jac, 9) AS jaccard FROM j
+    WHERE jac >= 0.55 ORDER BY id_a, id_b
+"""
+
+_SIMHASH_SQL = rf"""
+    WITH stripped AS (
+      SELECT doc_id, {_STRIP} AS s FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(s, '\s+')) AS tk
+      FROM stripped WHERE s != ''
+    ),
+    th AS (
+      SELECT doc_id, CAST('0x' || substring(md5(tk), 1, 16) AS UBIGINT) AS h
+      FROM tok
+    ),
+    bitscore AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> CAST(j AS UTINYINT)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS score
+      FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits
+      GROUP BY doc_id, j
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN score > 0
+                  THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+                  ELSE 0 END) AS UBIGINT) AS h
+      FROM bitscore GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT d.doc_id, coalesce(s.h, 0) AS h
+      FROM documents d LEFT JOIN sh0 s ON s.doc_id = d.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 8
+    ORDER BY id_a, id_b
+"""
+
+
+def _minhash_sql() -> str:
+    """Exact SQL replay of the MinHash-LSH pipeline: the permutation
+    constants are the engine's own (perm_params(128, seed=100)), the
+    (sh·a+b) mod 2^61−1 hash is computed in HUGEINT, candidates are the
+    band-signature-equality pairs, verification is exact shingle-set
+    Jaccard — identical to imtag_ray.dedup.minhash at threshold 0.5."""
+    from imtag_ray.dedup.minhash import (
+        DEFAULT_BANDS, DEFAULT_NUM_PERM, DEFAULT_SEED, perm_params,
+    )
+
+    a, b = perm_params(DEFAULT_NUM_PERM, DEFAULT_SEED)
+    rows = DEFAULT_NUM_PERM // DEFAULT_BANDS
+    vals = ",\n        ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(DEFAULT_NUM_PERM)
+    )
+    return rf"""
+    WITH perms(p, a, b) AS (VALUES
+        {vals}
+    ),
+    toks AS (
+      SELECT doc_id, {_STRIP} AS s,
+             regexp_split_to_array({_STRIP}, '\s+') AS tk
+      FROM documents
+    ),
+    shingle_strs AS (
+      SELECT doc_id,
+        CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+             WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                                 i -> array_to_string(tk[i:i+2], ' '))
+        END AS sgl
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substring(md5(g), 1, 16) AS UBIGINT) AS h
+      FROM (SELECT doc_id, unnest(sgl) AS g FROM shingle_strs)
+    ),
+    sigv AS (
+      SELECT s.doc_id, p.p,
+             min((CAST(s.h AS HUGEINT) * p.a + p.b)
+                 % 2305843009213693951) AS v
+      FROM sh s CROSS JOIN perms p
+      GROUP BY s.doc_id, p.p
+    ),
+    sig AS (
+      SELECT d.doc_id, p.p, coalesce(sv.v, 2305843009213693951) AS v
+      FROM (SELECT doc_id FROM documents) d CROSS JOIN perms p
+      LEFT JOIN sigv sv ON sv.doc_id = d.doc_id AND sv.p = p.p
+    ),
+    bands AS (
+      SELECT doc_id, CAST(p // {rows} AS INTEGER) AS band,
+             list(v ORDER BY p) AS chunk
+      FROM sig GROUP BY doc_id, CAST(p // {rows} AS INTEGER)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+      GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN coalesce(na.n, 0) = 0 AND coalesce(nb.n, 0) = 0
+                  THEN 1.0
+                  ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                       / (coalesce(na.n, 0) + coalesce(nb.n, 0)
+                          - coalesce(i.i, 0))
+             END AS jv
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      LEFT JOIN sizes na ON na.doc_id = c.id_a
+      LEFT JOIN sizes nb ON nb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(jv, 9) AS jaccard FROM jac
+    WHERE jv >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+_IVF_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 4
+    ),
+    sims AS (
+      SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e2.v) AS s
+      FROM q JOIN probes p ON p.qid = q.qid
+      JOIN asg a ON a.cid = p.cid
+      JOIN e e2 ON e2.vec_id = a.vec_id
+      WHERE a.vec_id != q.qid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(s, 9) AS cos_sim
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     purl_a = _PURL.format(c="pa_")
@@ -384,7 +581,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
         """,
-        # minhash_pairs / simhash_pairs / ngram_pairs / embed_knn_ivf:
-        # intentionally omitted (hash-scheme / approximate ops are not
-        # ANSI-SQL-expressible; pytest checks them differentially).
+        # hash-scheme pipelines: exact SQL replays (md5-based hashes via
+        # hex-cast, minhash permutations in HUGEINT mod-prime arithmetic,
+        # deterministic seed-vector IVF codebook) — no approximation gap.
+        "ngram_pairs": _NGRAM_SQL,
+        "simhash_pairs": _SIMHASH_SQL,
+        "minhash_pairs": _minhash_sql(),
+        "embed_knn_ivf": _IVF_SQL,
     }

@@ -66,25 +66,31 @@ def knn_brute_force(
         step, batch_format="pyarrow"
     )
     got = dataset_to_numpy(partials, "query_id", "neighbor_id", "cos_sim")
-    # global merge: top-k per query, ties by neighbor id asc
-    order = np.lexsort((got["neighbor_id"], -got["cos_sim"], got["query_id"]))
-    qid = got["query_id"][order]
-    nid = got["neighbor_id"][order]
-    sim = got["cos_sim"][order]
-    out_q, out_n, out_s = [], [], []
-    prev, cnt = None, 0
-    for i in range(len(qid)):
-        if qid[i] != prev:
-            prev, cnt = qid[i], 0
-        if cnt < k and np.isfinite(sim[i]):
-            out_q.append(qid[i])
-            out_n.append(nid[i])
-            out_s.append(sim[i])
-            cnt += 1
+    fin = np.isfinite(got["cos_sim"])
+    return _topk_merge(
+        got["query_id"][fin], got["neighbor_id"][fin], got["cos_sim"][fin], k
+    )
+
+
+def _topk_merge(
+    qid: np.ndarray, nid: np.ndarray, sim: np.ndarray, k: int
+) -> pa.Table:
+    """Vectorized global top-k merge of per-block partials: lexsort by
+    (query, -sim, neighbor) + per-group rank mask — no Python row loop.
+    The merged volume is O(queries × k × blocks), never corpus-sized."""
+    order = np.lexsort((nid, -sim, qid))
+    qid, nid, sim = qid[order], nid[order], sim[order]
+    first = np.ones(len(qid), dtype=bool)
+    if len(qid):
+        first[1:] = qid[1:] != qid[:-1]
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, len(qid)))
+    rank = np.arange(len(qid)) - np.repeat(starts, sizes)
+    keep = rank < k
     return pa.table(
-        {"query_id": pa.array(out_q, pa.int64()),
-         "neighbor_id": pa.array(out_n, pa.int64()),
-         "cos_sim": pa.array(out_s, pa.float64())}
+        {"query_id": pa.array(qid[keep], pa.int64()),
+         "neighbor_id": pa.array(nid[keep], pa.int64()),
+         "cos_sim": pa.array(sim[keep], pa.float64())}
     )
 
 
@@ -109,26 +115,36 @@ def knn_ivf(
     ds: "ray.data.Dataset", id_col: str, emb_col: str,
     queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     n_clusters: int = 16, nprobe: int = 4, sample_size: int = 10_000,
-    seed: int = 100,
+    seed: int = 100, centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """IVF approximate top-k: restrict each query to its ``nprobe``
-    nearest centroid cells. Same output schema as brute force."""
-    frac = min(1.0, sample_size / max(1, ds.count()))
-    sample_tbl = (
-        ds.select_columns([emb_col]).random_sample(frac, seed=seed)
-        if frac < 1.0
-        else ds.select_columns([emb_col])
-    )
-    sample = np.concatenate(
-        [
-            _normalize(_emb_matrix(b, emb_col))
-            for b in sample_tbl.iter_batches(batch_size=8192, batch_format="pyarrow")
-        ]
-    )
-    cent = _kmeans_lite(sample, n_clusters, seed=seed)
+    nearest centroid cells. Same output schema as brute force.
+
+    ``centroids`` (normalized, row per cell) overrides the default
+    sampled-k-means codebook — pass data-selected seed vectors to make
+    the whole scheme deterministic and SQL-replayable (the DuckDB
+    oracle recomputes assignment/probes from the same centroid rows).
+    Tie-breaks are pinned everywhere: nearest cell = first argmax
+    (lowest cell id), probe order = (sim desc, cell id asc)."""
+    if centroids is None:
+        frac = min(1.0, sample_size / max(1, ds.count()))
+        sample_tbl = (
+            ds.select_columns([emb_col]).random_sample(frac, seed=seed)
+            if frac < 1.0
+            else ds.select_columns([emb_col])
+        )
+        sample = np.concatenate(
+            [
+                _normalize(_emb_matrix(b, emb_col))
+                for b in sample_tbl.iter_batches(batch_size=8192, batch_format="pyarrow")
+            ]
+        )
+        cent = _kmeans_lite(sample, n_clusters, seed=seed)
+    else:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
     q = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probes = np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
     state = ray.put((q, qids, cent, probes))
 
     def step(batch: pa.Table, _ref=state, _k=k) -> pa.Table:
@@ -157,23 +173,7 @@ def knn_ivf(
         step, batch_format="pyarrow"
     )
     got = dataset_to_numpy(partials, "query_id", "neighbor_id", "cos_sim")
-    order = np.lexsort((got["neighbor_id"], -got["cos_sim"], got["query_id"]))
-    out_q, out_n, out_s = [], [], []
-    prev, cnt = None, 0
-    for i in range(len(order)):
-        j = order[i]
-        if got["query_id"][j] != prev:
-            prev, cnt = got["query_id"][j], 0
-        if cnt < k:
-            out_q.append(got["query_id"][j])
-            out_n.append(got["neighbor_id"][j])
-            out_s.append(got["cos_sim"][j])
-            cnt += 1
-    return pa.table(
-        {"query_id": pa.array(out_q, pa.int64()),
-         "neighbor_id": pa.array(out_n, pa.int64()),
-         "cos_sim": pa.array(out_s, pa.float64())}
-    )
+    return _topk_merge(got["query_id"], got["neighbor_id"], got["cos_sim"], k)
 
 
 def embedding_dup_pairs(

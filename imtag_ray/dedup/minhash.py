@@ -1,10 +1,19 @@
 """MinHash + LSH near-duplicate detection (ray_guide 'Near-dup').
 
-Pipeline: shingle → minhash signature (per-batch, vectorized) →
-explode to (band_id, band_hash, doc_id) rows → groupby(band) buckets →
-candidate pairs → exact-Jaccard verification → duplicate pairs /
-survivor selection via union-find over the (small) pair graph — the
-same min-label semantics as pipelines.cc, applied to the dup graph.
+Pipeline (fully distributed — no O(corpus) driver state):
+
+    shingle table (doc_id, sorted unique 64-bit shingle hashes)
+      → per-batch vectorized minhash signatures (exact universal hash
+        (sh·a + b) mod 2^61−1 in 64-bit limb arithmetic, NOT wraparound)
+      → (doc_id, band, band_key) rows
+      → groupby(band, band_key) buckets → candidate pairs Dataset
+      → exact-Jaccard verification as a double join of the exploded
+        shingle table on id_a / id_b (groupby count = |A∩B|)
+      → pairs with jaccard ≥ threshold.
+
+Because the permutation hash is the true mod-prime universal hash, a
+DuckDB oracle can replay the entire scheme exactly in HUGEINT
+arithmetic (see __ray_entry__.oracle_sql['minhash_pairs']).
 
 All hashing is seeded/deterministic (no Python hash()).
 """
@@ -19,22 +28,66 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+from ray.data.aggregate import Count, Max
 
-from ..util import col_np, dataset_to_numpy, table_from_arrays
+from ..util import col_np, table_from_arrays
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
+_M61 = np.uint64(_MERSENNE)
+_MASK32 = np.uint64(0xFFFFFFFF)
+_MASK29 = np.uint64((1 << 29) - 1)
+
+DEFAULT_NUM_PERM = 128
+DEFAULT_BANDS = 16
+DEFAULT_SHINGLE_K = 3
+DEFAULT_SEED = 100
 
 
-def _token_shingles(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of k-token shingles (deduped)."""
+def _red61(v: np.ndarray) -> np.ndarray:
+    """Reduce v < 2^64 fully mod 2^61−1 (one fold + conditional subtract)."""
+    v = (v & _M61) + (v >> np.uint64(61))
+    return np.where(v >= _M61, v - _M61, v)
+
+
+def mulmod61(x: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """(x · a) mod 2^61−1 exactly for x uint64 (any), a < 2^61 — 32-bit
+    limb decomposition, no wraparound (the ADVICE fix: the previous
+    overflow-and-ignore version was not a universal hash)."""
+    x = np.asarray(x, dtype=np.uint64)
+    a = np.asarray(a, dtype=np.uint64)
+    x_lo, x_hi = x & _MASK32, x >> np.uint64(32)
+    a_lo, a_hi = a & _MASK32, a >> np.uint64(32)
+    # x·a = hh·2^64 + (m1+m2)·2^32 + ll ; 2^64 ≡ 8, 2^61 ≡ 1 (mod M)
+    ll = _red61(x_lo * a_lo)                       # < 2^64 ✓
+    hh = _red61((x_hi * a_hi) << np.uint64(3))     # x_hi·a_hi < 2^61 ✓
+    m = _red61(x_hi * a_lo) + _red61(x_lo * a_hi)  # < 2^62
+    m = np.where(m >= _M61, m - _M61, m)
+    # m·2^32 ≡ (m >> 29) + ((m & (2^29−1)) << 32)   (since 2^61 ≡ 1)
+    mid = _red61((m >> np.uint64(29)) + ((m & _MASK29) << np.uint64(32)))
+    s = ll + hh
+    s = np.where(s >= _M61, s - _M61, s)
+    s = s + mid
+    return np.where(s >= _M61, s - _M61, s)
+
+
+def perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def token_shingles(text: str, k: int) -> np.ndarray:
+    """Sorted unique 64-bit hashes (md5 first 8 bytes, big-endian) of
+    k-token shingles."""
     toks = _WS.split(text.strip()) if text and text.strip() else []
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
     if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
+        shingles = [" ".join(toks)]
     else:
         shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
     vals = np.fromiter(
         (
             int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
@@ -46,55 +99,9 @@ def _token_shingles(text: str, k: int) -> np.ndarray:
     return np.unique(vals)
 
 
-def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    return a, b
-
-
-class MinHasher:
-    """Actor-pool stage: (id, text) batch → (doc_id, band, band_hash)
-    rows. Permutation params generated once per actor in __init__."""
-
-    def __init__(self, id_col: str, text_col: str, num_perm: int = 128,
-                 bands: int = 16, shingle_k: int = 3, seed: int = 100):
-        assert num_perm % bands == 0
-        self.id_col, self.text_col = id_col, text_col
-        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
-        self.rows = num_perm // bands
-        self.a, self.b = _perm_params(num_perm, seed)
-
-    def signature(self, text: str) -> np.ndarray:
-        sh = _token_shingles(text, self.k)
-        if len(sh) == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            m = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return m.min(axis=0)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = col_np(batch, self.id_col)
-        texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t or "")
-            for bnd in range(self.bands):
-                chunk = sig[bnd * self.rows : (bnd + 1) * self.rows]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                out_id.append(i)
-                out_band.append(bnd)
-                out_hash.append(h)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.string()),
-            }
-        )
-
-
-def _exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two sorted-unique hash arrays (scalar reference for
+    tests; the distributed path computes the same ratio via joins)."""
     if len(a) == 0 and len(b) == 0:
         return 1.0
     inter = len(np.intersect1d(a, b, assume_unique=True))
@@ -102,96 +109,281 @@ def _exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-def minhash_candidates(
-    ds: "ray.data.Dataset", id_col: str, text_col: str,
-    num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
-    concurrency: int | tuple = 4,
-) -> list[tuple[int, int]]:
-    """LSH candidate pairs (driver-side list — candidate sets are tiny
-    relative to the corpus; at 100 TB this list stays distributed and
-    feeds a pair-verification join instead)."""
-    bucketed = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher,
-        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+def signature_of_text(
+    text: str, num_perm: int = DEFAULT_NUM_PERM, shingle_k: int = DEFAULT_SHINGLE_K,
+    seed: int = DEFAULT_SEED,
+) -> np.ndarray:
+    """Scalar minhash signature (tests / docs)."""
+    sh = token_shingles(text, shingle_k)
+    if len(sh) == 0:
+        return np.full(num_perm, _MERSENNE, dtype=np.uint64)
+    a, b = perm_params(num_perm, seed)
+    hashed = mulmod61(sh[:, None], a[None, :]) + b[None, :]
+    hashed = np.where(hashed >= _M61, hashed - _M61, hashed)
+    return hashed.min(axis=0)
 
-    def pairs_of_bucket(group: "pa.Table") -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        out_a, out_b = [], []
-        for x, y in itertools.combinations(ids, 2):
-            out_a.append(x)
-            out_b.append(y)
-        return pa.table(
-            {"id_a": pa.array(out_a, type=pa.int64()),
-             "id_b": pa.array(out_b, type=pa.int64())}
+
+class Shingler:
+    """Actor-pool stage: (id, text) batch → (doc_id, shingles list<u64>)."""
+
+    def __init__(self, id_col: str, text_col: str, k: int):
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = col_np(batch, self.id_col)
+        texts = batch.column(self.text_col).to_pylist()
+        shingles = [token_shingles(t or "", self.k) for t in texts]
+        offsets = np.zeros(len(shingles) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in shingles], out=offsets[1:])
+        flat = (
+            np.concatenate(shingles)
+            if shingles
+            else np.empty(0, dtype=np.uint64)
         )
-
-    pair_ds = (
-        bucketed.groupby(["band", "band_hash"])
-        .map_groups(pairs_of_bucket, batch_format="pyarrow")
-    )
-    got = dataset_to_numpy(pair_ds, "id_a", "id_b")
-    return sorted(set(zip(got["id_a"].tolist(), got["id_b"].tolist())))
-
-
-def minhash_dup_pairs(
-    ds: "ray.data.Dataset", id_col: str, text_col: str,
-    threshold: float = 0.8, num_perm: int = 128, bands: int = 16,
-    shingle_k: int = 3, concurrency: int | tuple = 4,
-) -> pa.Table:
-    """→ (id_a, id_b, jaccard) verified pairs ≥ threshold (exact Jaccard
-    on shingle sets, not the minhash estimate)."""
-    cands = minhash_candidates(
-        ds, id_col, text_col, num_perm, bands, shingle_k, concurrency
-    )
-    if not cands:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    involved = sorted({i for p in cands for i in p})
-    inv_ref = ray.put(np.array(involved, dtype=np.int64))
-
-    def collect(batch: pa.Table, _ref=inv_ref, _k=shingle_k) -> pa.Table:
-        want = ray.get(_ref)
-        ids = col_np(batch, id_col)
-        pos = np.searchsorted(want, ids)
-        pos[pos >= len(want)] = len(want) - 1
-        mask = want[pos] == ids
-        sel = batch.filter(pa.array(mask))
-        sids = col_np(sel, id_col)
-        stexts = sel.column(text_col).to_pylist()
         return pa.table(
             {
-                "doc_id": pa.array(sids, type=pa.int64()),
-                "shingles": pa.array(
-                    [_token_shingles(t or "", _k).tolist() for t in stexts],
-                    type=pa.list_(pa.uint64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
                 ),
             }
         )
 
-    sh_ds = ds.select_columns([id_col, text_col]).map_batches(
-        collect, batch_format="pyarrow"
-    )
-    shingle_map: dict[int, np.ndarray] = {}
-    for b in sh_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for i, s in zip(b.column("doc_id").to_pylist(), b.column("shingles").to_pylist()):
-            shingle_map[i] = np.array(s, dtype=np.uint64)
 
-    out_a, out_b, out_j = [], [], []
-    for x, y in cands:
-        j = _exact_jaccard(shingle_map[x], shingle_map[y])
-        if j >= threshold:
-            out_a.append(x)
-            out_b.append(y)
-            out_j.append(j)
-    return pa.table(
-        {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64()),
-         "jaccard": pa.array(out_j, pa.float64())}
+def shingle_table(
+    ds: "ray.data.Dataset", id_col: str, text_col: str,
+    shingle_k: int = DEFAULT_SHINGLE_K, concurrency: int | tuple = 4,
+) -> "ray.data.Dataset":
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Shingler, fn_constructor_args=(id_col, text_col, shingle_k),
+        batch_format="pyarrow", concurrency=concurrency, batch_size=512,
     )
+
+
+def _list_column_arrays(batch: pa.Table, name: str):
+    """Zero-copy (offsets, flat values) view of a list column."""
+    arr = batch.column(name)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = arr.values.to_numpy(zero_copy_only=False)
+    return offsets, values
+
+
+def _band_mix(sig_chunk: np.ndarray) -> np.ndarray:
+    """(B, rows) uint64 → (B,) uint64 order-sensitive mixing key.
+    Equal chunks ⇔ equal keys (collisions ~2^-64 only ADD candidates,
+    which exact verification then filters)."""
+    h = np.zeros(sig_chunk.shape[0], dtype=np.uint64)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for r in range(sig_chunk.shape[1]):
+            h = h * C + sig_chunk[:, r]
+        # fmix64 finalizer
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+class SignatureBander:
+    """Actor-pool stage: shingle-table batch → (doc_id, band, band_key)
+    rows. Perm params generated once per actor; the whole batch is
+    vectorized through reduceat (no per-row Python loop)."""
+
+    def __init__(self, num_perm: int = DEFAULT_NUM_PERM,
+                 bands: int = DEFAULT_BANDS, seed: int = DEFAULT_SEED):
+        assert num_perm % bands == 0
+        self.num_perm, self.bands = num_perm, bands
+        self.rows = num_perm // bands
+        self.a, self.b = perm_params(num_perm, seed)
+
+    def signatures(self, offsets: np.ndarray, flat: np.ndarray) -> np.ndarray:
+        """(B+1,) offsets + (N,) shingle hashes → (B, num_perm) minima.
+        Empty docs get the sentinel 2^61−1 (never produced by the hash)."""
+        B = len(offsets) - 1
+        sig = np.full((B, self.num_perm), _MERSENNE, dtype=np.uint64)
+        if len(flat) == 0:
+            return sig
+        hashed = mulmod61(flat[:, None], self.a[None, :]) + self.b[None, :]
+        hashed = np.where(hashed >= _M61, hashed - _M61, hashed)  # (N, P)
+        starts = offsets[:-1]
+        nonempty = np.flatnonzero(np.diff(offsets) > 0)
+        mins = np.minimum.reduceat(hashed, starts[nonempty], axis=0)
+        sig[nonempty] = mins
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = col_np(batch, "doc_id")
+        offsets, flat = _list_column_arrays(batch, "shingles")
+        sig = self.signatures(offsets, flat)
+        B = len(ids)
+        keys = np.empty((B, self.bands), dtype=np.uint64)
+        for bnd in range(self.bands):
+            keys[:, bnd] = _band_mix(
+                sig[:, bnd * self.rows : (bnd + 1) * self.rows]
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), B),
+                    pa.int32(),
+                ),
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+            }
+        )
+
+
+def _pairs_of_bucket(group: pa.Table) -> pa.Table:
+    ids = np.sort(col_np(group, "doc_id"))
+    if len(ids) < 2:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pa.table(
+        {"id_a": pa.array(ids[ia], pa.int64()),
+         "id_b": pa.array(ids[ib], pa.int64())}
+    )
+
+
+def minhash_candidates(
+    sh_ds: "ray.data.Dataset",
+    num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED, concurrency: int | tuple = 4,
+) -> "ray.data.Dataset":
+    """Shingle table → DISTINCT candidate pair Dataset (id_a < id_b).
+    Stays a Dataset end-to-end: bucket groupby, per-bucket pair
+    expansion, distinct via groupby."""
+    bucketed = sh_ds.map_batches(
+        SignatureBander,
+        fn_constructor_args=(num_perm, bands, seed),
+        batch_format="pyarrow", concurrency=concurrency, batch_size=512,
+    )
+    return (
+        bucketed.groupby(["band", "band_key"])
+        .map_groups(_pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+    )
+
+
+def exploded_shingles(sh_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, shingles list) → (doc_id, h) one row per shingle hash."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = col_np(batch, "doc_id")
+        offsets, flat = _list_column_arrays(batch, "shingles")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(ids, np.diff(offsets)), pa.int64()
+                ),
+                "h": pa.array(flat, pa.uint64()),
+            }
+        )
+
+    return sh_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def verify_pairs_jaccard(
+    cand: "ray.data.Dataset", sh_ds: "ray.data.Dataset",
+    threshold: float, num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Exact-Jaccard verification of candidate pairs as Dataset joins —
+    the VERDICT fix: no driver-side shingle map / pair loop.
+
+    |A∩B| = count of (id_a, id_b, h) rows where h appears for BOTH docs
+    (double join of the exploded shingle table); |A|,|B| from per-doc
+    counts; both-empty pairs define J = 1.
+    """
+    P = num_partitions
+    ex = exploded_shingles(sh_ds).materialize()
+    sizes = ex.groupby("doc_id").count().rename_columns(
+        {"count()": "n"}
+    )
+
+    # NOTE each join is materialized so every streaming execution holds
+    # at most ONE JoinOperator — multiple join actor-pools fused into a
+    # single plan can deadlock under a small CPU budget (observed on
+    # ray 2.49 local mode), and a stage boundary per exchange is the
+    # standard shape at scale anyway.
+    cand = cand.materialize()
+    a_sh = (
+        cand.join(
+            ex, join_type="inner", num_partitions=P,
+            on=("id_a",), right_on=("doc_id",),
+        )
+        .select_columns(["id_a", "id_b", "h"])
+        .materialize()
+    )
+    inter = (
+        a_sh.join(
+            ex.rename_columns({"doc_id": "id_b_", "h": "h_"}),
+            join_type="inner", num_partitions=P,
+            on=("id_b", "h"), right_on=("id_b_", "h_"),
+        )
+        .groupby(["id_a", "id_b"])
+        .count()
+        .rename_columns({"count()": "inter"})
+        .materialize()
+    )
+    with_inter = cand.join(
+        inter, join_type="left_outer", num_partitions=P,
+        on=("id_a", "id_b"),
+    ).materialize()
+    with_na = with_inter.join(
+        sizes.rename_columns({"doc_id": "da", "n": "na"}),
+        join_type="left_outer", num_partitions=P,
+        on=("id_a",), right_on=("da",),
+    ).materialize()
+    with_nb = with_na.join(
+        sizes.rename_columns({"doc_id": "db", "n": "nb"}),
+        join_type="left_outer", num_partitions=P,
+        on=("id_b",), right_on=("db",),
+    )
+
+    def jaccard(t: pa.Table, _t=threshold) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = col_np(t, "inter") if "inter" in t.column_names else np.zeros(t.num_rows)
+        i = np.nan_to_num(np.asarray(i, dtype=np.float64), nan=0.0)
+        na = np.nan_to_num(
+            np.asarray(col_np(t, "na"), dtype=np.float64), nan=0.0
+        )
+        nb = np.nan_to_num(
+            np.asarray(col_np(t, "nb"), dtype=np.float64), nan=0.0
+        )
+        union = na + nb - i
+        j = np.where(union > 0, i / np.maximum(union, 1.0), 1.0)
+        keep = j >= _t
+        return pa.table(
+            {
+                "id_a": pa.array(col_np(t, "id_a")[keep], pa.int64()),
+                "id_b": pa.array(col_np(t, "id_b")[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return with_nb.map_batches(jaccard, batch_format="pyarrow")
+
+
+def minhash_dup_pairs(
+    ds: "ray.data.Dataset", id_col: str, text_col: str,
+    threshold: float = 0.8, num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS, shingle_k: int = DEFAULT_SHINGLE_K,
+    seed: int = DEFAULT_SEED, concurrency: int | tuple = 4,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """→ Dataset (id_a, id_b, jaccard) of LSH candidates whose EXACT
+    shingle-set Jaccard ≥ threshold, sorted by (id_a, id_b)."""
+    sh_ds = shingle_table(ds, id_col, text_col, shingle_k, concurrency)
+    sh_ds = sh_ds.materialize()  # reused by bucketing AND verification
+    cand = minhash_candidates(sh_ds, num_perm, bands, seed, concurrency)
+    verified = verify_pairs_jaccard(cand, sh_ds, threshold, num_partitions)
+    return verified.sort(["id_a", "id_b"])
 
 
 def survivors_from_pairs(

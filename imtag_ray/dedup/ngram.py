@@ -15,8 +15,6 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..util import dataset_to_numpy
-
 
 def char_ngrams(text: str, n: int = 3) -> set:
     t = " ".join((text or "").split())
@@ -37,8 +35,11 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 def ngram_dup_pairs(
     ds: "ray.data.Dataset", id_col: str, text_col: str, group_col: str,
     threshold: float = 0.6, n: int = 3,
-) -> pa.Table:
-    """→ (id_a, id_b, jaccard) for within-group pairs ≥ threshold."""
+) -> "ray.data.Dataset":
+    """→ Dataset (id_a, id_b, jaccard) for within-group pairs ≥
+    threshold, sorted by (id_a, id_b) — distributed end-to-end.
+    Exactly mirrored by the DuckDB list_intersect oracle
+    (__ray_entry__.oracle_sql['ngram_pairs'])."""
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_pylist()
@@ -67,15 +68,9 @@ def ngram_dup_pairs(
              "jaccard": pa.array(out_j, pa.float64())}
         )
 
-    pair_ds = (
+    return (
         ds.select_columns([id_col, text_col, group_col])
         .groupby(group_col)
         .map_groups(pairs, batch_format="pyarrow")
-    )
-    got = dataset_to_numpy(pair_ds, "id_a", "id_b", "jaccard")
-    order = np.lexsort((got["id_b"], got["id_a"]))
-    return pa.table(
-        {"id_a": pa.array(got["id_a"][order], pa.int64()),
-         "id_b": pa.array(got["id_b"][order], pa.int64()),
-         "jaccard": pa.array(got["jaccard"][order], pa.float64())}
+        .sort(["id_a", "id_b"])
     )

@@ -71,6 +71,7 @@ def _cc_broadcast(
             labels = ckpt.load_arrays(m, "label")["label"]
             start_round = m["iteration"] + 1
 
+    converged = False
     for rnd in range(start_round, cfg.max_iterations):
         ref = ray.put(labels)
 
@@ -104,6 +105,7 @@ def _cc_broadcast(
                 n_updates += b.num_rows
                 np.minimum.at(labels, col_np(b, "vid"), col_np(b, "cand"))
             if n_updates == 0:
+                converged = True
                 break  # no improving edge anywhere → converged
         else:
             agg = partials.groupby("vid").aggregate(
@@ -111,6 +113,7 @@ def _cc_broadcast(
             )
             res = dataset_to_numpy(agg, "vid", "cand")
             if len(res["vid"]) == 0:
+                converged = True
                 break
             np.minimum.at(labels, res["vid"], res["cand"])
         # pointer jumping: labels always point at a member of the same
@@ -126,6 +129,11 @@ def _cc_broadcast(
             ckpt.write_arrays(rnd, {"label": labels})
         if on_round is not None:
             on_round(rnd, labels)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components (broadcast) did not converge within "
+            f"max_iterations={cfg.max_iterations}; raise cfg.max_iterations"
+        )
     return labels
 
 
@@ -139,7 +147,69 @@ def _label_sum(labels_ds: "ray.data.Dataset") -> int:
     return int(out["s"])
 
 
-def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None) -> "ray.data.Dataset":
+def _hop_messages(t: pa.Table) -> pa.Table:
+    """(vid, label) rows → message rows for one pointer-jump hop:
+    every vertex REQUESTS its label's label (key = label, val = vid,
+    kind 0) and PROVIDES its own label (key = vid, val = label, kind 1)."""
+    vid = col_np(t, "vid")
+    lab = col_np(t, "label")
+    return table_from_arrays(
+        key=np.concatenate([lab, vid]),
+        val=np.concatenate([vid, lab]),
+        kind=np.concatenate(
+            [np.zeros(len(vid), dtype=np.int8), np.ones(len(vid), dtype=np.int8)]
+        ),
+    )
+
+
+def _hop_resolve(group: pa.Table) -> pa.Table:
+    """Group for key w: the provider row carries label[w]; every
+    requester v (with label[v] == w) adopts it → (v, label[w])."""
+    kind = col_np(group, "kind")
+    val = col_np(group, "val")
+    prov = val[kind == 1]
+    req = val[kind == 0]
+    if len(prov) == 0 or len(req) == 0:
+        return pa.table(
+            {"vid": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+    return table_from_arrays(
+        vid=req, label=np.full(len(req), prov[0], dtype=np.int64)
+    )
+
+
+def _shortcut_labels(
+    labels: "ray.data.Dataset", P: int, max_hops: int = 60
+) -> tuple["ray.data.Dataset", int]:
+    """Distributed pointer jumping: label ← label[label] until fixpoint.
+
+    Every label value is itself a vid with label[w] ≤ w, so composition
+    only ever decreases labels; equal consecutive label sums ⇔ no chain
+    left to shortcut. Each hop halves the remaining chain depth (the
+    Dataset-state analogue of broadcast mode's in-memory
+    ``labels[labels]`` loop), keeping total rounds O(log diameter).
+
+    Implemented as a groupby message-passing exchange rather than a
+    self-join: Ray's hash-join emits schema-less empty partitions under
+    heavy key skew (e.g. a converged star where every label is 0),
+    which poisons downstream joins; groupby handles the same skew fine.
+    """
+    cur_sum = _label_sum(labels)
+    for _ in range(max_hops):
+        labels = (
+            labels.map_batches(_hop_messages, batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(_hop_resolve, batch_format="pyarrow")
+            .materialize()
+        )
+        nxt_sum = _label_sum(labels)
+        if nxt_sum == cur_sum:
+            break
+        cur_sum = nxt_sum
+    return labels, cur_sum
+
+
+def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None) -> "ray.data.Dataset":
     P = cfg.num_partitions
     labels = (
         graph.vertices.select_columns(["vid"])
@@ -151,10 +221,18 @@ def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None) -> "ray.data.Dat
         )
         .materialize()
     )
+    start_round = 0
+    if ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            labels = ray.data.read_parquet(m["path"], columns=["vid", "label"])
+            labels = labels.materialize()
+            start_round = m["iteration"] + 1
     prev_sum = _label_sum(labels)
     edges = graph.edges.select_columns(["src", "dst"])
 
-    for rnd in range(cfg.max_iterations):
+    converged = False
+    for rnd in range(start_round, cfg.max_iterations):
         by_src = (
             edges.join(
                 labels, join_type="inner", num_partitions=P,
@@ -177,12 +255,25 @@ def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None) -> "ray.data.Dat
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        cur_sum = _label_sum(labels)
+        # pointer jumping between relaxation rounds (mirrors the
+        # broadcast mode); without it, chain-shaped components need
+        # O(diameter) rounds and silently mislabel past max_iterations.
+        labels, cur_sum = _shortcut_labels(labels, P)
+        if ckpt is not None and cfg.checkpoint_every and (
+            (rnd + 1) % cfg.checkpoint_every == 0
+        ):
+            ckpt.write_dataset(rnd, labels, metrics={"label_sum": cur_sum})
         if on_round is not None:
             on_round(rnd, labels)
         if cur_sum == prev_sum:
+            converged = True
             break  # labels are monotone non-increasing → fixpoint
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components (shuffle) did not converge within "
+            f"max_iterations={cfg.max_iterations}; raise cfg.max_iterations"
+        )
     return labels
 
 
@@ -220,7 +311,7 @@ def connected_components(
     if mode == "broadcast":
         raw = _cc_broadcast(graph, cfg, on_round=on_round, ckpt=ckpt)
     elif mode == "shuffle":
-        labels_ds = _cc_shuffle(graph, cfg, on_round=on_round)
+        labels_ds = _cc_shuffle(graph, cfg, on_round=on_round, ckpt=ckpt)
         res = dataset_to_numpy(labels_ds, "vid", "label")
         raw = np.empty(graph.num_vertices, dtype=np.int64)
         raw[res["vid"]] = res["label"]

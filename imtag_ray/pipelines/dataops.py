@@ -76,12 +76,23 @@ def dedup_exact_q(sf_dir: str) -> "ray.data.Dataset":
     return dedup_exact_ids(ds, "text", "doc_id").sort("doc_id")
 
 
-def minhash_pairs_q(sf_dir: str) -> pa.Table:
+def _round_col(ds: "ray.data.Dataset", col: str, ndigits: int = 9):
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index(col), col, pc.round(t[col], ndigits)
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def minhash_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5)
+    return _round_col(minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5), "jaccard")
 
 
-def simhash_pairs_q(sf_dir: str) -> pa.Table:
+def simhash_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_dup_pairs(ds, "doc_id", "text", hamming_k=8)
 
@@ -91,10 +102,11 @@ def simhash_table_q(sf_dir: str) -> "ray.data.Dataset":
     return simhash_table(ds, "doc_id", "text").sort("doc_id")
 
 
-def ngram_pairs_q(sf_dir: str) -> pa.Table:
+def ngram_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    return ngram_dup_pairs(
-        ds, "doc_id", "text", "source", threshold=0.55, n=3
+    return _round_col(
+        ngram_dup_pairs(ds, "doc_id", "text", "source", threshold=0.55, n=3),
+        "jaccard",
     )
 
 
@@ -127,15 +139,38 @@ def embed_knn_q(sf_dir: str) -> pa.Table:
             "neighbor_id": out["neighbor_id"],
             "cos_sim": pc.round(out["cos_sim"], 9),
         }
-    )
+    ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
+
+
+N_CELLS = 16
+N_PROBE = 4
 
 
 def embed_knn_ivf_q(sf_dir: str) -> pa.Table:
-    """IVF variant — approximate; rows-only oracle (recall is checked
-    against brute force in pytest instead)."""
+    """IVF variant with a DETERMINISTIC codebook — the cells are seeded
+    by the embeddings of vec_id < N_CELLS (no Lloyd iterations), so the
+    DuckDB oracle can replay assignment → probing → exact in-cell top-k
+    and the result is exactly checkable. The sampled-k-means codebook
+    path (knn_ivf default) stays recall-tested in pytest."""
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q, qids = _query_matrix(sf_dir)
-    return knn_ivf(ds, "vec_id", "embedding", q, qids, k=TOP_K)
+    cent_df = (
+        ds.sort("vec_id").limit(N_CELLS).to_pandas()
+    )
+    cent = np.stack(cent_df["embedding"].to_numpy()).astype(np.float64)
+    out = knn_ivf(
+        ds, "vec_id", "embedding", q, qids, k=TOP_K,
+        n_clusters=N_CELLS, nprobe=N_PROBE, centroids=cent,
+    )
+    return pa.table(
+        {
+            "query_id": out["query_id"],
+            "neighbor_id": out["neighbor_id"],
+            "cos_sim": pc.round(out["cos_sim"], 9),
+        }
+    ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
 
 
 def embed_dup_pairs_q(sf_dir: str) -> pa.Table:

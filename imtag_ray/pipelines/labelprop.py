@@ -44,8 +44,24 @@ def label_propagation(
     """
     vocab = sorted(set(seeds.values()))
     code = {s: i for i, s in enumerate(vocab)}
-    urls = graph.urls_array()
-    url_to_vid = {str(u): i for i, u in enumerate(urls)}
+
+    # Resolve seed urls → vids with a filtered vertex scan (the seed set
+    # is tiny; never build a driver dict of ALL urls).
+    seed_set = pa.array(sorted(seeds.keys()), type=pa.string())
+
+    def find_seeds(t: pa.Table, _set=seed_set) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["url"], value_set=_set)).select(
+            ["vid", "url"]
+        )
+
+    url_to_vid = {
+        r["url"]: r["vid"]
+        for r in graph.vertices.map_batches(
+            find_seeds, batch_format="pyarrow"
+        ).take_all()
+    }
 
     V = graph.num_vertices
     lab = np.full(V, UNLABELED, dtype=np.int64)
@@ -56,7 +72,27 @@ def label_propagation(
             lab[vid] = code[s]
             is_seed[vid] = True
 
-    edges = graph.edges
+    # Canonicalize to DISTINCT undirected (min,max) pairs before voting:
+    # web link graphs commonly contain both (u,v) and (v,u), and counting
+    # a neighbor's vote once per directed row would double it (diverging
+    # from the documented most-frequent-among-NEIGHBORS semantics and
+    # from label_propagation_reference's set-based adjacency).
+    def canon(t: pa.Table, _V=V) -> pa.Table:
+        src = col_np(t, "src")
+        dst = col_np(t, "dst")
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        key = np.unique(lo.astype(np.int64) * _V + hi)
+        return table_from_arrays(src=key // _V, dst=key % _V)
+
+    edges = (
+        graph.edges.select_columns(["src", "dst"])
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
     L = max(len(vocab), 1)
 
     for _ in range(cfg.max_iterations):
@@ -66,9 +102,11 @@ def label_propagation(
             labels = ray.get(_ref)
             src = col_np(batch, "src")
             dst = col_np(batch, "dst")
-            # undirected: each endpoint votes for the other
-            voters = np.concatenate([labels[src], labels[dst]])
-            targets = np.concatenate([dst, src])
+            # undirected: each endpoint votes for the other; a self-loop
+            # contributes ONE self-vote (set-adjacency semantics)
+            m = src != dst
+            voters = np.concatenate([labels[src], labels[dst[m]]])
+            targets = np.concatenate([dst, src[m]])
             ok = voters != UNLABELED
             key = targets[ok] * _L + voters[ok]  # (vid,label) composite
             uniq, counts = np.unique(key, return_counts=True)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -30,6 +31,7 @@ import pyarrow.parquet as pq
 from .. import __version__
 
 MANIFEST = "_manifest.json"
+_ITER_DIR_RE = re.compile(r"^iter=\d{5}$")
 
 
 def graph_fingerprint(graph) -> str:
@@ -50,6 +52,12 @@ class CheckpointManager:
         self.fingerprint = input_fingerprint
         self.num_partitions = num_partitions
         os.makedirs(self.dir, exist_ok=True)
+        # GC orphaned temp dirs from a crash between part/manifest write
+        # and the atomic rename — they may contain a manifest and must
+        # never be picked up by latest().
+        for name in os.listdir(self.dir):
+            if ".tmp-" in name:
+                shutil.rmtree(os.path.join(self.dir, name), ignore_errors=True)
 
     def _iter_dir(self, iteration: int) -> str:
         return os.path.join(self.dir, f"iter={iteration:05d}")
@@ -130,7 +138,9 @@ class CheckpointManager:
             return None
         best = None
         for name in sorted(os.listdir(self.dir), reverse=True):
-            if not name.startswith("iter="):
+            # full-match iter=NNNNN only: a crashed 'iter=NNNNN.tmp-xxxx'
+            # dir sorts AFTER the real dir and may contain a manifest
+            if not _ITER_DIR_RE.match(name):
                 continue
             mpath = os.path.join(self.dir, name, MANIFEST)
             if not os.path.isfile(mpath):

@@ -156,3 +156,43 @@ def test_permutation_invariance():
     m1 = dict(zip([str(u) for u in c1["url"]], c1["component_id"]))
     m2 = dict(zip([str(u) for u in c2["url"]], c2["component_id"]))
     assert m1 == m2
+
+
+def test_shuffle_long_path_converges_fast():
+    """ADVICE regression: a 40-vertex path must converge well within
+    max_iterations=20 in shuffle mode (pointer jumping makes rounds
+    O(log diameter), not O(diameter)) — previously this silently
+    reported 20 components."""
+    import pyarrow as pa
+
+    n = 40
+    tbl = pa.table(
+        {
+            "src_url": pa.array([f"https://p.example/v{i:03d}" for i in range(n - 1)]),
+            "dst_url": pa.array([f"https://p.example/v{i + 1:03d}" for i in range(n - 1)]),
+        }
+    )
+    g = build_graph(ray.data.from_arrow(tbl))
+    cfg = EngineConfig(num_partitions=4, max_iterations=20)
+    cc = connected_components(g, cfg, mode="shuffle")
+    out = dataset_to_numpy(cc, "component_id")
+    assert set(out["component_id"].tolist()) == {0}
+
+
+def test_shuffle_raises_when_iterations_exhausted():
+    """Exhausting max_iterations without a fixpoint must raise, never
+    silently return wrong labels."""
+    import pyarrow as pa
+    import pytest
+
+    n = 30
+    tbl = pa.table(
+        {
+            "src_url": pa.array([f"https://p.example/v{i:03d}" for i in range(n - 1)]),
+            "dst_url": pa.array([f"https://p.example/v{i + 1:03d}" for i in range(n - 1)]),
+        }
+    )
+    g = build_graph(ray.data.from_arrow(tbl))
+    cfg = EngineConfig(num_partitions=4, max_iterations=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(g, cfg, mode="shuffle")

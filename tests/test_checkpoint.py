@@ -102,3 +102,22 @@ def test_manifest_lineage(ckpt_dir):
     assert m["input_fingerprint"] == graph_fingerprint(g)
     assert "delta_l1" in m["metrics"]
     assert m["n_rows"] == g.num_vertices
+
+
+def test_latest_ignores_orphaned_tmp_dirs(ckpt_dir):
+    """ADVICE regression: a crash between part write and rename leaves
+    'iter=NNNNN.tmp-xxxx' dirs (with a manifest inside); latest() must
+    never resume from one, and manager init garbage-collects them."""
+    mgr = CheckpointManager(ckpt_dir, "cc", "fp", num_partitions=2)
+    mgr.write_arrays(3, {"label": np.arange(10, dtype=np.int64)})
+    # simulate a crashed write for a LATER iteration: tmp dir with manifest
+    tmp = os.path.join(ckpt_dir, "cc", "iter=00004.tmp-deadbeef")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+        json.dump({"iteration": 4, "input_fingerprint": "fp"}, f)
+    m = mgr.latest()
+    assert m is not None and m["iteration"] == 3
+    assert ".tmp-" not in m["path"]
+    # re-init GCs the orphan
+    CheckpointManager(ckpt_dir, "cc", "fp", num_partitions=2)
+    assert not os.path.isdir(tmp)

@@ -7,14 +7,23 @@ import ray.data
 
 from imtag_ray.dedup.exact import dedup_exact, dedup_exact_ids
 from imtag_ray.dedup.minhash import (
-    MinHasher,
-    _exact_jaccard,
-    _token_shingles,
+    _MERSENNE,
+    exact_jaccard,
     minhash_dup_pairs,
+    mulmod61,
+    signature_of_text,
     survivors_from_pairs,
+    token_shingles,
 )
 from imtag_ray.dedup.ngram import ngram_dup_pairs, ngram_jaccard
 from imtag_ray.dedup.simhash import simhash64, simhash_dup_pairs
+
+
+def as_table(x) -> pa.Table:
+    """Pipelines return a Dataset (or a Table) — normalize for asserts."""
+    if isinstance(x, pa.Table):
+        return x
+    return pa.Table.from_pandas(x.to_pandas(), preserve_index=False)
 
 
 def docs_table():
@@ -48,32 +57,51 @@ def test_dedup_exact():
     assert sorted(full["doc_id"]) == [0, 2, 3, 4, 5]
 
 
+def test_mulmod61_exact_vs_python_ints():
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 2**63, size=500, dtype=np.int64).astype(np.uint64)
+    x = x * np.uint64(2) + np.uint64(1)  # exercise the full 64-bit range
+    a = rng.randint(1, _MERSENNE, size=500, dtype=np.int64).astype(np.uint64)
+    got = mulmod61(x, a)
+    exp = np.array(
+        [(int(xx) * int(aa)) % _MERSENNE for xx, aa in zip(x, a)],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(got, exp)
+
+
 def test_minhash_identical_signatures():
-    mh = MinHasher("doc_id", "text")
-    s1 = mh.signature("a b c d e f g h")
-    s2 = mh.signature("a b c d e f g h")
+    s1 = signature_of_text("a b c d e f g h")
+    s2 = signature_of_text("a b c d e f g h")
     assert np.array_equal(s1, s2)
-    s3 = mh.signature("totally different text body")
+    s3 = signature_of_text("totally different text body")
     assert not np.array_equal(s1, s3)
+    assert np.all(signature_of_text("") == _MERSENNE)  # empty sentinel
 
 
 def test_minhash_estimates_jaccard():
-    mh = MinHasher("doc_id", "text", num_perm=256)
     a = "w" + " w".join(str(i) for i in range(100))
     b = "w" + " w".join(str(i) for i in range(80))  # high overlap
-    sa, sb = mh.signature(a), mh.signature(b)
+    sa = signature_of_text(a, num_perm=256)
+    sb = signature_of_text(b, num_perm=256)
     est = (sa == sb).mean()
-    true = _exact_jaccard(_token_shingles(a, 3), _token_shingles(b, 3))
+    true = exact_jaccard(token_shingles(a, 3), token_shingles(b, 3))
     assert abs(est - true) < 0.15
 
 
 def test_minhash_dup_pairs_finds_dups():
     ds = ray.data.from_arrow(docs_table())
-    pairs = minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5)
+    pairs = as_table(
+        minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5, num_partitions=4)
+    )
     found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
     assert (0, 1) in found and (0, 6) in found and (1, 6) in found
     assert (0, 2) in found  # near dup above 0.5
     assert not any(3 in p for p in found)  # unrelated doc clean
+    # verified jaccard values are EXACT set jaccard
+    jac = dict(zip(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()),
+                   pairs["jaccard"].to_pylist()))
+    assert jac[(0, 1)] == 1.0 and jac[(0, 6)] == 1.0
     ids = docs_table()["doc_id"].to_numpy()
     surv = survivors_from_pairs(ids, pairs)
     assert 0 in surv and 1 not in surv and 6 not in surv
@@ -93,7 +121,7 @@ def test_simhash_properties():
 
 def test_simhash_dup_pairs():
     ds = ray.data.from_arrow(docs_table())
-    pairs = simhash_dup_pairs(ds, "doc_id", "text", hamming_k=8)
+    pairs = as_table(simhash_dup_pairs(ds, "doc_id", "text", hamming_k=8))
     found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
     assert (0, 1) in found and (0, 6) in found  # exact dups: distance 0
     hs = dict(
@@ -109,7 +137,9 @@ def test_ngram_jaccard_scalar():
 
 def test_ngram_dup_pairs_within_source():
     ds = ray.data.from_arrow(docs_table())
-    pairs = ngram_dup_pairs(ds, "doc_id", "text", "source", threshold=0.55)
+    pairs = as_table(
+        ngram_dup_pairs(ds, "doc_id", "text", "source", threshold=0.55)
+    )
     found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
     assert (0, 1) in found          # same source exact dup
     assert (0, 6) not in found      # dup but DIFFERENT source (blocking)

@@ -12,7 +12,9 @@ import __ray_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
 
-SQL_ONLY_ROWS = {"minhash_pairs", "simhash_pairs", "ngram_pairs", "embed_knn_ivf"}
+# every queries() entry now has a full DuckDB oracle (round 2 closed
+# the minhash/simhash/ngram/ivf gaps with exact hash-scheme replays)
+SQL_ONLY_ROWS: set = set()
 
 
 @pytest.fixture(scope="module")
@@ -76,7 +78,3 @@ def test_query_matches_oracle(name, con):
     pd.testing.assert_frame_equal(ours, theirs, check_dtype=False)
 
 
-@pytest.mark.parametrize("name", sorted(SQL_ONLY_ROWS))
-def test_rows_only_queries_run(name):
-    out = to_pandas(entrymod.queries()[name](SF))
-    assert out is not None and len(out) >= 0

@@ -65,6 +65,27 @@ def test_labelprop_unreached_vertices_empty():
     assert ours == {"u/a": "x", "u/b": "x", "u/c": "", "u/d": ""}
 
 
+def test_labelprop_reciprocal_edges_not_double_counted():
+    """ADVICE regression: both (u,v) and (v,u) listed (common in web
+    graphs) must count a neighbor's vote ONCE — the advisor's 3-edge
+    counter-example where the engine said 'red' vs oracle 'blue'."""
+    import pyarrow as pa
+
+    # v has neighbors r (edge listed twice, both directions) and b1, b2
+    tbl = pa.table(
+        {
+            "src_url": ["u/v", "u/r", "u/v", "u/v"],
+            "dst_url": ["u/r", "u/v", "u/b1", "u/b2"],
+        }
+    )
+    seeds = {"u/r": "red", "u/b1": "blue", "u/b2": "blue"}
+    ours = engine_lp(tbl, seeds)
+    pairs = list(zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist()))
+    theirs = label_propagation_reference(pairs, seeds)
+    assert ours == theirs
+    assert ours["u/v"] == "blue"  # 2 blue neighbors beat 1 red neighbor
+
+
 def nx_triangles(tbl):
     import networkx as nx
 
