@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn": d.embed_knn_q,
         "embed_knn_ivf": d.embed_knn_ivf_q,
         "embed_dup_pairs": d.embed_dup_pairs_q,
+        "embed_dup_pairs_lsh": d.embed_dup_pairs_lsh_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "top_customers": r.top_customers_by_revenue,
@@ -295,6 +296,49 @@ def _minhash_sql() -> str:
     )
     SELECT id_a, id_b, round(jv, 9) AS jaccard FROM jac
     WHERE jv >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def _lsh_sql() -> str:
+    """Exact SQL replay of hyperplane-LSH near-dup: the seeded Gaussian
+    hyperplanes are inlined as DOUBLE[] literals (repr round-trips to
+    the identical float64), bucket = packed sign bits per table,
+    candidates = bucket equality, verification = exact cosine ≥ 0.35."""
+    from imtag_ray.ann.knn import LSH_BITS, LSH_TABLES, lsh_hyperplanes
+    from imtag_ray.pipelines.dataops import EMB_DIM
+
+    planes = lsh_hyperplanes(EMB_DIM, LSH_TABLES, LSH_BITS)
+    rows = []
+    for t in range(LSH_TABLES):
+        for b in range(LSH_BITS):
+            vec = ", ".join(repr(float(x)) for x in planes[t * LSH_BITS + b])
+            rows.append(f"({t}, {b}, [{vec}])")
+    vals = ",\n        ".join(rows)
+    return f"""
+    WITH planes(tbl, bit, pv) AS (VALUES
+        {vals}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    buck AS (
+      SELECT e.vec_id, p.tbl,
+             sum(CASE WHEN list_cosine_similarity(e.v, p.pv) > 0
+                 THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END) AS bucket
+      FROM e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buck a JOIN buck b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+      SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS s
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, round(s, 9) AS cos_sim FROM sims
+    WHERE s >= 0.35 ORDER BY id_a, id_b
 """
 
 
@@ -588,4 +632,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_SQL,
         "minhash_pairs": _minhash_sql(),
         "embed_knn_ivf": _IVF_SQL,
+        "embed_dup_pairs_lsh": _lsh_sql(),
     }

@@ -176,47 +176,197 @@ def knn_ivf(
     return _topk_merge(got["query_id"], got["neighbor_id"], got["cos_sim"], k)
 
 
+def _emb_list_column(mat: np.ndarray) -> pa.LargeListArray:
+    """(n, dim) float64 → large_list<double> column (flat-buffer, no
+    per-row Python lists)."""
+    n, dim = mat.shape
+    offsets = pa.array(
+        np.arange(0, (n + 1) * dim, dim, dtype=np.int64), pa.int64()
+    )
+    return pa.LargeListArray.from_arrays(
+        offsets, pa.array(mat.reshape(-1), type=pa.float64())
+    )
+
+
+def _list_col_matrix(t: pa.Table, name: str) -> np.ndarray:
+    col = t.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1)
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset", id_col: str, emb_col: str,
-    threshold: float = 0.95,
-) -> pa.Table:
-    """→ (id_a, id_b, cos_sim) all pairs with cosine ≥ threshold.
-    Exact: every batch is compared against the full (broadcast)
-    normalized matrix — fine while V×dim fits a worker; the scale path
-    is hyperplane-LSH bucketing + within-bucket exact check."""
-    full = dataset_to_numpy(ds.select_columns([id_col]), id_col)
-    all_ids = full[id_col]
-    mats = []
-    for b in ds.select_columns([id_col, emb_col]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        mats.append((col_np(b, id_col), _normalize(_emb_matrix(b, emb_col))))
-    ids_cat = np.concatenate([m[0] for m in mats])
-    mat_cat = np.concatenate([m[1] for m in mats])
-    order = np.argsort(ids_cat)
-    ids_cat, mat_cat = ids_cat[order], mat_cat[order]
-    ref = ray.put((ids_cat, mat_cat))
+    threshold: float = 0.95, block_size: int = 4096,
+) -> "ray.data.Dataset":
+    """→ Dataset (id_a, id_b, cos_sim), EXACT all pairs with cosine ≥
+    threshold, sorted by (id_a, id_b).
 
-    def step(batch: pa.Table, _ref=ref, _t=threshold) -> pa.Table:
-        aids, amat = ray.get(_ref)
-        ids = col_np(batch, id_col)
+    Distributed block-nested-loop (the VERDICT fix — no driver-side
+    matrix): rows are hash-assigned to ⌈N/block_size⌉ blocks, each row
+    is replicated once per block-PAIR it participates in, a single
+    groupby co-locates every block pair, and the per-group kernel is
+    one (|A|,|B|) matmul. O(N²/B²) groups × O(B²) compute = the
+    unavoidable exact cost, with O(N·nblocks) exchange and O(1) driver
+    state. For sub-quadratic scale use embedding_dup_pairs_lsh."""
+    N = ds.count()
+    nblocks = max(1, -(-N // block_size))
+
+    def explode(batch: pa.Table, _nb=nblocks, _t=threshold) -> pa.Table:
+        ids = col_np(batch, id_col).astype(np.int64)
         m = _normalize(_emb_matrix(batch, emb_col))
-        sims = m @ amat.T
-        rows, cols = np.nonzero(sims >= _t)
-        a = ids[rows]
-        b = aids[cols]
-        keep = a < b  # dedup + drop self
-        return table_from_arrays(
-            id_a=a[keep], id_b=b[keep], cos_sim=sims[rows, cols][keep]
+        blk = (ids % _nb).astype(np.int64)
+        # one copy of each row per block pair {blk, other}
+        others = np.arange(_nb, dtype=np.int64)
+        rep_ids = np.repeat(ids, _nb)
+        rep_blk = np.repeat(blk, _nb)
+        rep_other = np.tile(others, len(ids))
+        lo = np.minimum(rep_blk, rep_other)
+        hi = np.maximum(rep_blk, rep_other)
+        pk = lo * _nb + hi
+        rep_m = np.repeat(m, _nb, axis=0)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "my_blk": pa.array(rep_blk, pa.int64()),
+                "vid": pa.array(rep_ids, pa.int64()),
+                "emb": _emb_list_column(rep_m),
+            }
         )
 
-    pair_ds = ds.select_columns([id_col, emb_col]).map_batches(
-        step, batch_format="pyarrow"
+    def pair_block(group: pa.Table, _nb=nblocks, _t=threshold) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        pk = int(group.column("pk")[0].as_py())
+        i, j = pk // _nb, pk % _nb
+        ids = col_np(group, "vid")
+        blk = col_np(group, "my_blk")
+        m = _list_col_matrix(group, "emb")
+        if i == j:
+            # each row appears once; within-block pairs
+            sims = m @ m.T
+            rows, cols = np.nonzero(sims >= _t)
+            keep = ids[rows] < ids[cols]
+        else:
+            a_sel = blk == i
+            sims_ab = m[a_sel] @ m[~a_sel].T
+            ra, cb = np.nonzero(sims_ab >= _t)
+            ids_a, ids_b = ids[a_sel][ra], ids[~a_sel][cb]
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+            return table_from_arrays(
+                id_a=lo, id_b=hi, cos_sim=sims_ab[ra, cb]
+            )
+        return table_from_arrays(
+            id_a=ids[rows][keep], id_b=ids[cols][keep],
+            cos_sim=sims[rows, cols][keep],
+        )
+
+    return _with_pair_schema(
+        ds.select_columns([id_col, emb_col])
+        .map_batches(explode, batch_format="pyarrow", batch_size=1024)
+        .groupby("pk")
+        .map_groups(pair_block, batch_format="pyarrow")
+        .sort(["id_a", "id_b"])
     )
-    got = dataset_to_numpy(pair_ds, "id_a", "id_b", "cos_sim")
-    order = np.lexsort((got["id_b"], got["id_a"]))
-    return pa.table(
-        {"id_a": pa.array(got["id_a"][order], pa.int64()),
-         "id_b": pa.array(got["id_b"][order], pa.int64()),
-         "cos_sim": pa.array(got["cos_sim"][order], pa.float64())}
+
+
+# --- hyperplane-LSH near-dup (sub-quadratic scale path) --------------------
+
+LSH_TABLES = 6
+LSH_BITS = 8
+LSH_SEED = 100
+
+_PAIR_SCHEMA_TBL = pa.table(
+    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+     "cos_sim": pa.array([], pa.float64())}
+)
+
+
+def _with_pair_schema(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """An all-empty groupby/sort chain can lose its schema entirely
+    (zero blocks); pin the canonical (id_a, id_b, cos_sim) schema."""
+    if ds.count() == 0:
+        return ray.data.from_arrow(_PAIR_SCHEMA_TBL)
+    return ds
+
+
+def lsh_hyperplanes(
+    dim: int, tables: int = LSH_TABLES, bits: int = LSH_BITS,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """(tables*bits, dim) seeded Gaussian hyperplanes — the same
+    literals are inlined into the DuckDB oracle, so bucket assignment
+    is exactly replayable."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(0.0, 1.0, size=(tables * bits, dim))
+
+
+def embedding_dup_pairs_lsh(
+    ds: "ray.data.Dataset", id_col: str, emb_col: str, dim: int,
+    threshold: float = 0.8, tables: int = LSH_TABLES, bits: int = LSH_BITS,
+    seed: int = LSH_SEED,
+) -> "ray.data.Dataset":
+    """→ Dataset (id_a, id_b, cos_sim): pairs sharing a hyperplane-LSH
+    bucket in ANY of ``tables`` tables whose exact cosine ≥ threshold,
+    sorted by (id_a, id_b). Sign-bit bucketing turns the all-pairs scan
+    sub-quadratic; verification is exact within buckets, so candidate
+    semantics (and the DuckDB oracle) are fully deterministic."""
+    from ray.data.aggregate import Min
+
+    planes = lsh_hyperplanes(dim, tables, bits, seed)
+
+    def bucketize(batch: pa.Table, _p=planes, _tb=tables, _b=bits) -> pa.Table:
+        ids = col_np(batch, id_col).astype(np.int64)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        signs = (m @ _p.T) > 0  # (n, tables*bits)
+        weights = (1 << np.arange(_b, dtype=np.int64))
+        packed = (
+            signs.reshape(len(ids), _tb, _b).astype(np.int64) * weights
+        ).sum(axis=2)  # (n, tables)
+        return pa.table(
+            {
+                "tbl": pa.array(
+                    np.tile(np.arange(_tb, dtype=np.int32), len(ids)),
+                    pa.int32(),
+                ),
+                "bucket": pa.array(packed.reshape(-1), pa.int64()),
+                "vid": pa.array(np.repeat(ids, _tb), pa.int64()),
+                "emb": _emb_list_column(np.repeat(m, _tb, axis=0)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table, _t=threshold) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        ids = col_np(group, "vid")
+        m = _list_col_matrix(group, "emb")
+        sims = m @ m.T
+        rows, cols = np.nonzero(sims >= _t)
+        keep = ids[rows] < ids[cols]
+        return table_from_arrays(
+            id_a=ids[rows][keep], id_b=ids[cols][keep],
+            cos_sim=sims[rows, cols][keep],
+        )
+
+    pair_ds = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(bucketize, batch_format="pyarrow", batch_size=2048)
+        .groupby(["tbl", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # a pair can collide in several tables → distributed dedup
+    return _with_pair_schema(
+        pair_ds.groupby(["id_a", "id_b"])
+        .aggregate(Min("cos_sim", alias_name="cos_sim"))
+        .sort(["id_a", "id_b"])
     )

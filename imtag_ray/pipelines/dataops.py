@@ -173,20 +173,30 @@ def embed_knn_ivf_q(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
 
 
-def embed_dup_pairs_q(sf_dir: str) -> pa.Table:
+def embed_dup_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.compute as _pc
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         lambda t: t.filter(_pc.less(t["vec_id"], 1000)),  # bound O(n²) oracle
         batch_format="pyarrow",
     )
-    out = embedding_dup_pairs(ds, "vec_id", "embedding", threshold=0.35)
-    import pyarrow.compute as pc
-
-    return pa.table(
-        {
-            "id_a": out["id_a"],
-            "id_b": out["id_b"],
-            "cos_sim": pc.round(out["cos_sim"], 9),
-        }
+    out = embedding_dup_pairs(
+        ds, "vec_id", "embedding", threshold=0.35, block_size=256
     )
+    return _round_col(out, "cos_sim")
+
+
+EMB_DIM = 64
+
+
+def embed_dup_pairs_lsh_q(sf_dir: str) -> "ray.data.Dataset":
+    """Hyperplane-LSH near-dup (sub-quadratic scale path): pairs sharing
+    any LSH bucket with exact cosine ≥ 0.35; the DuckDB oracle replays
+    the same seeded hyperplanes, so this is exactly checkable."""
+    from ..ann.knn import embedding_dup_pairs_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_dup_pairs_lsh(
+        ds, "vec_id", "embedding", dim=EMB_DIM, threshold=0.35
+    )
+    return _round_col(out, "cos_sim")

@@ -132,11 +132,16 @@ def doc_url(doc_id: int) -> str:
     return f"https://docs.example/d{doc_id}"
 
 
-def pages_from_documents(doc_ids, texts) -> pa.Table:
+def pages_from_documents(doc_ids, texts, n_total: int | None = None) -> pa.Table:
     """Wrap each document as an HTML page whose anchors follow
-    ``doc_link_targets``; ``text`` golden = pinned extractor output."""
+    ``doc_link_targets``; ``text`` golden = pinned extractor output.
+
+    ``n_total`` is the corpus-wide document count for the link formula —
+    pass it when synthesizing a BATCH of a larger corpus (the
+    distributed path: map_batches over the documents Dataset with the
+    count broadcast); defaults to len(doc_ids) for whole-corpus calls."""
     doc_ids = list(doc_ids)
-    n = len(doc_ids)
+    n = n_total if n_total is not None else len(doc_ids)
     urls = [doc_url(d) for d in doc_ids]
     html_col = []
     text_col = []
@@ -156,7 +161,7 @@ def pages_from_documents(doc_ids, texts) -> pa.Table:
             "warc_ts": pa.array(ts).cast(pa.timestamp("ms")),
             "html": pa.array(html_col, type=pa.binary()),
             "text": pa.array(text_col, type=pa.large_string()),
-            "lang": pa.array(["en"] * n),
+            "lang": pa.array(["en"] * len(doc_ids)),
         }
     )
 

@@ -53,6 +53,13 @@ def build_csr_blocks(
             {"part": pa.array(part), "src": t["src"], "dst": t["dst"]}
         )
 
+    def _one_row_list(arr: np.ndarray) -> pa.LargeListArray:
+        # zero-copy single-row large_list wrapping the numpy buffer
+        return pa.LargeListArray.from_arrays(
+            pa.array([0, len(arr)], pa.int64()),
+            pa.array(arr.astype(np.int64, copy=False)),
+        )
+
     def to_csr(group: pa.Table) -> pa.Table:
         src = col_np(group, "src")
         dst = col_np(group, "dst")
@@ -64,9 +71,9 @@ def build_csr_blocks(
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),
-                "src_ids": pa.array([src_ids.tolist()], pa.large_list(pa.int64())),
-                "indptr": pa.array([indptr.tolist()], pa.large_list(pa.int64())),
-                "indices": pa.array([dst.tolist()], pa.large_list(pa.int64())),
+                "src_ids": _one_row_list(src_ids),
+                "indptr": _one_row_list(indptr),
+                "indices": _one_row_list(dst),
             }
         )
 
@@ -79,11 +86,24 @@ def build_csr_blocks(
     )
 
 
+def _list_row_np(row_tbl: pa.Table, name: str) -> np.ndarray:
+    """Zero-copy numpy view of a single-row list column: read the flat
+    values buffer through the list offsets — never ``.as_py()`` (which
+    boxed millions of ints per block per iteration, VERDICT #6)."""
+    col = row_tbl.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    values = col.values.to_numpy(zero_copy_only=False)
+    return values[offsets[0] : offsets[-1]]
+
+
 def _csr_arrays(row_tbl: pa.Table):
-    src_ids = np.asarray(row_tbl.column("src_ids")[0].as_py(), dtype=np.int64)
-    indptr = np.asarray(row_tbl.column("indptr")[0].as_py(), dtype=np.int64)
-    indices = np.asarray(row_tbl.column("indices")[0].as_py(), dtype=np.int64)
-    return src_ids, indptr, indices
+    return (
+        _list_row_np(row_tbl, "src_ids"),
+        _list_row_np(row_tbl, "indptr"),
+        _list_row_np(row_tbl, "indices"),
+    )
 
 
 def pagerank_csr(

@@ -108,7 +108,12 @@ def make_url_mapper(vocab_ref, cols=(("src_url", "src"), ("dst_url", "dst"))):
         idx = _vocab_index(vocab_ref)
         out = {}
         for in_col, out_col in cols:
-            vals = idx.get_indexer(batch.column(in_col).to_pylist())
+            col = batch.column(in_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # Arrow string array → object ndarray directly (no to_pylist
+            # round-trip); get_indexer is a vectorized hash lookup
+            vals = idx.get_indexer(col.to_numpy(zero_copy_only=False))
             if len(vals) and vals.min() < 0:
                 raise KeyError(f"url missing from vocabulary in {in_col}")
             out[out_col] = vals.astype(np.int64)

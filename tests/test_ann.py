@@ -93,10 +93,49 @@ def test_ivf_recall():
 def test_embedding_dup_pairs():
     tbl, X = emb_table()
     ds = ray.data.from_arrow(tbl).repartition(3)
-    pairs = embedding_dup_pairs(ds, "vec_id", "embedding", threshold=0.9999)
-    found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    pairs = embedding_dup_pairs(
+        ds, "vec_id", "embedding", threshold=0.9999, block_size=64
+    ).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (3, 7) in found   # planted exact duplicate
     assert (5, 11) in found  # planted near duplicate
     # ordering canonical and no self-pairs
     for a, b in found:
         assert a < b
+
+
+def test_embedding_dup_pairs_block_count_invariance():
+    """Block-nested-loop partitioning must not change the result."""
+    tbl, X = emb_table(n=200)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    a = embedding_dup_pairs(
+        ds, "vec_id", "embedding", threshold=0.9, block_size=32
+    ).to_pandas()
+    b = embedding_dup_pairs(
+        ds, "vec_id", "embedding", threshold=0.9, block_size=1000
+    ).to_pandas()
+    assert list(zip(a["id_a"], a["id_b"])) == list(zip(b["id_a"], b["id_b"]))
+    assert np.allclose(a["cos_sim"], b["cos_sim"], atol=1e-12)
+
+
+def test_embedding_dup_pairs_lsh_subset_of_exact():
+    """LSH pairs = exact pairs ∩ bucket collisions: every emitted pair
+    must appear in the exact all-pairs output with the same cosine, and
+    planted duplicates (cos ≈ 1) must survive bucketing (identical
+    vectors share every bucket)."""
+    from imtag_ray.ann.knn import embedding_dup_pairs_lsh
+
+    tbl, X = emb_table()
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    exact = embedding_dup_pairs(
+        ds, "vec_id", "embedding", threshold=0.95, block_size=64
+    ).to_pandas()
+    lsh = embedding_dup_pairs_lsh(
+        ds, "vec_id", "embedding", dim=16, threshold=0.95
+    ).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_pairs <= exact_pairs
+    assert (3, 7) in lsh_pairs   # identical vectors always collide
+    assert (5, 11) in lsh_pairs  # near-identical: sign flips need a
+    # hyperplane within 1e-4 of the vector — none at seed 100
