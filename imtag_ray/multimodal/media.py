@@ -1,12 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata (driver brief).
 
-The decode kernels themselves are STUBBED (image/audio libraries are
-not available in this container): ``decode=None`` uses a deterministic
-fake decoder so the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested; passing a real decode
-callable (e.g. PIL/torchaudio based) makes the same stages production
-kernels. ``decode="raise"`` exercises the NotImplementedError path.
+Image decode is REAL: a pure-numpy codec layer handles BMP (24/32-bit
+uncompressed), PPM (P6) and PNG (sources.png) with byte-sniffing
+dispatch — no external imaging library needed. Formats outside that
+set raise NotImplementedError (inject ``decode=callable`` to plug in
+PIL etc.). Video frame EXTRACTION stays a documented deterministic
+stub (no codec is implementable in pure numpy); the Ray-side plumbing
+(schema, small-batch sizing, actor state) is identical either way.
 
 Batch-size guidance (ray_guide 'Memory-aware'): large binary payloads
 need SMALL batch_size so batch × concurrency fits the worker heap —
@@ -16,10 +17,111 @@ these stages default to 32 rows/batch.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy image codecs (BMP / PPM / PNG)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BITMAPINFOHEADER BMP → (H, W, 3) uint8."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if bpp not in (24, 32) or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    flip = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    img = rows[:, : w * nch].reshape(h, w, nch)
+    if flip:
+        img = img[::-1]
+    return img[:, :, [2, 1, 0]].copy()  # BGR(A) → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → 24-bit bottom-up BMP bytes (test vector
+    generator; also the write path for Image::write parity)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    data = np.zeros((h, stride), dtype=np.uint8)
+    data[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    body = data.tobytes()
+    header = b"BM" + struct.pack(
+        "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → (H, W, 3) uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255")
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * 3, offset=pos
+    ).reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff + decode → (H, W, 3) uint8. Supported: BMP, PPM(P6), PNG."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..sources.png import read_png_bytes
+
+        img = read_png_bytes(payload)
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        return img[:, :, :3]
+    raise NotImplementedError(
+        "unsupported image format (BMP/PPM/PNG are decoded pure-numpy; "
+        "inject decode=callable for other codecs)"
+    )
+
+
+def resize_nearest(img: np.ndarray, out_hw: tuple) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps (vectorized)."""
+    oh, ow = out_hw
+    h, w = img.shape[:2]
+    ri = (np.arange(oh) * h // oh).clip(0, h - 1)
+    ci = (np.arange(ow) * w // ow).clip(0, w - 1)
+    return img[ri[:, None], ci[None, :]]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -45,21 +147,25 @@ def _fake_decode_image(payload: bytes, out_hw=(8, 8)) -> np.ndarray:
 class ImageFeatures:
     """Actor-pool stage: media batch → (media_id, feature: list<float>).
 
-    __init__ loads the decoder/model ONCE per actor (the stateful-stage
-    pattern, SURVEY.md §7.2). With decode=None a deterministic fake
-    decoder keeps the plumbing testable in this container.
+    __init__ fixes the decoder ONCE per actor (the stateful-stage
+    pattern, SURVEY.md §7.2). decode=None → the REAL pure-numpy codec
+    layer (BMP/PPM/PNG); decode="fake" → deterministic md5-seeded
+    stand-in (for opaque synthetic payloads); decode="raise" →
+    NotImplementedError path; any callable → custom codec (PIL etc.).
+    Decoded frames are nearest-neighbor resized to ``resize_hw`` before
+    feature pooling, so output width is payload-independent.
     """
 
     def __init__(self, decode=None, resize_hw=(8, 8)):
         if decode == "raise":
             def decode(_payload):  # pragma: no cover - explicit stub
                 raise NotImplementedError(
-                    "real image decoding requires an image library not "
-                    "present in this container; inject decode=callable"
+                    "decode explicitly disabled; inject decode=callable"
                 )
-        self._decode = decode or (
-            lambda payload: _fake_decode_image(payload, resize_hw)
-        )
+        elif decode == "fake":
+            def decode(payload, _hw=resize_hw):
+                return _fake_decode_image(payload, _hw)
+        self._decode = decode or decode_image
         self.resize_hw = resize_hw
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -67,7 +173,7 @@ class ImageFeatures:
         payloads = batch.column("payload").to_pylist()
         feats = []
         for p in payloads:
-            img = self._decode(p or b"")
+            img = resize_nearest(self._decode(p or b""), self.resize_hw)
             # mean-pool per channel + downsampled grayscale → fixed vector
             f = np.concatenate(
                 [img.mean(axis=(0, 1)) / 255.0, img.mean(axis=2).ravel() / 255.0]
@@ -141,11 +247,24 @@ def sample_frames(
 
 
 def synth_media(n: int, seed: int = 100) -> pa.Table:
-    """Deterministic synthetic media table matching MEDIA_SCHEMA."""
+    """Deterministic synthetic media table matching MEDIA_SCHEMA.
+    Image payloads are REAL encoded images (BMP/PPM alternating) so the
+    default decode path exercises actual bytes→pixels work; audio/video
+    payloads stay opaque bytes (their decoders are injected/stubbed)."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
-    payloads = [rng.bytes(rng.randint(64, 512)) for _ in range(n)]
-    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+    widths = rng.randint(4, 33, n)
+    heights = rng.randint(4, 33, n)
+    payloads = []
+    for i, k in enumerate(kinds):
+        if k == "image":
+            img = rng.randint(0, 256, size=(heights[i], widths[i], 3), dtype=np.uint8)
+            payloads.append(
+                encode_bmp(img) if i % 2 == 0 else encode_ppm(img)
+            )
+        else:
+            payloads.append(rng.bytes(int(rng.randint(64, 512))))
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -153,10 +272,10 @@ def synth_media(n: int, seed: int = 100) -> pa.Table:
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array([mimes[str(k)] for k in kinds]),
             "width": pa.array(
-                np.where(kinds == "image", rng.randint(16, 512, n), -1), pa.int32()
+                np.where(kinds == "image", widths, -1), pa.int32()
             ),
             "height": pa.array(
-                np.where(kinds == "image", rng.randint(16, 512, n), -1), pa.int32()
+                np.where(kinds == "image", heights, -1), pa.int32()
             ),
             "duration_ms": pa.array(
                 np.where(kinds != "image", rng.randint(0, 8000, n), -1), pa.int32()

@@ -102,7 +102,9 @@ def _pr_broadcast(
     return ranks
 
 
-def _pr_shuffle(graph: Graph, cfg: EngineConfig, on_iter=None) -> "ray.data.Dataset":
+def _pr_shuffle(
+    graph: Graph, cfg: EngineConfig, on_iter=None, ckpt=None
+) -> "ray.data.Dataset":
     P = cfg.num_partitions
     V = graph.num_vertices
     d = cfg.pagerank_damping
@@ -124,9 +126,17 @@ def _pr_shuffle(graph: Graph, cfg: EngineConfig, on_iter=None) -> "ray.data.Data
         .map_batches(init_state, batch_format="pyarrow")
         .materialize()
     )
+    start_iter = 0
+    if ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            state = ray.data.read_parquet(
+                m["path"], columns=["vid", "rank", "outdeg"]
+            ).materialize()
+            start_iter = m["iteration"] + 1
     edges = graph.edges.select_columns(["src", "dst"])
 
-    for it in range(cfg.max_iterations):
+    for it in range(start_iter, cfg.max_iterations):
         # dangling mass: small aggregate over the state table
         def dang(batch: pa.Table) -> pa.Table:
             r = col_np(batch, "rank")
@@ -189,6 +199,10 @@ def _pr_shuffle(graph: Graph, cfg: EngineConfig, on_iter=None) -> "ray.data.Data
         joined = joined.materialize()
         delta = float(joined.aggregate(Sum("delta", alias_name="s"))["s"])
         state = joined.drop_columns(["delta"]).materialize()
+        if ckpt is not None and cfg.checkpoint_every and (
+            (it + 1) % cfg.checkpoint_every == 0
+        ):
+            ckpt.write_dataset(it, state, metrics={"delta_l1": delta})
         if on_iter is not None:
             on_iter(it, state, delta)
         if delta < V * cfg.pagerank_tol:
@@ -317,7 +331,7 @@ def pagerank(
     elif mode == "blocks":
         ranks = _pr_blocks(graph, cfg, on_iter=on_iter, ckpt=ckpt)
     elif mode == "shuffle":
-        state = _pr_shuffle(graph, cfg, on_iter=on_iter)
+        state = _pr_shuffle(graph, cfg, on_iter=on_iter, ckpt=ckpt)
         res = dataset_to_numpy(state, "vid", "rank")
         ranks = np.empty(graph.num_vertices, dtype=np.float64)
         ranks[res["vid"]] = res["rank"]

@@ -121,3 +121,63 @@ def test_latest_ignores_orphaned_tmp_dirs(ckpt_dir):
     # re-init GCs the orphan
     CheckpointManager(ckpt_dir, "cc", "fp", num_partitions=2)
     assert not os.path.isdir(tmp)
+
+
+def test_pagerank_shuffle_resume_equivalent(ckpt_dir):
+    """VERDICT #10: the Dataset-state (shuffle) path — the declared
+    10^12-vertex path — must checkpoint and resume to the same result.
+    Equality is allclose-tight rather than bit-exact: resuming re-reads
+    state from parquet with different block boundaries, which reorders
+    the float summation inside the per-key aggregates (the same
+    last-ulp variation any block-order change produces)."""
+    tbl = named_graph_edges("gnp")
+    g = build_graph(ray.data.from_arrow(tbl))
+
+    cfg_full = EngineConfig(num_partitions=4, max_iterations=4, pagerank_tol=0)
+    full = ranks_of(pagerank(g, cfg_full, mode="shuffle"))
+
+    cfg_half = EngineConfig(
+        num_partitions=4, max_iterations=2, pagerank_tol=0,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    pagerank(g, cfg_half, mode="shuffle")
+    assert sorted(os.listdir(os.path.join(ckpt_dir, "pagerank"))) == [
+        "iter=00000", "iter=00001",
+    ]
+    cfg_resume = EngineConfig(
+        num_partitions=4, max_iterations=4, pagerank_tol=0,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    resumed = ranks_of(pagerank(g, cfg_resume, mode="shuffle"))
+    assert np.allclose(full, resumed, rtol=0, atol=1e-14)
+    assert resumed.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cc_shuffle_resume_same_labels(ckpt_dir):
+    """Shuffle-mode CC resumes from a mid-run label table and reaches
+    the same fixpoint as an uninterrupted run."""
+    tbl = named_graph_edges("barbell")
+    g = build_graph(ray.data.from_arrow(tbl))
+
+    cfg_plain = EngineConfig(num_partitions=4, max_iterations=20)
+    cc_full = dataset_to_numpy(
+        connected_components(g, cfg_plain, mode="shuffle").sort("vid"),
+        "component_id",
+    )["component_id"]
+
+    cfg_ck = EngineConfig(
+        num_partitions=4, max_iterations=20,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    cc1 = dataset_to_numpy(
+        connected_components(g, cfg_ck, mode="shuffle").sort("vid"),
+        "component_id",
+    )["component_id"]
+    assert os.path.isdir(os.path.join(ckpt_dir, "cc"))
+    # second run resumes from the converged checkpoint
+    cc2 = dataset_to_numpy(
+        connected_components(g, cfg_ck, mode="shuffle").sort("vid"),
+        "component_id",
+    )["component_id"]
+    assert np.array_equal(cc_full, cc1)
+    assert np.array_equal(cc1, cc2)

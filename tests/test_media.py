@@ -1,4 +1,5 @@
-"""Multimodal plumbing: schemas, actor stages, stubbed decode paths."""
+"""Multimodal stages: REAL pure-numpy image decode (BMP/PPM/PNG),
+resize, feature pooling; frame-sampler plumbing; stub paths."""
 
 import numpy as np
 import pyarrow as pa
@@ -9,7 +10,13 @@ from imtag_ray.multimodal.media import (
     MEDIA_SCHEMA,
     FrameSampler,
     ImageFeatures,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
     image_features,
+    resize_nearest,
     sample_frames,
     synth_media,
 )
@@ -22,19 +29,70 @@ def test_synth_media_schema():
     assert synth_media(50).equals(tbl)
 
 
-def test_image_features_pipeline():
+def test_bmp_round_trip_exact():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)  # odd stride
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_ppm_round_trip_exact():
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, size=(5, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_decode_image_sniffs_and_png_path():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[1, 2] = [10, 200, 30]
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00unknown-format-bytes")
+
+
+def test_resize_nearest_known_values():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    up = resize_nearest(img, (2, 2))
+    assert np.array_equal(up[:, :, 0], np.array([[0, 2], [8, 10]]))
+
+
+def test_image_features_real_decode_known_pixels():
+    """A constant-color image must pool to exactly that color."""
+    img = np.full((6, 6, 3), 128, dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_bmp(img)], pa.binary()),
+        }
+    )
+    feat = ImageFeatures()(tbl)
+    vec = np.array(feat["feature"][0].as_py())
+    assert np.allclose(vec, 128.0 / 255.0)
+
+
+def test_image_features_pipeline_real_decoders():
     tbl = synth_media(40)
-    ds = ray.data.from_arrow(tbl).repartition(2)
+    images = tbl.filter(pa.compute.equal(tbl["kind"], "image"))
+    n_img = images.num_rows
+    assert n_img > 0
+    ds = ray.data.from_arrow(images).repartition(2)
     feats = image_features(ds, concurrency=2, batch_size=16)
     out = feats.take_all()
-    assert len(out) == 40
+    assert len(out) == n_img
     dim = len(out[0]["feature"])
     assert all(len(r["feature"]) == dim for r in out)
-    # fake decoder is deterministic → rerun identical
-    out2 = image_features(ray.data.from_arrow(tbl), concurrency=2).take_all()
+    # real decoders are deterministic → rerun identical
+    out2 = image_features(ray.data.from_arrow(images), concurrency=2).take_all()
     m1 = {r["media_id"]: list(r["feature"]) for r in out}
     m2 = {r["media_id"]: list(r["feature"]) for r in out2}
     assert m1 == m2
+
+
+def test_image_features_fake_decoder_for_opaque_payloads():
+    tbl = synth_media(30)
+    ds = ray.data.from_arrow(tbl)
+    out = image_features(ds, concurrency=2, decode="fake").take_all()
+    assert len(out) == 30
 
 
 def test_frame_sampler_flatmap_shape():
