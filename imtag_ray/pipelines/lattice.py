@@ -190,25 +190,70 @@ def component_stats(cc: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow").sort("component_id")
 
 
-def hole_adjacencies(
-    img: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
-) -> np.ndarray:
-    """Bipartite land×hole adjacency matrix under CROSS connectivity
-    (lands labeled on img, holes on ~img; adjacency = any 4-neighbor
-    pixel pair spanning the two sets). Returns a bool matrix
-    [n_lands × n_holes] matching the worked example at
-    src/morphology.cpp:234-263."""
+def _label_images(img: np.ndarray, cfg: EngineConfig):
     lands = dataset_to_numpy(lattice_cc(img, "cross", cfg), "row", "col", "component_id")
     holes = dataset_to_numpy(lattice_cc(~img, "cross", cfg), "row", "col", "component_id")
-
     R, C = img.shape
     land_lab = np.full((R, C), -1, dtype=np.int64)
     land_lab[lands["row"], lands["col"]] = lands["component_id"]
     hole_lab = np.full((R, C), -1, dtype=np.int64)
     hole_lab[holes["row"], holes["col"]] = holes["component_id"]
-
     n_l = int(lands["component_id"].max()) + 1 if len(lands["component_id"]) else 0
     n_h = int(holes["component_id"].max()) + 1 if len(holes["component_id"]) else 0
+    return land_lab, hole_lab, n_l, n_h
+
+
+def _row_runs(lab_row: np.ndarray):
+    """Run starts + labels of foreground (label ≥ 0) runs in one row —
+    the engine analogue of a segments_by_row scanline."""
+    fg = lab_row >= 0
+    if not fg.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d = np.diff(fg.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    if fg[0]:
+        starts = np.concatenate([[0], starts])
+    return starts, lab_row[starts]
+
+
+def hole_adjacencies(
+    img: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
+) -> np.ndarray:
+    """STRICT replica of the reference's hole_adjacencies
+    (src/morphology.cpp:264-312): per scanline, land run i is paired
+    with water run i (runs interleave by construction of invert), plus
+    the one-offset pairing picked by which side's first run starts
+    earlier. The reference NEVER records vertical-only adjacencies (a
+    land row directly above a hole row with no shared-row contact) —
+    neither does this; see hole_adjacencies_full for the full
+    4-neighbor generalization. Matrix matches the worked example at
+    src/morphology.cpp:234-263 ([[1,0],[1,1],[1,0]])."""
+    land_lab, hole_lab, n_l, n_h = _label_images(img, cfg)
+    adj = np.zeros((n_l, n_h), dtype=bool)
+    for r in range(img.shape[0]):
+        ls, ll = _row_runs(land_lab[r])
+        ws, wl = _row_runs(hole_lab[r])
+        n = min(len(ls), len(ws))
+        if n == 0:
+            continue
+        adj[ll[:n], wl[:n]] = True
+        if n > 1:
+            if ls[0] > ws[0]:
+                adj[ll[: n - 1], wl[1:n]] = True
+            else:
+                adj[ll[1:n], wl[: n - 1]] = True
+    return adj
+
+
+def hole_adjacencies_full(
+    img: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG
+) -> np.ndarray:
+    """Full 4-neighbor bipartite land×hole adjacency — the intended-
+    semantics GENERALIZATION of the reference's row-pairing heuristic
+    (which misses vertical-only contacts): adjacency = ANY 4-neighbor
+    pixel pair spanning the two sets. Superset of hole_adjacencies."""
+    land_lab, hole_lab, n_l, n_h = _label_images(img, cfg)
+    R, C = img.shape
     adj = np.zeros((n_l, n_h), dtype=bool)
     for dr, dc in ((0, 1), (1, 0)):
         a = land_lab[: R - dr, : C - dc]

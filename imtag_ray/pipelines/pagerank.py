@@ -302,6 +302,123 @@ def _pr_blocks(
     return ranks
 
 
+@ray.remote
+def _split_block_by_dst_range(block: pa.Table, bounds: np.ndarray):
+    """One-time layout shuffle: split an edge block into P sub-arrays
+    clustered by dst range (the static range partitioning a multi-node
+    exchange would use)."""
+    src = col_np(block, "src")
+    dst = col_np(block, "dst")
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    cuts = np.searchsorted(dst, bounds[1:-1])
+    src_parts = np.split(src, cuts)
+    dst_parts = np.split(dst, cuts)
+    return tuple({"src": s, "dst": d} for s, d in zip(src_parts, dst_parts))
+
+
+@ray.remote
+def _range_partial(contrib_ref, lo: int, hi: int, *parts) -> np.ndarray:
+    """Sum contributions INTO one owned dst range only — the task's
+    output is (hi-lo) floats, not V (VERDICT #3: cut per-iteration
+    exchange volume P-fold vs dense per-block partials)."""
+    contrib = contrib_ref
+    n = hi - lo
+    acc = np.zeros(n, dtype=np.float64)
+    for part in parts:
+        if isinstance(part, pa.Table):  # P==1: unsplit Arrow edge block
+            src, dst = col_np(part, "src"), col_np(part, "dst")
+        else:
+            src, dst = part["src"], part["dst"]
+        if len(dst):
+            acc += np.bincount(dst - lo, weights=contrib[src], minlength=n)
+    return acc
+
+
+def _pr_ranges(
+    graph: Graph, cfg: EngineConfig, on_iter=None, ckpt=None,
+    groups_per_range: int = 2,
+) -> np.ndarray:
+    """Dst-range-partitioned iteration engine (the scale path's static
+    exchange): edges are laid out ONCE clustered by destination range;
+    every iteration runs one task per (range, block-group) that emits
+    ONLY its owned V/P-slice, and a per-range sum completes the
+    exchange. Per-iteration exchange volume is groups×V floats — P×
+    smaller than dense per-block partials — which is exactly the
+    traffic shape of a range-partitioned multi-node shuffle.
+
+    Same math as _pr_broadcast (summation order differs within float64
+    rounding)."""
+    V = graph.num_vertices
+    d = cfg.pagerank_damping
+    outdeg = degrees(graph, "out").astype(np.float64)
+    dangling = outdeg == 0
+    nz = outdeg > 0
+    ranks = np.full(V, 1.0 / V, dtype=np.float64)
+    P = max(1, min(cfg.num_partitions, V // 4096 + 1))
+    bounds = np.linspace(0, V, P + 1).astype(np.int64)
+
+    # one-time dst-range layout (the analogue of writing the CSR
+    # blocks) — memoized on the Graph so repeated runs reuse it
+    cache_key = ("dst_ranges", P)
+    per_range = graph._layout_cache.get(cache_key)
+    if per_range is None:
+        blocks = graph.edge_blocks()
+        if P == 1:
+            per_range = [list(blocks)]  # one range owns everything
+        else:
+            split_refs = [
+                _split_block_by_dst_range.options(num_returns=P).remote(
+                    b, bounds
+                )
+                for b in blocks
+            ]
+            per_range = [[refs[p] for refs in split_refs] for p in range(P)]
+        graph._layout_cache[cache_key] = per_range
+    G = max(1, min(groups_per_range, len(per_range[0])))
+
+    start_iter = 0
+    if ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            ranks = ckpt.load_arrays(m, "rank")["rank"]
+            start_iter = m["iteration"] + 1
+
+    for it in range(start_iter, cfg.max_iterations):
+        contrib = np.zeros(V, dtype=np.float64)
+        contrib[nz] = ranks[nz] / outdeg[nz]
+        contrib_ref = ray.put(contrib)
+        out_refs = []
+        for p in range(P):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            prefs = per_range[p]
+            gsize = -(-len(prefs) // G)
+            grp_refs = [
+                _range_partial.remote(
+                    contrib_ref, lo, hi, *prefs[g : g + gsize]
+                )
+                for g in range(0, len(prefs), gsize)
+            ]
+            out_refs.append(
+                grp_refs[0] if len(grp_refs) == 1
+                else _slice_sum.remote(*grp_refs)
+            )
+        incoming = np.concatenate(ray.get(out_refs)) if out_refs else np.zeros(V)
+        dangling_mass = float(ranks[dangling].sum())
+        new = (1.0 - d) / V + d * (incoming + dangling_mass / V)
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        if ckpt is not None and cfg.checkpoint_every and (
+            (it + 1) % cfg.checkpoint_every == 0
+        ):
+            ckpt.write_arrays(it, {"rank": ranks}, {"delta_l1": delta})
+        if on_iter is not None:
+            on_iter(it, ranks, delta)
+        if delta < V * cfg.pagerank_tol:
+            break
+    return ranks
+
+
 def pagerank(
     graph: Graph,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -330,6 +447,8 @@ def pagerank(
         ranks = _pr_broadcast(graph, cfg, on_iter=on_iter, ckpt=ckpt)
     elif mode == "blocks":
         ranks = _pr_blocks(graph, cfg, on_iter=on_iter, ckpt=ckpt)
+    elif mode == "ranges":
+        ranks = _pr_ranges(graph, cfg, on_iter=on_iter, ckpt=ckpt)
     elif mode == "shuffle":
         state = _pr_shuffle(graph, cfg, on_iter=on_iter, ckpt=ckpt)
         res = dataset_to_numpy(state, "vid", "rank")

@@ -44,6 +44,9 @@ class Graph:
     #: memoized degree arrays per direction (the reference's cached-state
     #: pattern: re-running an algorithm must not recompute the run table)
     _deg_cache: dict = field(default_factory=dict, repr=False, compare=False)
+    #: memoized physical layouts (e.g. dst-range-partitioned edge refs),
+    #: keyed by layout parameters — built once, reused across runs
+    _layout_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     # -- driver-side numpy views (vertex-state-sized only, never edges) ----
     def urls_array(self) -> np.ndarray:
@@ -152,16 +155,31 @@ def collect_vocab(
     edges_urls: "ray.data.Dataset", cap: int
 ) -> "np.ndarray | None":
     """Fast-path vocabulary: stream per-batch-unique urls to the driver,
-    sort once. Returns None (caller falls back to the distributed path)
+    dedup with Arrow's C++ hash unique (NOT a Python set — string
+    hashing in Python was the slowest part of the build stage), sort
+    once. Returns None (caller falls back to the distributed path)
     when the distinct count exceeds ``cap``. Streamed volume is the
     per-batch uniques, not the raw edge list."""
-    seen: set = set()
+    chunks: list = []
+    total = 0
     per_batch = edges_urls.map_batches(_both_endpoints, batch_format="pyarrow")
     for b in per_batch.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        seen.update(b.column("url").to_pylist())
-        if len(seen) > cap:
-            return None
-    return np.array(sorted(seen), dtype=object)
+        col = b.column("url")
+        chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+        total += len(col)
+        if total > 2 * cap:  # compress before deciding
+            u = pa.chunked_array(chunks).unique()
+            chunks, total = [u], len(u)
+            if total > cap:
+                return None
+    if not chunks:
+        return np.empty(0, dtype=object)
+    uniq = pa.chunked_array(chunks).unique()
+    if len(uniq) > cap:
+        return None
+    arr = uniq.to_numpy(zero_copy_only=False)
+    arr.sort()
+    return arr
 
 
 def build_graph(

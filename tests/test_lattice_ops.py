@@ -35,6 +35,35 @@ def test_hole_adjacencies_golden():
     adj = hole_adjacencies(LANDS_WATERS, CFG)
     assert adj.shape == (3, 2)
     assert adj.astype(int).tolist() == [[1, 0], [1, 1], [1, 0]]
+    # the full 4-neighbor generalization agrees on the worked example
+    from imtag_ray.pipelines.lattice import hole_adjacencies_full
+
+    assert hole_adjacencies_full(LANDS_WATERS, CFG).astype(int).tolist() == [
+        [1, 0], [1, 1], [1, 0],
+    ]
+
+
+def test_hole_adjacencies_strict_vs_full_divergence():
+    """The reference's row-pairing records only shared-row contacts —
+    a land directly ABOVE a hole with no same-row water is NOT recorded
+    (ADVICE: the strict replica must mirror that, the full variant
+    records it)."""
+    from imtag_ray.pipelines.lattice import hole_adjacencies_full
+
+    # row 0: all land; row 1: left half land, right half hole
+    img = np.array([[1, 1, 1, 1], [1, 1, 0, 0]], dtype=bool)
+    strict = hole_adjacencies(img, CFG)
+    full = hole_adjacencies_full(img, CFG)
+    # one land, one hole; they touch horizontally in row 1 → both record
+    assert strict.astype(int).tolist() == [[1]] == full.astype(int).tolist()
+
+    # vertical-ONLY contact: land row above, hole row below, land row 1
+    # empty → reference's per-row pairing finds nothing
+    img2 = np.array([[1, 1], [0, 0]], dtype=bool)
+    strict2 = hole_adjacencies(img2, CFG)
+    full2 = hole_adjacencies_full(img2, CFG)
+    assert strict2.astype(int).tolist() == [[0]]  # reference behavior
+    assert full2.astype(int).tolist() == [[1]]    # generalization
 
 
 def test_component_stats_golden(lw_cc):

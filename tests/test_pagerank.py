@@ -79,6 +79,19 @@ def test_pagerank_modes_agree():
     a = run_engine(tbl, "broadcast", cfg)
     b = run_engine(tbl, "shuffle", cfg)
     c = run_engine(tbl, "blocks", cfg)
+    d = run_engine(tbl, "ranges", cfg)
     for u in a:
         assert a[u] == pytest.approx(b[u], abs=1e-12)
         assert a[u] == pytest.approx(c[u], abs=1e-12)
+        assert a[u] == pytest.approx(d[u], abs=1e-12)
+
+
+def test_pagerank_ranges_mode_skewed_graph():
+    """Dst-range-partitioned mode on a hub-skewed graph (star): the hub
+    lands in one range; results must still match broadcast exactly."""
+    tbl = named_graph_edges("star")
+    cfg = EngineConfig(num_partitions=8, pagerank_tol=0, max_iterations=8)
+    a = run_engine(tbl, "broadcast", cfg)
+    d = run_engine(tbl, "ranges", cfg)
+    for u in a:
+        assert a[u] == pytest.approx(d[u], abs=1e-12)
