@@ -74,12 +74,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_component_sizes": q.geo_component_sizes_q,
         # --- text analysis -------------------------------------------------
         "doc_token_stats": d.doc_token_stats_q,
+        "doc_bpe_tokens": d.doc_bpe_tokens_q,
         "doc_langid": d.doc_langid_q,
         "doc_fingerprint": d.doc_fingerprint_q,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
         "minhash_pairs": d.minhash_pairs_q,
         "simhash_pairs": d.simhash_pairs_q,
+        "simhash_table": d.simhash_table_q,
         "ngram_pairs": d.ngram_pairs_q,
         # --- similarity search --------------------------------------------
         "embed_knn": d.embed_knn_q,
@@ -173,6 +175,40 @@ _NGRAM_SQL = r"""
     )
     SELECT id_a, id_b, round(jac, 9) AS jaccard FROM j
     WHERE jac >= 0.55 ORDER BY id_a, id_b
+"""
+
+# per-doc 64-bit simhash values (md5 token hashes + bit majority)
+_SIMHASH_TABLE_SQL = rf"""
+    WITH stripped AS (
+      SELECT doc_id, {_STRIP} AS s FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(s, '\s+')) AS tk
+      FROM stripped WHERE s != ''
+    ),
+    th AS (
+      SELECT doc_id, CAST('0x' || substring(md5(tk), 1, 16) AS UBIGINT) AS h
+      FROM tok
+    ),
+    bitscore AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> CAST(j AS UTINYINT)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS score
+      FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits
+      GROUP BY doc_id, j
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN score > 0
+                  THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+                  ELSE 0 END) AS UBIGINT) AS h
+      FROM bitscore GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           lower(lpad(hex(CAST(coalesce(s.h, 0) AS UBIGINT)), 16, '0'))
+               AS simhash_hex
+    FROM documents d LEFT JOIN sh0 s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
 """
 
 _SIMHASH_SQL = rf"""
@@ -492,6 +528,13 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents ORDER BY doc_id
         """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
         "doc_langid": """
             WITH t AS (
                 SELECT doc_id,
@@ -630,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic seed-vector IVF codebook) — no approximation gap.
         "ngram_pairs": _NGRAM_SQL,
         "simhash_pairs": _SIMHASH_SQL,
+        "simhash_table": _SIMHASH_TABLE_SQL,
         "minhash_pairs": _minhash_sql(),
         "embed_knn_ivf": _IVF_SQL,
         "embed_dup_pairs_lsh": _lsh_sql(),

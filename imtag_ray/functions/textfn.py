@@ -36,6 +36,24 @@ def token_count(texts: pd.Series) -> np.ndarray:
     return n.to_numpy()
 
 
+# BPE-ish pre-tokenizer (GPT-2-style shape, ASCII classes so Python re
+# and DuckDB RE2 agree exactly): optional leading space + letter run /
+# digit run / symbol run.
+_BPE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+BPE_PATTERN_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """BPE-ish token count (driver brief: 'whitespace + a BPE-ish
+    regex'): number of pre-tokenizer matches — letter runs, digit runs
+    and symbol runs each with their optional leading space, the
+    greedy-alternation shape GPT-2's pre-tokenizer uses.
+    SQL: len(regexp_extract_all(text, pattern))."""
+    return (
+        texts.fillna("").str.count(_BPE).astype("int64").to_numpy()
+    )
+
+
 def quality_metrics(texts: pd.Series) -> dict[str, np.ndarray]:
     """Length/punctuation/token-shape quality signals.
 

@@ -14,7 +14,13 @@ from ..dedup.exact import dedup_exact_ids
 from ..dedup.minhash import minhash_dup_pairs
 from ..dedup.ngram import ngram_dup_pairs
 from ..dedup.simhash import simhash_dup_pairs, simhash_table
-from ..functions.textfn import fingerprint_md5, langid, quality_metrics, token_count
+from ..functions.textfn import (
+    bpe_token_count,
+    fingerprint_md5,
+    langid,
+    quality_metrics,
+    token_count,
+)
 from ..util import col_np
 
 
@@ -41,6 +47,20 @@ def doc_token_stats_q(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(stats, batch_format="pandas").sort("doc_id")
+
+
+def doc_bpe_tokens_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_bpe_tokens": bpe_token_count(df["text"]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
 def doc_langid_q(sf_dir: str) -> "ray.data.Dataset":
@@ -98,8 +118,27 @@ def simhash_pairs_q(sf_dir: str) -> "ray.data.Dataset":
 
 
 def simhash_table_q(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc 64-bit simhash, emitted as a 16-char hex string (uint64
+    values routinely exceed int64 range, which trips signed casts in
+    comparison layers)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_table(ds, "doc_id", "text").sort("doc_id")
+
+    def to_hex(t: pa.Table) -> pa.Table:
+        hs = t.column("simhash").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash_hex": pa.array(
+                    [format(int(h), "016x") for h in hs], pa.string()
+                ),
+            }
+        )
+
+    return (
+        simhash_table(ds, "doc_id", "text")
+        .map_batches(to_hex, batch_format="pyarrow")
+        .sort("doc_id")
+    )
 
 
 def ngram_pairs_q(sf_dir: str) -> "ray.data.Dataset":

@@ -55,12 +55,12 @@ def lattice_cc(
     cc = connected_components(graph, cfg)
 
     def parse(t: pa.Table) -> pa.Table:
-        us = t.column("url").to_pylist()
-        rows = np.fromiter((int(u[5:10]) for u in us), np.int64, len(us))
-        cols = np.fromiter((int(u[11:16]) for u in us), np.int64, len(us))
-        return t.append_column("row", pa.array(rows)).append_column(
-            "col", pa.array(cols)
-        )
+        import pyarrow.compute as pc
+
+        # px://RRRRR/CCCCC → (row, col) via Arrow slice+cast kernels
+        rows = pc.cast(pc.utf8_slice_codeunits(t["url"], 5, 10), pa.int64())
+        cols = pc.cast(pc.utf8_slice_codeunits(t["url"], 11, 16), pa.int64())
+        return t.append_column("row", rows).append_column("col", cols)
 
     return cc.map_batches(parse, batch_format="pyarrow")
 

@@ -59,3 +59,13 @@ def test_rolling_fingerprint():
     assert rolling_fingerprint(t) != rolling_fingerprint(t + " eleven") or True
     assert rolling_fingerprint("") == 0
     assert rolling_fingerprint("short text") != 0  # shorter than window
+
+
+def test_bpe_token_count():
+    import pandas as pd
+
+    from imtag_ray.functions.textfn import bpe_token_count
+
+    s = pd.Series(["Hello, world!  42x", "", None, "   ", "a"])
+    # "Hello" "," " world" "!" " 42"(digits) "x"(letters) → 6
+    assert bpe_token_count(s).tolist() == [6, 0, 0, 0, 1]
