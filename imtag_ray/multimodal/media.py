@@ -123,6 +123,95 @@ def resize_nearest(img: np.ndarray, out_hw: tuple) -> np.ndarray:
     ci = (np.arange(ow) * w // ow).clip(0, w - 1)
     return img[ri[:, None], ci[None, :]]
 
+
+# ---------------------------------------------------------------------------
+# pure-numpy audio codec (WAV / PCM16)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """RIFF/WAVE PCM16 → (sample_rate, (n, channels) float32 in [-1,1])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    sr = nch = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt, nch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(f"WAV fmt={fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    return sr, samples.reshape(-1, nch)
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """(n,) or (n, ch) float32 in [-1,1] → PCM16 WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    nch = samples.shape[1]
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * nch * 2, nch * 2, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+class AudioFeatures:
+    """Actor-pool stage: media batch → (media_id, sample_rate,
+    duration_ms, rms, zcr). decode=None uses the REAL pure-numpy WAV
+    decoder; inject a callable for other codecs."""
+
+    def __init__(self, decode=None):
+        self._decode = decode or decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        srs, durs, rmss, zcrs = [], [], [], []
+        for p in payloads:
+            sr, x = self._decode(p or b"")
+            mono = x.mean(axis=1)
+            srs.append(sr)
+            durs.append(int(len(mono) * 1000 / max(sr, 1)))
+            rmss.append(float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0)
+            zcrs.append(
+                float(np.mean(np.abs(np.diff(np.signbit(mono)))))
+                if len(mono) > 1 else 0.0
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(srs, pa.int32()),
+                "duration_ms": pa.array(durs, pa.int32()),
+                "rms": pa.array(rmss, pa.float64()),
+                "zcr": pa.array(zcrs, pa.float64()),
+            }
+        )
+
+
+def audio_features(
+    media: "ray.data.Dataset", concurrency: int | tuple = 2,
+    batch_size: int = 32, decode=None,
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        AudioFeatures, fn_constructor_kwargs={"decode": decode},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -255,13 +344,25 @@ def synth_media(n: int, seed: int = 100) -> pa.Table:
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
     widths = rng.randint(4, 33, n)
     heights = rng.randint(4, 33, n)
+    durs = np.where(kinds != "image", rng.randint(0, 8000, n), -1).astype(
+        np.int32
+    )
     payloads = []
+    SR = 8000
     for i, k in enumerate(kinds):
         if k == "image":
             img = rng.randint(0, 256, size=(heights[i], widths[i], 3), dtype=np.uint8)
             payloads.append(
                 encode_bmp(img) if i % 2 == 0 else encode_ppm(img)
             )
+        elif k == "audio":
+            # real (tiny) PCM16 WAV: seeded tone + noise of duration_ms
+            ns = max(1, int(durs[i]) * SR // 1000)
+            ns = min(ns, SR)  # cap 1s so the table stays small
+            t = np.arange(ns) / SR
+            freq = 100 + 50 * (i % 8)
+            x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.randn(ns)
+            payloads.append(encode_wav(SR, x.astype(np.float32)))
         else:
             payloads.append(rng.bytes(int(rng.randint(64, 512))))
     mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}
@@ -277,8 +378,6 @@ def synth_media(n: int, seed: int = 100) -> pa.Table:
             "height": pa.array(
                 np.where(kinds == "image", heights, -1), pa.int32()
             ),
-            "duration_ms": pa.array(
-                np.where(kinds != "image", rng.randint(0, 8000, n), -1), pa.int32()
-            ),
+            "duration_ms": pa.array(durs, pa.int32()),
         }
     )

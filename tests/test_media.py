@@ -113,3 +113,50 @@ def test_stubbed_decode_raises():
     batch = synth_media(3)
     with pytest.raises(NotImplementedError):
         feat(batch)
+
+
+def test_wav_round_trip():
+    from imtag_ray.multimodal.media import decode_wav, encode_wav
+
+    sr = 8000
+    t = np.arange(800) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    sr2, y = decode_wav(encode_wav(sr, x))
+    assert sr2 == sr and y.shape == (800, 1)
+    assert np.allclose(y[:, 0], x, atol=1.0 / 32768)
+
+
+def test_audio_features_pipeline_real_wavs():
+    from imtag_ray.multimodal.media import audio_features
+
+    tbl = synth_media(40)
+    audio = tbl.filter(pa.compute.equal(tbl["kind"], "audio"))
+    assert audio.num_rows > 0
+    out = audio_features(
+        ray.data.from_arrow(audio), concurrency=2
+    ).take_all()
+    assert len(out) == audio.num_rows
+    by_id = {r["media_id"]: r for r in out}
+    for mid, r in by_id.items():
+        assert r["sample_rate"] == 8000
+        assert 0.0 <= r["rms"] <= 1.0
+        assert 0.0 <= r["zcr"] <= 1.0
+
+
+def test_audio_features_known_tone():
+    """A pure 1 kHz tone at 8 kHz: rms ≈ 0.5/√2, zcr ≈ 2·f/sr = 0.25."""
+    from imtag_ray.multimodal.media import AudioFeatures, encode_wav
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_wav(sr, x)], pa.binary()),
+        }
+    )
+    out = AudioFeatures()(tbl)
+    assert out["duration_ms"][0].as_py() == 1000
+    assert out["rms"][0].as_py() == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert out["zcr"][0].as_py() == pytest.approx(0.25, rel=0.02)
