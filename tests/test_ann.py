@@ -139,3 +139,31 @@ def test_embedding_dup_pairs_lsh_subset_of_exact():
     assert (3, 7) in lsh_pairs   # identical vectors always collide
     assert (5, 11) in lsh_pairs  # near-identical: sign flips need a
     # hyperplane within 1e-4 of the vector — none at seed 100
+
+
+def test_ivf_indexed_matches_masked_ivf():
+    """Routed IVF (cell-partitioned index + filter pushdown) must return
+    EXACTLY what the scan-and-mask knn_ivf returns given the same
+    centroids/probes."""
+    from imtag_ray.ann.knn import build_ivf_index, knn_ivf_indexed
+
+    tbl, X = emb_table(n=500)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    X32 = X.astype(np.float32)
+    qidx = list(range(8))
+    # deterministic seed-vector centroids (the oracle-able codebook)
+    cent = X32[:12].astype(np.float64)
+    a = knn_ivf(
+        ds, "vec_id", "embedding", X32[qidx], np.array(qidx),
+        k=6, n_clusters=12, nprobe=3, centroids=cent,
+    )
+    index = build_ivf_index(ds, "vec_id", "embedding", cent)
+    b = knn_ivf_indexed(
+        index, "vec_id", "embedding", X32[qidx], np.array(qidx), cent,
+        k=6, nprobe=3,
+    )
+    pa_ = a.to_pandas().sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    pb_ = b.to_pandas().sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    assert pa_["query_id"].tolist() == pb_["query_id"].tolist()
+    assert pa_["neighbor_id"].tolist() == pb_["neighbor_id"].tolist()
+    assert np.allclose(pa_["cos_sim"], pb_["cos_sim"], atol=1e-12)
