@@ -389,11 +389,15 @@ _PAIR_SCHEMA_TBL = pa.table(
 )
 
 
-def _with_pair_schema(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """An all-empty groupby/sort chain can lose its schema entirely
-    (zero blocks); pin the canonical (id_a, id_b, cos_sim) schema."""
+def _with_pair_schema(ds: "ray.data.Dataset"):
+    """An all-empty groupby/sort chain loses its schema (and Ray's
+    to_pandas() drops all columns for a zero-row Dataset even with a
+    correct schema) — return the typed pa.Table for empty results.
+    Materializes first so the count does not trigger a second full
+    execution downstream."""
+    ds = ds.materialize()
     if ds.count() == 0:
-        return ray.data.from_arrow(_PAIR_SCHEMA_TBL)
+        return _PAIR_SCHEMA_TBL
     return ds
 
 

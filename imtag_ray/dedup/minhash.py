@@ -381,8 +381,24 @@ def minhash_dup_pairs(
     shingle-set Jaccard ≥ threshold, sorted by (id_a, id_b)."""
     sh_ds = shingle_table(ds, id_col, text_col, shingle_k, concurrency)
     sh_ds = sh_ds.materialize()  # reused by bucketing AND verification
-    cand = minhash_candidates(sh_ds, num_perm, bands, seed, concurrency)
-    verified = verify_pairs_jaccard(cand, sh_ds, threshold, num_partitions)
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    # NOTE empty results return the typed pa.Table itself: Ray's
+    # to_pandas() drops ALL columns for a zero-row Dataset even when
+    # Dataset.schema() is correct, which breaks schema comparisons.
+    cand = minhash_candidates(
+        sh_ds, num_perm, bands, seed, concurrency
+    ).materialize()
+    if cand.count() == 0:  # no bucket collisions anywhere → typed empty
+        return empty
+    verified = verify_pairs_jaccard(
+        cand, sh_ds, threshold, num_partitions
+    ).materialize()
+    if verified.count() == 0:  # every candidate verified below threshold
+        return empty
     return verified.sort(["id_a", "id_b"])
 
 

@@ -68,9 +68,17 @@ def ngram_dup_pairs(
              "jaccard": pa.array(out_j, pa.float64())}
         )
 
-    return (
+    out = (
         ds.select_columns([id_col, text_col, group_col])
         .groupby(group_col)
         .map_groups(pairs, batch_format="pyarrow")
-        .sort(["id_a", "id_b"])
+        .materialize()
     )
+    if out.count() == 0:
+        # typed pa.Table: Ray's to_pandas() drops columns on zero rows
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    return out.sort(["id_a", "id_b"])

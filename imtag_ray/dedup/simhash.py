@@ -172,5 +172,14 @@ def simhash_dup_pairs(
             ),
             batch_format="pyarrow",
         )
+        .materialize()
     )
+    if deduped.count() == 0:
+        # typed pa.Table, not an empty Dataset: Ray's to_pandas() drops
+        # all columns for zero-row Datasets
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int32())}
+        )
     return deduped.sort(["id_a", "id_b"])

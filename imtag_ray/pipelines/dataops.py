@@ -96,7 +96,7 @@ def dedup_exact_q(sf_dir: str) -> "ray.data.Dataset":
     return dedup_exact_ids(ds, "text", "doc_id").sort("doc_id")
 
 
-def _round_col(ds: "ray.data.Dataset", col: str, ndigits: int = 9):
+def _round_col(ds, col: str, ndigits: int = 9):
     import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
@@ -104,6 +104,8 @@ def _round_col(ds: "ray.data.Dataset", col: str, ndigits: int = 9):
             t.schema.get_field_index(col), col, pc.round(t[col], ndigits)
         )
 
+    if isinstance(ds, pa.Table):  # typed empty-result fast path
+        return f(ds)
     return ds.map_batches(f, batch_format="pyarrow")
 
 

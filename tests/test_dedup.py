@@ -144,3 +144,27 @@ def test_ngram_dup_pairs_within_source():
     assert (0, 1) in found          # same source exact dup
     assert (0, 6) not in found      # dup but DIFFERENT source (blocking)
     assert (0, 4) in found          # near dup same source
+
+
+def test_near_dup_pipelines_empty_results_keep_schema():
+    """A corpus with NO near-dups must yield typed empty outputs (an
+    all-empty groupby/sort chain can otherwise lose its schema)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon",
+                    "zebra yak xylophone walrus vulture",
+                    "one two three four five six",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    mh = minhash_dup_pairs(ds, "doc_id", "text", threshold=0.9,
+                           num_partitions=2).to_pandas()
+    assert list(mh.columns) == ["id_a", "id_b", "jaccard"] and len(mh) == 0
+    sh = simhash_dup_pairs(ds, "doc_id", "text", hamming_k=1).to_pandas()
+    assert list(sh.columns) == ["id_a", "id_b", "hamming"] and len(sh) == 0
