@@ -234,7 +234,11 @@ def events_asof_latest_order(sf_dir: str) -> "ray.data.Dataset":
             left_on="ts", right_on="o_ts", direction="backward",
         )
         out["o_orderkey"] = out["o_orderkey"].astype("Int64")  # null-safe int
-        out["user_id"] = uid
+        # the tagged union holds nulls in event_id on order rows, so pandas
+        # coerces the column to float64 inside this group — cast back (events
+        # always carry a non-null id) or the driver's value hash mismatches
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = np.int64(uid)
         return out[["event_id", "user_id", "ts", "o_orderkey"]]
 
     return (
