@@ -71,7 +71,10 @@ def _cc_broadcast(
             labels = ckpt.load_arrays(m, "label")["label"]
             start_round = m["iteration"] + 1
 
-    converged = False
+    # resumed past the final permitted round (e.g. the job converged and
+    # checkpointed on round max_iterations-1): the loaded labels are the
+    # result — an empty range() must not read as "did not converge"
+    converged = start_round >= cfg.max_iterations
     for rnd in range(start_round, cfg.max_iterations):
         ref = ray.put(labels)
 
@@ -231,7 +234,7 @@ def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None) -> "r
     prev_sum = _label_sum(labels)
     edges = graph.edges.select_columns(["src", "dst"])
 
-    converged = False
+    converged = start_round >= cfg.max_iterations  # resumed-complete
     for rnd in range(start_round, cfg.max_iterations):
         by_src = (
             edges.join(
@@ -290,6 +293,59 @@ def canonical_relabel(raw_labels: np.ndarray) -> np.ndarray:
     return np.searchsorted(uniq, raw_labels).astype(np.int64)
 
 
+def canonical_relabel_ds(labels_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed canonical relabel: (vid, label) → (vid, component_id)
+    with NO V-sized driver state (the 10^12-vertex path).
+
+    Dense rank by sorted label without a skewed join: global sort on
+    label (Ray's range partitioner splits runs of equal labels across
+    blocks, so a giant component cannot become one straggler block),
+    then per-block (n_distinct, first, last) — P tuples to the driver —
+    a P-length prefix sum with a one-unit correction wherever a label
+    run spans a block boundary, and a block-local ``np.unique`` relabel.
+    Driver work and memory are O(P), not O(V)."""
+    s = labels_ds.sort("label").materialize()
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _stats(t: pa.Table):
+        if t.num_rows == 0:  # post-sort empty blocks can be SCHEMA-LESS
+            return (0, None, None)
+        lab = col_np(t, "label")
+        # block is sorted: distinct count = boundary count
+        nd = 1 + int(np.count_nonzero(lab[1:] != lab[:-1]))
+        return (nd, int(lab[0]), int(lab[-1]))
+
+    stats = ray.get([_stats.remote(r) for r in refs])
+    starts: list[int] = []
+    run = 0
+    prev_last = None
+    for nd, first, last in stats:
+        dup = 1 if (nd > 0 and prev_last is not None and first == prev_last) else 0
+        starts.append(run - dup)
+        run += nd - dup
+        if nd > 0:
+            prev_last = last
+
+    @ray.remote(num_cpus=0.25)
+    def _relabel(t: pa.Table, start: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "component_id": pa.array([], pa.int64())}
+            )
+        lab = col_np(t, "label")
+        vid = col_np(t, "vid")
+        # sorted block: unique() order == appearance order == rank order
+        _, inv = np.unique(lab, return_inverse=True)
+        return table_from_arrays(
+            vid=vid, component_id=(inv + start).astype(np.int64)
+        )
+
+    out_refs = [_relabel.remote(r, int(st)) for r, st in zip(refs, starts)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def connected_components(
     graph: Graph,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -312,6 +368,19 @@ def connected_components(
         raw = _cc_broadcast(graph, cfg, on_round=on_round, ckpt=ckpt)
     elif mode == "shuffle":
         labels_ds = _cc_shuffle(graph, cfg, on_round=on_round, ckpt=ckpt)
+        if graph.num_vertices > cfg.broadcast_max_vertices:
+            # scale path end-to-end: distributed dense relabel, then a
+            # vid-unique hash join to attach urls — no O(V) driver array
+            comp_ds = canonical_relabel_ds(labels_ds)
+            return (
+                graph.vertices.join(
+                    comp_ds, join_type="inner",
+                    num_partitions=cfg.num_partitions,
+                    on=("vid",), right_on=("vid",),
+                )
+                .select_columns(["vid", "url", "component_id"])
+                .materialize()
+            )
         res = dataset_to_numpy(labels_ds, "vid", "label")
         raw = np.empty(graph.num_vertices, dtype=np.int64)
         raw[res["vid"]] = res["label"]

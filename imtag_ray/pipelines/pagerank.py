@@ -109,23 +109,35 @@ def _pr_shuffle(
     V = graph.num_vertices
     d = cfg.pagerank_damping
 
-    outdeg = degrees(graph, "out").astype(np.float64)
-    deg_ref = ray.put(outdeg)
+    # Dataset-native outdeg init (no driver V-array): zero rows for every
+    # vertex union per-block partial counts, one groupby-sum. Dangling
+    # vertices keep outdeg 0 via the zero rows.
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = col_np(batch, "src")
+        k, s = sparse_sum_reduce(src, np.ones(len(src), dtype=np.int64))
+        return table_from_arrays(vid=k, outdeg=s.astype(np.float64))
 
-    def init_state(batch: pa.Table) -> pa.Table:
-        vid = col_np(batch, "vid")
-        od = ray.get(deg_ref)[vid]
-        return table_from_arrays(
-            vid=vid,
-            rank=np.full(len(vid), 1.0 / V),
-            outdeg=od,
-        )
-
-    state = (
-        graph.vertices.select_columns(["vid"])
-        .map_batches(init_state, batch_format="pyarrow")
-        .materialize()
+    zeros = graph.vertices.select_columns(["vid"]).map_batches(
+        lambda t: table_from_arrays(
+            vid=col_np(t, "vid"), outdeg=np.zeros(t.num_rows)
+        ),
+        batch_format="pyarrow",
     )
+    deg_ds = (
+        zeros.union(
+            graph.edges.map_batches(deg_partial, batch_format="pyarrow")
+        )
+        .groupby("vid")
+        .aggregate(Sum("outdeg", alias_name="outdeg"))
+    )
+    state = deg_ds.map_batches(
+        lambda t: table_from_arrays(
+            vid=col_np(t, "vid"),
+            rank=np.full(t.num_rows, 1.0 / V),
+            outdeg=col_np(t, "outdeg"),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
     start_iter = 0
     if ckpt is not None:
         m = ckpt.latest()
@@ -451,6 +463,18 @@ def pagerank(
         ranks = _pr_ranges(graph, cfg, on_iter=on_iter, ckpt=ckpt)
     elif mode == "shuffle":
         state = _pr_shuffle(graph, cfg, on_iter=on_iter, ckpt=ckpt)
+        if graph.num_vertices > cfg.broadcast_max_vertices:
+            # scale path end-to-end: attach urls by a vid-unique hash
+            # join — the rank vector never lands on the driver
+            return (
+                graph.vertices.join(
+                    state.select_columns(["vid", "rank"]),
+                    join_type="inner", num_partitions=cfg.num_partitions,
+                    on=("vid",), right_on=("vid",),
+                )
+                .select_columns(["vid", "url", "rank"])
+                .materialize()
+            )
         res = dataset_to_numpy(state, "vid", "rank")
         ranks = np.empty(graph.num_vertices, dtype=np.float64)
         ranks[res["vid"]] = res["rank"]
