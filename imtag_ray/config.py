@@ -36,6 +36,11 @@ class EngineConfig:
     #: crossover for "auto": above this many vertices use shuffle state.
     broadcast_max_vertices: int = 50_000_000
 
+    #: crossover for EDGE-sized broadcast state (triangle counting's
+    #: oriented CSR is O(E), not O(V)): above this many edges the
+    #: 2-join shuffle path runs regardless of vertex count.
+    broadcast_max_edges: int = 200_000_000
+
     #: vocabulary fast path: up to this many distinct urls the vid
     #: dictionary is collected+sorted on the driver (strings are heavier
     #: than the numeric vertex state, so this cap is much lower than

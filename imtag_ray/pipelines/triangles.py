@@ -189,12 +189,19 @@ def triangle_counts(
             )
         )
     if mode is None:
-        mode = (
-            "broadcast"
-            if cfg.vertex_state == "auto"
-            or cfg.vertex_state == "broadcast"
-            else "shuffle"
-        )
+        # the broadcast path's CSR + sorted edge-key state is O(E), so the
+        # auto pick must gate on EDGE count (VERDICT r2 #3) — vertex_state
+        # only forces shuffle when the user explicitly asked for it
+        if cfg.vertex_state == "shuffle":
+            mode = "shuffle"
+        elif cfg.vertex_state == "broadcast":
+            mode = "broadcast"
+        else:
+            mode = (
+                "broadcast"
+                if graph.num_edges <= cfg.broadcast_max_edges
+                else "shuffle"
+            )
     deg = degrees(graph, "undirected")
     V = graph.num_vertices
     rank = deg.astype(np.int64) * V + np.arange(V, dtype=np.int64)

@@ -126,3 +126,39 @@ def test_triangles_reciprocal_edges_not_double_counted():
         "b": 1,
         "c": 1,
     }
+
+
+def test_triangles_auto_gates_on_edge_count(monkeypatch):
+    """VERDICT r2 #3: the auto pick must choose shuffle when E exceeds
+    the edge budget (broadcast state is E-sized) — verified by making
+    the broadcast kernel unreachable and checking results still match."""
+    import dataclasses
+
+    import imtag_ray.pipelines.triangles as tri_mod
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast path taken despite E > budget")
+
+    monkeypatch.setattr(tri_mod, "_triangles_broadcast", boom)
+    tbl = named_graph_edges("two_cliques")
+    g = build_graph(ray.data.from_arrow(tbl))
+    cfg = dataclasses.replace(CFG, broadcast_max_edges=0)
+    tc = triangle_counts(g, cfg, mode=None)
+    out = dataset_to_numpy(tc, "url", "triangles")
+    ours = dict(zip([str(u) for u in out["url"]], out["triangles"]))
+    assert ours == nx_triangles(tbl)
+
+
+def test_triangles_auto_small_graph_stays_broadcast(monkeypatch):
+    import imtag_ray.pipelines.triangles as tri_mod
+
+    def boom(*a, **k):
+        raise AssertionError("shuffle path taken for a small graph")
+
+    monkeypatch.setattr(tri_mod, "_triangles_shuffle", boom)
+    tbl = named_graph_edges("barbell")
+    g = build_graph(ray.data.from_arrow(tbl))
+    tc = triangle_counts(g, CFG, mode=None)  # default budget >> E
+    out = dataset_to_numpy(tc, "url", "triangles")
+    ours = dict(zip([str(u) for u in out["url"]], out["triangles"]))
+    assert ours == nx_triangles(tbl)
