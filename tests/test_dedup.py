@@ -168,3 +168,46 @@ def test_near_dup_pipelines_empty_results_keep_schema():
     assert list(mh.columns) == ["id_a", "id_b", "jaccard"] and len(mh) == 0
     sh = simhash_dup_pairs(ds, "doc_id", "text", hamming_k=1).to_pandas()
     assert list(sh.columns) == ["id_a", "id_b", "hamming"] and len(sh) == 0
+
+
+def test_ngram_pairs_vectorized_matches_scalar_oracle():
+    """Differential: the vectorized co-occurrence kernel must equal the
+    scalar set-based ngram_jaccard for every pair, including empty and
+    whitespace-only docs, at several thresholds (incl. <=0 full-grid)."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    alphabet = "abcdefg "
+    rows = []
+    for did in range(40):
+        kind = rng.random()
+        if kind < 0.15:
+            text = rng.choice(["", "   ", None])
+        else:
+            text = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 60)))
+        rows.append({"doc_id": did, "text": text, "source": f"s{did % 3}"})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+
+    for threshold in (0.0, 0.2, 0.6, 1.0):
+        got = ngram_dup_pairs(ds, "doc_id", "text", "source", threshold=threshold)
+        gdf = got.to_pandas() if hasattr(got, "to_pandas") else got
+        if hasattr(gdf, "to_pandas"):
+            gdf = gdf.to_pandas()
+        got_map = {
+            (a, b): j
+            for a, b, j in zip(gdf["id_a"], gdf["id_b"], gdf["jaccard"])
+        }
+        expect = {}
+        for src, grp in df.groupby("source"):
+            for (i, ra), (j, rb) in itertools.combinations(grp.iterrows(), 2):
+                a, b = sorted((ra["doc_id"], rb["doc_id"]))
+                jac = ngram_jaccard(ra["text"] or "", rb["text"] or "")
+                if jac >= threshold:
+                    expect[(a, b)] = jac
+        assert set(got_map) == set(expect), threshold
+        for k in expect:
+            assert got_map[k] == pytest.approx(expect[k], abs=1e-12), (k, threshold)
