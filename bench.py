@@ -285,7 +285,8 @@ def cached_scale_edges(V: int, D: int) -> str:
 
 def run_scale_probe() -> dict:
     """PageRank measurement windows on a LARGE deterministic synthetic
-    int graph (V=500k, E=160M by default) — big enough that each
+    int graph (V=SCALE_V × deg SCALE_DEG; 2M × 320 = 640M edges by
+    default) — big enough that each
     iteration is bound by edge-scan compute + the exchange, not
     per-execution scheduling (the sf0.1 pages graph at 325k edges
     measures only the scheduler). Runs the production `_pr_ranges`
@@ -458,8 +459,8 @@ def run_scaling() -> dict:
     ex_med_eff = statistics.median(hi_ex) / (4 * statistics.median(lo_ex))
     return {
         "metric": f"scaling efficiency N→4N ({lo_lvl}→{hi_lvl} cpus): "
-                  "dst-range-partitioned PageRank iteration kernel on a "
-                  "160M-edge synthetic graph + extraction stage",
+                  f"dst-range-partitioned PageRank iteration kernel on a "
+                  f"{E / 1e6:.0f}M-edge synthetic graph + extraction stage",
         "levels": list(SCALE_LEVELS),
         "num_edges": E,
         "pr_iters": iters,

@@ -301,6 +301,23 @@ def verify_pairs_jaccard(
     """
     P = num_partitions
     ex = exploded_shingles(sh_ds).materialize()
+    if ex.count() == 0:
+        # every document is shingle-less (empty/whitespace/None text):
+        # the zero-row exploded table is SCHEMA-LESS and poisons the
+        # joins below — but then every candidate has |A|=|B|=0, so
+        # J = 1 by the both-empty convention. Short-circuit.
+        def all_ones(t: pa.Table, _t=threshold) -> pa.Table:
+            keep = np.ones(t.num_rows, dtype=bool) if _t <= 1.0 else \
+                np.zeros(t.num_rows, dtype=bool)
+            return pa.table(
+                {"id_a": t.column("id_a").filter(pa.array(keep)),
+                 "id_b": t.column("id_b").filter(pa.array(keep)),
+                 "jaccard": pa.array(
+                     np.ones(int(keep.sum())), pa.float64()
+                 )}
+            )
+
+        return cand.map_batches(all_ones, batch_format="pyarrow")
     sizes = ex.groupby("doc_id").count().rename_columns(
         {"count()": "n"}
     )
@@ -348,14 +365,18 @@ def verify_pairs_jaccard(
     def jaccard(t: pa.Table, _t=threshold) -> pa.Table:
         import pyarrow.compute as pc
 
-        i = col_np(t, "inter") if "inter" in t.column_names else np.zeros(t.num_rows)
-        i = np.nan_to_num(np.asarray(i, dtype=np.float64), nan=0.0)
-        na = np.nan_to_num(
-            np.asarray(col_np(t, "na"), dtype=np.float64), nan=0.0
-        )
-        nb = np.nan_to_num(
-            np.asarray(col_np(t, "nb"), dtype=np.float64), nan=0.0
-        )
+        # 'inter'/'na'/'nb' can each be ABSENT on mixed schema-less
+        # blocks (zero-match outer-join partitions), not just null
+        def numcol(name):
+            if name not in t.column_names:
+                return np.zeros(t.num_rows)
+            return np.nan_to_num(
+                np.asarray(col_np(t, name), dtype=np.float64), nan=0.0
+            )
+
+        i = numcol("inter")
+        na = numcol("na")
+        nb = numcol("nb")
         union = na + nb - i
         j = np.where(union > 0, i / np.maximum(union, 1.0), 1.0)
         keep = j >= _t

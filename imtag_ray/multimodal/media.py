@@ -348,13 +348,17 @@ def synth_media(n: int, seed: int = 100) -> pa.Table:
         np.int32
     )
     payloads = []
+    mime_list = []
     SR = 8000
     for i, k in enumerate(kinds):
         if k == "image":
             img = rng.randint(0, 256, size=(heights[i], widths[i], 3), dtype=np.uint8)
-            payloads.append(
-                encode_bmp(img) if i % 2 == 0 else encode_ppm(img)
-            )
+            if i % 2 == 0:
+                payloads.append(encode_bmp(img))
+                mime_list.append("image/bmp")
+            else:
+                payloads.append(encode_ppm(img))
+                mime_list.append("image/x-portable-pixmap")
         elif k == "audio":
             # real (tiny) PCM16 WAV: seeded tone + noise of duration_ms
             ns = max(1, int(durs[i]) * SR // 1000)
@@ -363,15 +367,16 @@ def synth_media(n: int, seed: int = 100) -> pa.Table:
             freq = 100 + 50 * (i % 8)
             x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.randn(ns)
             payloads.append(encode_wav(SR, x.astype(np.float32)))
+            mime_list.append("audio/wav")
         else:
             payloads.append(rng.bytes(int(rng.randint(64, 512))))
-    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}
+            mime_list.append("video/mp4")
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "kind": pa.array([str(k) for k in kinds]),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array([mimes[str(k)] for k in kinds]),
+            "mime": pa.array(mime_list),
             "width": pa.array(
                 np.where(kinds == "image", widths, -1), pa.int32()
             ),

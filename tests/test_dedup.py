@@ -211,3 +211,23 @@ def test_ngram_pairs_vectorized_matches_scalar_oracle():
         assert set(got_map) == set(expect), threshold
         for k in expect:
             assert got_map[k] == pytest.approx(expect[k], abs=1e-12), (k, threshold)
+
+
+def test_minhash_all_shingleless_corpus():
+    """ADVICE r2: a corpus where EVERY doc is shingle-less (empty /
+    whitespace / None text) must not crash the verification joins —
+    all sentinel signatures collide, and every pair is J=1.0."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["", "   ", None]}
+    )
+    ds = ray.data.from_pandas(df)
+    out = minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5,
+                            num_partitions=2)
+    got = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+    assert (got["jaccard"] == 1.0).all()
