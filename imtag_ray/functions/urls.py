@@ -129,10 +129,11 @@ def hash64_array(strings) -> np.ndarray:
     maxlen = int(lens.max()) if n else 0
     buf = np.zeros((n, maxlen), dtype=np.uint8)
     flat = np.frombuffer(b"".join(arr), dtype=np.uint8)
-    # scatter each string's bytes into its row
+    # vectorized scatter of every string's bytes into its row
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    for i in range(n):  # row-fill; cheap relative to hashing math below
-        buf[i, : lens[i]] = flat[starts[i] : starts[i] + lens[i]]
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+    buf[rows, cols] = flat
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     prime = _FNV_PRIME
     with np.errstate(over="ignore"):

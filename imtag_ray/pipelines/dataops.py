@@ -25,67 +25,74 @@ from ..util import col_np
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..util import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # --- text analysis ---------------------------------------------------------
 
 
+def _texts(t: pa.Table) -> pd.Series:
+    """Arrow string column → pandas Series for the vectorized .str
+    kernels (the conversion Ray's pandas batch_format would do anyway,
+    minus index bookkeeping and the unhashable pandas schema metadata
+    on the OUTPUT block)."""
+    return pd.Series(t.column("text").to_numpy(zero_copy_only=False))
+
+
 def doc_token_stats_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        m = quality_metrics(df["text"])
-        return pd.DataFrame(
+    def stats(t: pa.Table) -> pa.Table:
+        m = quality_metrics(_texts(t))
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(),
-                "n_chars": m["n_chars"],
-                "n_tokens": m["n_tokens"],
-                "avg_token_len": m["avg_token_len"],
-                "punct_ratio": m["punct_ratio"],
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(m["n_chars"]),
+                "n_tokens": pa.array(m["n_tokens"]),
+                "avg_token_len": pa.array(m["avg_token_len"]),
+                "punct_ratio": pa.array(m["punct_ratio"]),
             }
         )
 
-    return ds.map_batches(stats, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
 
 
 def doc_bpe_tokens_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "n_bpe_tokens": bpe_token_count(df["text"]),
-            }
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_bpe_tokens": pa.array(bpe_token_count(_texts(t)))}
         )
 
-    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
 def doc_langid_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy(), "lang_pred": langid(df["text"])}
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "lang_pred": pa.array(langid(_texts(t)), pa.string())}
         )
 
-    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
 def doc_fingerprint_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "fp": fingerprint_md5(df["text"]),
-            }
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "fp": pa.array(fingerprint_md5(_texts(t)), pa.string())}
         )
 
-    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
 # --- dedup -----------------------------------------------------------------

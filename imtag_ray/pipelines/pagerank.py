@@ -109,32 +109,16 @@ def _pr_shuffle(
     V = graph.num_vertices
     d = cfg.pagerank_damping
 
-    # Dataset-native outdeg init (no driver V-array): zero rows for every
-    # vertex union per-block partial counts, one groupby-sum. Dangling
-    # vertices keep outdeg 0 via the zero rows.
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        src = col_np(batch, "src")
-        k, s = sparse_sum_reduce(src, np.ones(len(src), dtype=np.int64))
-        return table_from_arrays(vid=k, outdeg=s.astype(np.float64))
+    # Dataset-native outdeg init (no driver V-array); dangling vertices
+    # keep outdeg 0 via degree_dataset's zero rows
+    from ..stages.graph_build import degree_dataset
 
-    zeros = graph.vertices.select_columns(["vid"]).map_batches(
-        lambda t: table_from_arrays(
-            vid=col_np(t, "vid"), outdeg=np.zeros(t.num_rows)
-        ),
-        batch_format="pyarrow",
-    )
-    deg_ds = (
-        zeros.union(
-            graph.edges.map_batches(deg_partial, batch_format="pyarrow")
-        )
-        .groupby("vid")
-        .aggregate(Sum("outdeg", alias_name="outdeg"))
-    )
+    deg_ds = degree_dataset(graph, "out", col="outdeg")
     state = deg_ds.map_batches(
         lambda t: table_from_arrays(
             vid=col_np(t, "vid"),
             rank=np.full(t.num_rows, 1.0 / V),
-            outdeg=col_np(t, "outdeg"),
+            outdeg=col_np(t, "outdeg").astype(np.float64),
         ),
         batch_format="pyarrow",
     ).materialize()

@@ -22,7 +22,9 @@ from .util import col_np, table_from_arrays
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from .util import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":

@@ -261,6 +261,41 @@ def build_graph(
     )
 
 
+def degree_dataset(
+    graph: Graph, direction: str = "out", col: str = "degree"
+) -> "ray.data.Dataset":
+    """(vid, degree) for ALL vertices (zero-degree included) as a
+    Dataset — the no-driver-state analogue of ``degrees``: zero rows
+    for every vertex union per-block partial counts, one groupby-sum.
+    No skew concern: each vid appears ≤ #blocks+1 times pre-shuffle."""
+    from ..util import sparse_sum_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = col_np(batch, "src")
+        dst = col_np(batch, "dst")
+        if direction == "out":
+            keys = src
+        elif direction == "in":
+            keys = dst
+        else:
+            keys = np.concatenate([src, dst])
+        k, s = sparse_sum_reduce(keys, np.ones(len(keys), dtype=np.int64))
+        return table_from_arrays(**{"vid": k, col: s})
+
+    zeros = graph.vertices.select_columns(["vid"]).map_batches(
+        lambda t: table_from_arrays(
+            **{"vid": col_np(t, "vid"),
+               col: np.zeros(t.num_rows, dtype=np.int64)}
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        zeros.union(graph.edges.map_batches(partial, batch_format="pyarrow"))
+        .groupby("vid")
+        .aggregate(Sum(col, alias_name=col))
+    )
+
+
 def degrees(graph: Graph, direction: str = "out") -> np.ndarray:
     """Per-vertex degree (distinct neighbors) as a driver numpy array of
     length V (vertex-state-sized). direction: out | in | undirected.

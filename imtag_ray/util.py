@@ -101,6 +101,39 @@ def zip_with_index(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema/field metadata (zero-copy). Pandas-written parquet
+    carries a b'pandas' schema-metadata dict that makes pa.Schema
+    UNHASHABLE in this pyarrow build, so every downstream hash shuffle
+    logs Ray's 'Failed to hash the schemas' warning — strip at the
+    source."""
+    if t.schema.metadata or any(f.metadata for f in t.schema):
+        fields = [f.remove_metadata() for f in t.schema]
+        t = t.cast(pa.schema(fields))
+    return t
+
+
+def read_parquet_clean(path, columns=None, **kw) -> "ray.data.Dataset":
+    """ray.data.read_parquet + schema-metadata strip (see _strip_meta).
+
+    For a single parquet file the stripped (and column-pruned) footer
+    schema is passed straight to the reader, so even the read op's own
+    blocks are metadata-free; otherwise a zero-copy strip map runs
+    after the read."""
+    import os
+
+    if isinstance(path, str) and os.path.isfile(path) and "schema" not in kw:
+        import pyarrow.parquet as pq
+
+        full = pq.read_schema(path)
+        names = columns if columns is not None else full.names
+        sub = pa.schema([full.field(c).remove_metadata() for c in names])
+        return ray.data.read_parquet(path, schema=sub, columns=columns, **kw)
+    return ray.data.read_parquet(path, columns=columns, **kw).map_batches(
+        _strip_meta, batch_format="pyarrow"
+    )
+
+
 def dataset_to_numpy(ds: "ray.data.Dataset", *cols: str) -> dict[str, np.ndarray]:
     """Stream a (small, vertex-state-sized) dataset into driver numpy arrays.
 
