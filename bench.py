@@ -454,6 +454,21 @@ def run_scaling() -> dict:
         for r in range(rounds)
     ]
     paired_eff = statistics.median(paired)
+    # uncertainty on the paired estimator (VERDICT r2 #4): IQR of the
+    # per-round ratios + a bootstrap CI on their median (resample
+    # rounds with replacement; deterministic seed)
+    import random as _random
+
+    _rng = _random.Random(12345)
+    boot = sorted(
+        statistics.median(_rng.choices(paired, k=len(paired)))
+        for _ in range(10000)
+    )
+    paired_ci = [round(boot[249], 3), round(boot[9749], 3)]
+    sp = sorted(paired)
+    n = len(sp)
+    paired_iqr = [round(sp[n // 4], 3),
+                  round(sp[min((3 * n) // 4, n - 1)], 3)]
     lo_ex = [N_PAGES / s for s in ex_sec[lo_lvl]]
     hi_ex = [N_PAGES / s for s in ex_sec[hi_lvl]]
     ex_med_eff = statistics.median(hi_ex) / (4 * statistics.median(lo_ex))
@@ -472,6 +487,8 @@ def run_scaling() -> dict:
         "windows_sec_4N": win_sec[hi_lvl],
         "scaling_efficiency": round(paired_eff, 3),
         "scaling_efficiency_paired_per_round": [round(x, 3) for x in paired],
+        "scaling_efficiency_paired_iqr": paired_iqr,
+        "scaling_efficiency_paired_boot95ci": paired_ci,
         "scaling_efficiency_pooled_median": round(med_eff, 3),
         "scaling_efficiency_best": round(best_eff, 3),
         "extract_pages_per_sec_N": round(statistics.median(lo_ex), 1),
