@@ -283,6 +283,51 @@ def cached_scale_edges(V: int, D: int) -> str:
     return path
 
 
+def cached_split_edges(V: int, D: int, n_blocks: int, P: int):
+    """One-time: the deterministic probe edges, pre-sorted by dst and
+    sliced into P dst-ranges, cached as per-(range, block) parquet.
+    Every probe subprocess (at ANY parallelism level) loads the SAME
+    bytes instead of re-sorting 640M edges — the layout split was
+    already excluded from timed windows (memoized on the Graph), this
+    just moves it out of probe wall-clock too."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bounds = np.linspace(0, V, P + 1).astype(np.int64)
+    chunk = -(-V // n_blocks)
+    n_b = len(range(0, V, chunk))
+    base = f"/tmp/imtag_ray_bench/scale_split_v{V}_d{D}_b{n_b}_p{P}"
+    paths = [
+        [os.path.join(base, f"r{p:02d}_b{b:02d}.parquet") for b in range(n_b)]
+        for p in range(P)
+    ]
+    done = os.path.join(base, ".done")
+    if os.path.exists(done):
+        return paths, bounds
+    os.makedirs(base, exist_ok=True)
+    log(f"splitting scale graph V={V} D={D} into {P} dst-ranges (one-time)...")
+    for bidx, lo_v in enumerate(range(0, V, chunk)):
+        ids = np.arange(lo_v, min(V, lo_v + chunk), dtype=np.int64)
+        src = np.repeat(ids, D)
+        j = np.tile(np.arange(D, dtype=np.int64), len(ids))
+        dst = (src * 2654435761 + j * 40503 + 7) % V
+        dst = np.where(j == 0, src % 997, dst)  # hub skew: 997 hot keys
+        dst = np.where(dst == src, (dst + 1) % V, dst)
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        cuts = np.searchsorted(dst, bounds[1:-1])
+        sp = np.split(src, cuts)
+        dp = np.split(dst, cuts)
+        for p in range(P):
+            pq.write_table(
+                pa.table({"src": sp[p], "dst": dp[p]}), paths[p][bidx]
+            )
+    with open(done, "w") as f:
+        f.write("ok")
+    return paths, bounds
+
+
 def run_scale_probe() -> dict:
     """PageRank measurement windows on a LARGE deterministic synthetic
     int graph (V=SCALE_V × deg SCALE_DEG; 2M × 320 = 640M edges by
@@ -315,17 +360,33 @@ def run_scale_probe() -> dict:
     V, D = SCALE_V, SCALE_DEG
 
     # FIXED layout at both parallelism levels: 32 edge blocks, 16 dst
-    # ranges; timed windows after a real warmup (worker pool, degree
-    # table, plasma, range split)
+    # ranges; timed windows after a real warmup (worker pool, contrib
+    # plasma path). The dst-range split layout is loaded from the disk
+    # cache (identical bytes at every level) and seeded into the Graph's
+    # layout memo; outdeg is exactly D for every vertex by construction,
+    # so the degree memo is seeded too — the probe never scans the raw
+    # edge Dataset, matching the "cluster holds the layout" model.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     N_BLOCKS, P, WARM_ITERS, TIMED_ITERS = 32, 16, 5, 10
+    GROUPS = 2  # _pr_ranges groups_per_range default
     WINDOWS = int(os.environ.get("GRAFT_SCALE_WINDOWS", "3"))
-    edges = (
-        ray.data.read_parquet(
-            cached_scale_edges(V, D), override_num_blocks=N_BLOCKS
-        )
-        .materialize()
-    )
-    graph = Graph(vertices=None, edges=edges, num_vertices=V, num_edges=V * D)
+    paths, bounds = cached_split_edges(V, D, N_BLOCKS, P)
+    per_range = []
+    for p in range(P):
+        files = paths[p]
+        gsize = -(-len(files) // GROUPS)
+        refs = []
+        for g0 in range(0, len(files), gsize):
+            tbl = pa.concat_tables(
+                [pq.read_table(f) for f in files[g0 : g0 + gsize]]
+            ).combine_chunks()
+            refs.append(ray.put(tbl))
+        per_range.append(refs)
+    graph = Graph(vertices=None, edges=None, num_vertices=V, num_edges=V * D)
+    graph._deg_cache["out"] = np.full(V, D, dtype=np.int64)
+    graph._layout_cache[("dst_ranges", P)] = per_range
     _pr_ranges(
         graph,
         EngineConfig(num_partitions=P, max_iterations=WARM_ITERS, pagerank_tol=0),
