@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_pagerank12": q.copart_pagerank12_q,
         "geo_components": q.geo_components_q,
         "geo_component_sizes": q.geo_component_sizes_q,
+        "geo_labelprop": q.geo_labelprop_q,
         # --- text analysis -------------------------------------------------
         "doc_token_stats": d.doc_token_stats_q,
         "doc_bpe_tokens": d.doc_bpe_tokens_q,
@@ -414,6 +415,48 @@ _IVF_SQL = """
 """
 
 
+def _lp_unrolled_sql(rounds: int = 6) -> str:
+    """Label-propagation oracle: K synchronous rounds unrolled as plain
+    CTEs (a recursive CTE can reference its own name only once per
+    term, but one LP round needs BOTH the old label of v and the
+    neighbors' labels). Each round: per-(target, label) vote counts →
+    winner by (count DESC, label ASC) → seeds clamped, no-vote vertices
+    unchanged — exactly imtag_ray.pipelines.labelprop's update rule."""
+    parts = [f"WITH e(s, d) AS ({_GEO_EDGES}),",
+             "und AS (SELECT s, d FROM e UNION SELECT d, s FROM e),",
+             "verts(v) AS (SELECT DISTINCT s FROM und),",
+             "seeds AS (SELECT 'r://' || lpad(CAST(r_regionkey AS VARCHAR),4,'0') AS v,"
+             "          'region_' || lpad(CAST(r_regionkey AS VARCHAR),4,'0') AS lab"
+             "   FROM region),",
+             "state0 AS (SELECT verts.v, seeds.lab FROM verts"
+             "   LEFT JOIN seeds ON seeds.v = verts.v),"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    votes{r} AS (
+        SELECT u.d AS v, s.lab, count(*) AS c
+        FROM und u JOIN state{p} s ON s.v = u.s
+        WHERE s.lab IS NOT NULL GROUP BY u.d, s.lab),
+    win{r} AS (
+        SELECT v, lab AS wlab FROM (
+            SELECT v, lab, row_number() OVER
+                (PARTITION BY v ORDER BY c DESC, lab) AS rn
+            FROM votes{r}) WHERE rn = 1),
+    state{r} AS (
+        SELECT st.v,
+               CASE WHEN sd.lab IS NOT NULL THEN sd.lab
+                    WHEN w.wlab IS NOT NULL THEN w.wlab
+                    ELSE st.lab END AS lab
+        FROM state{p} st
+        LEFT JOIN seeds sd ON sd.v = st.v
+        LEFT JOIN win{r} w ON w.v = st.v),""")
+    body = "\n".join(parts)
+    body = body.rstrip().rstrip(",")
+    return (body + f"""
+    SELECT v AS url, coalesce(lab, '') AS label
+    FROM state{rounds} ORDER BY url""")
+
+
 def oracle_sql() -> dict[str, str]:
     purl_a = _PURL.format(c="pa_")
     purl_b = _PURL.format(c="pb_")
@@ -506,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
                        AS component_id
             FROM minl ORDER BY url
         """,
+        "geo_labelprop": _lp_unrolled_sql(6),
         "geo_component_sizes": f"""
             {_GEO_COMPONENTS},
             comp AS (SELECT v, CAST(dense_rank() OVER (ORDER BY ml) - 1 AS BIGINT)

@@ -12,8 +12,16 @@ Semantics (deterministic, synchronous):
   smallest label; no labeled neighbor → unchanged
 - converges when no vertex changes (or max_iterations)
 
+Two execution modes (mirroring pipelines.cc):
+- **broadcast**: per-vertex label-code numpy array shipped via ray.put
+  per round; per-batch combiner pre-counts (vid, label) votes. Right
+  up to ~10^8 vertices/node.
+- **shuffle** (scale path): state is a Dataset joined to edges each
+  round; the winner argmax runs as a distributed map_groups and
+  convergence is a changed-row aggregate — no V-sized driver state.
+
 The engine result is differentially tested against a pure-Python
-reference loop with identical semantics (tests/test_labelprop.py).
+reference loop with identical semantics (tests/test_labelprop_triangles.py).
 """
 
 from __future__ import annotations
@@ -31,22 +39,9 @@ from ..util import col_np, dataset_to_numpy, table_from_arrays
 UNLABELED = -1
 
 
-def label_propagation(
-    graph: Graph,
-    seeds: dict[str, str],
-    cfg: EngineConfig = DEFAULT_CONFIG,
-) -> "ray.data.Dataset":
-    """→ Dataset (vid, url, label) — label '' for never-labeled vertices.
-
-    Broadcast vertex state (label-code array via ray.put per round);
-    per-batch combiner pre-counts (vid, label) pairs so the shuffle
-    moves count rows, not edge rows.
-    """
-    vocab = sorted(set(seeds.values()))
-    code = {s: i for i, s in enumerate(vocab)}
-
-    # Resolve seed urls → vids with a filtered vertex scan (the seed set
-    # is tiny; never build a driver dict of ALL urls).
+def _resolve_seeds(graph: Graph, seeds: dict, code: dict):
+    """Seed urls → (vids, codes) via a filtered vertex scan (the seed
+    set is tiny; never build a driver dict of ALL urls)."""
     seed_set = pa.array(sorted(seeds.keys()), type=pa.string())
 
     def find_seeds(t: pa.Table, _set=seed_set) -> pa.Table:
@@ -62,21 +57,27 @@ def label_propagation(
             find_seeds, batch_format="pyarrow"
         ).take_all()
     }
-
-    V = graph.num_vertices
-    lab = np.full(V, UNLABELED, dtype=np.int64)
-    is_seed = np.zeros(V, dtype=bool)
+    vids, codes = [], []
     for u, s in seeds.items():
         vid = url_to_vid.get(u)
         if vid is not None:
-            lab[vid] = code[s]
-            is_seed[vid] = True
+            vids.append(vid)
+            codes.append(code[s])
+    order = np.argsort(np.asarray(vids, dtype=np.int64))
+    return (
+        np.asarray(vids, dtype=np.int64)[order],
+        np.asarray(codes, dtype=np.int64)[order],
+    )
 
-    # Canonicalize to DISTINCT undirected (min,max) pairs before voting:
-    # web link graphs commonly contain both (u,v) and (v,u), and counting
-    # a neighbor's vote once per directed row would double it (diverging
-    # from the documented most-frequent-among-NEIGHBORS semantics and
-    # from label_propagation_reference's set-based adjacency).
+
+def _canon_edges(graph: Graph) -> "ray.data.Dataset":
+    """DISTINCT undirected (min,max) pairs before voting: web link
+    graphs commonly contain both (u,v) and (v,u), and counting a
+    neighbor's vote once per directed row would double it (diverging
+    from the documented most-frequent-among-NEIGHBORS semantics and
+    from label_propagation_reference's set-based adjacency)."""
+    V = graph.num_vertices
+
     def canon(t: pa.Table, _V=V) -> pa.Table:
         src = col_np(t, "src")
         dst = col_np(t, "dst")
@@ -85,7 +86,7 @@ def label_propagation(
         key = np.unique(lo.astype(np.int64) * _V + hi)
         return table_from_arrays(src=key // _V, dst=key % _V)
 
-    edges = (
+    return (
         graph.edges.select_columns(["src", "dst"])
         .map_batches(canon, batch_format="pyarrow")
         .groupby(["src", "dst"])
@@ -93,7 +94,18 @@ def label_propagation(
         .select_columns(["src", "dst"])
         .materialize()
     )
-    L = max(len(vocab), 1)
+
+
+def _lp_broadcast(
+    graph: Graph, edges: "ray.data.Dataset",
+    seed_vids: np.ndarray, seed_codes: np.ndarray,
+    L: int, cfg: EngineConfig,
+) -> np.ndarray:
+    V = graph.num_vertices
+    lab = np.full(V, UNLABELED, dtype=np.int64)
+    is_seed = np.zeros(V, dtype=bool)
+    lab[seed_vids] = seed_codes
+    is_seed[seed_vids] = True
 
     for _ in range(cfg.max_iterations):
         ref = ray.put(lab)
@@ -138,18 +150,211 @@ def label_propagation(
         if np.array_equal(new, lab):
             break
         lab = new
+    return lab
 
-    out_labels = np.array([""] + vocab, dtype=object)[lab + 1]
-    lab_ref = ray.put(out_labels)
 
-    def attach(batch: pa.Table, _ref=lab_ref) -> pa.Table:
-        lbl = ray.get(_ref)
-        vid = col_np(batch, "vid")
-        return batch.append_column(
-            "label", pa.array([str(x) for x in lbl[vid]], type=pa.string())
+NO_WINNER = -2  # sentinel distinct from UNLABELED
+
+
+def _winner_of_group(group: pa.Table) -> pa.Table:
+    """Vote rows of ONE vid → its winning label (count desc, label asc)."""
+    lab = col_np(group, "label")
+    cnt = col_np(group, "cnt")
+    order = np.lexsort((lab, -cnt))
+    return pa.table(
+        {"vid": group.column("vid").slice(0, 1),
+         "winner": pa.array([int(lab[order[0]])], pa.int64())}
+    )
+
+
+def _lp_shuffle(
+    graph: Graph, edges: "ray.data.Dataset",
+    seed_vids: np.ndarray, seed_codes: np.ndarray,
+    L: int, cfg: EngineConfig,
+) -> "ray.data.Dataset":
+    """Scale path: (vid, label, is_seed) state Dataset; votes via two
+    edge⋈state hash joins (materialized per the Ray 2.49 multi-join
+    fusion deadlock workaround); winner per vid via map_groups (≤L rows
+    per group); convergence via a changed-row aggregate."""
+    from ..util import sparse_sum_reduce
+
+    P = cfg.num_partitions
+    sv_ref = ray.put(seed_vids)
+    sc_ref = ray.put(seed_codes)
+
+    def init(t: pa.Table) -> pa.Table:
+        sv = ray.get(sv_ref)
+        sc = ray.get(sc_ref)
+        vid = col_np(t, "vid")
+        lab = np.full(len(vid), UNLABELED, dtype=np.int64)
+        seed = np.zeros(len(vid), dtype=np.int8)
+        if len(sv):
+            pos = np.searchsorted(sv, vid)
+            pos_c = np.minimum(pos, len(sv) - 1)
+            hit = sv[pos_c] == vid
+            lab[hit] = sc[pos_c[hit]]
+            seed[hit] = 1
+        return table_from_arrays(vid=vid, label=lab, is_seed=seed)
+
+    state = (
+        graph.vertices.select_columns(["vid"])
+        .map_batches(init, batch_format="pyarrow")
+        .materialize()
+    )
+
+    for _ in range(cfg.max_iterations):
+        lab_side = state.select_columns(["vid", "label"])
+        by_src = (
+            edges.join(
+                lab_side, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .map_batches(
+                # src votes for dst (self-loop: one self-vote)
+                lambda t: table_from_arrays(
+                    vid=col_np(t, "dst"), vote=col_np(t, "label")
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
         )
 
-    return graph.vertices.map_batches(attach, batch_format="pyarrow")
+        def dst_votes(t: pa.Table) -> pa.Table:
+            src = col_np(t, "src")
+            dst = col_np(t, "dst")
+            lab = col_np(t, "label")
+            m = src != dst  # no double self-vote
+            return table_from_arrays(vid=src[m], vote=lab[m])
+
+        by_dst = (
+            edges.join(
+                lab_side, join_type="inner", num_partitions=P,
+                on=("dst",), right_on=("vid",),
+            )
+            .map_batches(dst_votes, batch_format="pyarrow")
+            .materialize()
+        )
+
+        def combine(t: pa.Table, _L=L) -> pa.Table:
+            vid = col_np(t, "vid")
+            vote = col_np(t, "vote")
+            ok = vote != UNLABELED
+            k, c = sparse_sum_reduce(
+                vid[ok] * _L + vote[ok], np.ones(int(ok.sum()), np.int64)
+            )
+            return table_from_arrays(vid=k // _L, label=k % _L, cnt=c)
+
+        winners = (
+            by_src.union(by_dst)
+            .map_batches(combine, batch_format="pyarrow")
+            .groupby(["vid", "label"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .groupby("vid")
+            .map_groups(_winner_of_group, batch_format="pyarrow")
+            .materialize()
+        )
+        if winners.count() == 0:
+            # no labeled vote anywhere (e.g. no seed matched a vertex):
+            # nothing can ever change, and a zero-row right side would
+            # hit Ray's schema-less-empty-join ArrowInvalid
+            break
+
+        def update(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            vid = col_np(t, "vid")
+            lab = col_np(t, "label")
+            seed = col_np(t, "is_seed")
+            if "winner" in t.column_names:
+                win = (
+                    pc.fill_null(t.column("winner"), NO_WINNER)
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+            else:  # schema-less empty join partition
+                win = np.full(len(vid), NO_WINNER, dtype=np.int64)
+            new = np.where(
+                (seed == 0) & (win != NO_WINNER), win, lab
+            ).astype(np.int64)
+            return table_from_arrays(
+                vid=vid, label=new, is_seed=seed,
+                changed=(new != lab).astype(np.int64),
+            )
+
+        joined = (
+            state.join(
+                winners, join_type="left_outer", num_partitions=P,
+                on=("vid",), right_on=("vid",),
+            )
+            .map_batches(update, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(joined.aggregate(Sum("changed", alias_name="s"))["s"] or 0)
+        state = joined.drop_columns(["changed"]).materialize()
+        if changed == 0:
+            break
+    return state
+
+
+def label_propagation(
+    graph: Graph,
+    seeds: dict[str, str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (vid, url, label) — label '' for never-labeled vertices."""
+    vocab = sorted(set(seeds.values()))
+    code = {s: i for i, s in enumerate(vocab)}
+    L = max(len(vocab), 1)
+
+    if mode is None:
+        if cfg.vertex_state in ("broadcast", "shuffle"):
+            mode = cfg.vertex_state
+        else:
+            mode = (
+                "broadcast"
+                if graph.num_vertices <= cfg.broadcast_max_vertices
+                else "shuffle"
+            )
+
+    seed_vids, seed_codes = _resolve_seeds(graph, seeds, code)
+    edges = _canon_edges(graph)
+
+    if mode == "broadcast":
+        lab = _lp_broadcast(graph, edges, seed_vids, seed_codes, L, cfg)
+        out_labels = np.array([""] + vocab, dtype=object)[lab + 1]
+        lab_ref = ray.put(out_labels)
+
+        def attach(batch: pa.Table, _ref=lab_ref) -> pa.Table:
+            lbl = ray.get(_ref)
+            vid = col_np(batch, "vid")
+            return batch.append_column(
+                "label", pa.array([str(x) for x in lbl[vid]], type=pa.string())
+            )
+
+        return graph.vertices.map_batches(attach, batch_format="pyarrow")
+    elif mode == "shuffle":
+        state = _lp_shuffle(graph, edges, seed_vids, seed_codes, L, cfg)
+        vocab_arr = pa.array([""] + vocab, pa.string())
+
+        def decode(t: pa.Table, _vocab=vocab_arr) -> pa.Table:
+            lab = col_np(t, "label") + 1
+            return pa.table(
+                {"vid": t.column("vid"),
+                 "label": _vocab.take(pa.array(lab))}
+            )
+
+        # vid-unique hash join to attach urls — no driver V-array
+        return (
+            graph.vertices.join(
+                state.map_batches(decode, batch_format="pyarrow"),
+                join_type="inner", num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["vid", "url", "label"])
+            .materialize()
+        )
+    raise ValueError(mode)
 
 
 def label_propagation_reference(

@@ -244,6 +244,25 @@ def geo_component_sizes_q(sf_dir: str) -> "ray.data.Dataset":
     return component_sizes(cc).sort("component_id")
 
 
+def geo_labelprop_q(sf_dir: str) -> "ray.data.Dataset":
+    """Label propagation seeded at the region vertices (one label per
+    region); the geo star graph fixpoints in ≤3 synchronous rounds, so
+    the unrolled 6-round SQL oracle replays the exact trajectory."""
+    from .labelprop import label_propagation
+
+    g = build_graph(geo_edge_urls(sf_dir), QCFG)
+    regions = _read(sf_dir, "region", columns=["r_regionkey"]).to_pandas()
+    seeds = {
+        f"r://{int(k):04d}": f"region_{int(k):04d}"
+        for k in regions["r_regionkey"]
+    }
+    return (
+        label_propagation(g, seeds, QCFG)
+        .select_columns(["url", "label"])
+        .sort("url")
+    )
+
+
 # ---------------------------------------------------------------------------
 # document pages: extraction pipeline
 # ---------------------------------------------------------------------------

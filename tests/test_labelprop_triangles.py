@@ -162,3 +162,36 @@ def test_triangles_auto_small_graph_stays_broadcast(monkeypatch):
     out = dataset_to_numpy(tc, "url", "triangles")
     ours = dict(zip([str(u) for u in out["url"]], out["triangles"]))
     assert ours == nx_triangles(tbl)
+
+
+def engine_lp_mode(tbl, seeds, mode, cfg=None):
+    g = build_graph(ray.data.from_arrow(tbl))
+    lp = label_propagation(g, seeds, cfg or CFG, mode=mode)
+    out = dataset_to_numpy(lp, "url", "label")
+    return dict(zip([str(u) for u in out["url"]], [str(x) for x in out["label"]]))
+
+
+@pytest.mark.parametrize("name,seeds", [
+    ("two_cliques", {gurl(0): "red", gurl(5): "blue"}),
+    ("barbell", {gurl(0): "a", gurl(24): "b", gurl(3): "a"}),
+    ("gnp", {gurl(i): f"c{i % 3}" for i in range(0, 30, 7)}),
+    ("star", {gurl(0): "hub"}),
+])
+def test_labelprop_shuffle_matches_reference(name, seeds):
+    """Shuffle (no-driver) LP vs the reference loop AND broadcast mode,
+    with the driver path forced off (broadcast_max_vertices=0)."""
+    tbl = named_graph_edges(name)
+    cfg = EngineConfig(num_partitions=4, broadcast_max_vertices=0)
+    ours = engine_lp_mode(tbl, seeds, "shuffle", cfg)
+    pairs = list(zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist()))
+    theirs = label_propagation_reference(pairs, seeds)
+    assert ours == theirs
+    bc = engine_lp_mode(tbl, seeds, "broadcast")
+    assert ours == bc
+
+
+def test_labelprop_shuffle_no_matching_seeds():
+    tbl = named_graph_edges("two_cliques")
+    cfg = EngineConfig(num_partitions=4, broadcast_max_vertices=0)
+    ours = engine_lp_mode(tbl, {"u/nonexistent": "x"}, "shuffle", cfg)
+    assert set(ours.values()) == {""}
