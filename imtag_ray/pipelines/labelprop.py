@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.graph_build import Graph
@@ -99,7 +99,7 @@ def _canon_edges(graph: Graph) -> "ray.data.Dataset":
 def _lp_broadcast(
     graph: Graph, edges: "ray.data.Dataset",
     seed_vids: np.ndarray, seed_codes: np.ndarray,
-    L: int, cfg: EngineConfig,
+    L: int, cfg: EngineConfig, ckpt=None,
 ) -> np.ndarray:
     V = graph.num_vertices
     lab = np.full(V, UNLABELED, dtype=np.int64)
@@ -107,7 +107,14 @@ def _lp_broadcast(
     lab[seed_vids] = seed_codes
     is_seed[seed_vids] = True
 
-    for _ in range(cfg.max_iterations):
+    start_round = 0
+    if ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            lab = ckpt.load_arrays(m, "label")["label"]
+            start_round = m["iteration"] + 1
+
+    for rnd in range(start_round, cfg.max_iterations):
         ref = ray.put(lab)
 
         def step(batch: pa.Table, _ref=ref, _L=L) -> pa.Table:
@@ -133,7 +140,7 @@ def _lp_broadcast(
         )
         res = dataset_to_numpy(agg, "vid", "label", "cnt")
         if len(res["vid"]) == 0:
-            break
+            break  # no labeled vote anywhere → fixpoint
         # argmax with (count desc, label asc) tie-break: sort rows by
         # (vid asc, cnt desc, label asc) and take the first per vid
         order = np.lexsort((res["label"], -res["cnt"], res["vid"]))
@@ -147,13 +154,15 @@ def _lp_broadcast(
         new = lab.copy()
         upd = ~is_seed[winner_vid]
         new[winner_vid[upd]] = winner_lab[upd]
-        if np.array_equal(new, lab):
-            break
+        changed = int((new != lab).sum())
         lab = new
+        if ckpt is not None and cfg.checkpoint_every and (
+            (rnd + 1) % cfg.checkpoint_every == 0
+        ):
+            ckpt.write_arrays(rnd, {"label": lab}, metrics={"changed": changed})
+        if changed == 0:
+            break
     return lab
-
-
-NO_WINNER = -2  # sentinel distinct from UNLABELED
 
 
 def _winner_of_group(group: pa.Table) -> pa.Table:
@@ -170,12 +179,14 @@ def _winner_of_group(group: pa.Table) -> pa.Table:
 def _lp_shuffle(
     graph: Graph, edges: "ray.data.Dataset",
     seed_vids: np.ndarray, seed_codes: np.ndarray,
-    L: int, cfg: EngineConfig,
+    L: int, cfg: EngineConfig, ckpt=None,
 ) -> "ray.data.Dataset":
     """Scale path: (vid, label, is_seed) state Dataset; votes via two
     edge⋈state hash joins (materialized per the Ray 2.49 multi-join
     fusion deadlock workaround); winner per vid via map_groups (≤L rows
-    per group); convergence via a changed-row aggregate."""
+    per group); winners applied to state through a union + groupby
+    encode/decode exchange (no join — see the in-loop comment);
+    convergence via a changed-row aggregate."""
     from ..util import sparse_sum_reduce
 
     P = cfg.num_partitions
@@ -201,8 +212,16 @@ def _lp_shuffle(
         .map_batches(init, batch_format="pyarrow")
         .materialize()
     )
+    start_round = 0
+    if ckpt is not None:
+        m = ckpt.latest()
+        if m is not None:
+            state = ray.data.read_parquet(
+                m["path"], columns=["vid", "label", "is_seed"]
+            ).materialize()
+            start_round = m["iteration"] + 1
 
-    for _ in range(cfg.max_iterations):
+    for rnd in range(start_round, cfg.max_iterations):
         lab_side = state.select_columns(["vid", "label"])
         by_src = (
             edges.join(
@@ -255,42 +274,61 @@ def _lp_shuffle(
         )
         if winners.count() == 0:
             # no labeled vote anywhere (e.g. no seed matched a vertex):
-            # nothing can ever change, and a zero-row right side would
-            # hit Ray's schema-less-empty-join ArrowInvalid
+            # nothing can ever change
             break
 
-        def update(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        # Apply winners to state via a union + groupby MESSAGE EXCHANGE,
+        # not a join: map_groups' underlying sort emits SCHEMA-LESS
+        # empty blocks (round-3 gotcha) that ArrowInvalid a join's right
+        # side, while a groupby just drops them (same workaround as
+        # cc._shortcut_labels). Encoding — state row carries
+        # (old label, is_seed) in the low bits, a winner row lands
+        # strictly above every state row, so per vid Min = old state and
+        # Max = winner-if-any:
+        #   enc_state  = (label + OFF) * 2 + is_seed   (label >= -1)
+        #   enc_winner = W + winner + OFF,  W > max enc_state
+        OFF = 2
+        W = 2 * (L + OFF) + 4
 
-            vid = col_np(t, "vid")
-            lab = col_np(t, "label")
-            seed = col_np(t, "is_seed")
-            if "winner" in t.column_names:
-                win = (
-                    pc.fill_null(t.column("winner"), NO_WINNER)
-                    .cast(pa.int64())
-                    .to_numpy(zero_copy_only=False)
-                )
-            else:  # schema-less empty join partition
-                win = np.full(len(vid), NO_WINNER, dtype=np.int64)
-            new = np.where(
-                (seed == 0) & (win != NO_WINNER), win, lab
-            ).astype(np.int64)
+        def enc_state(t: pa.Table) -> pa.Table:
             return table_from_arrays(
-                vid=vid, label=new, is_seed=seed,
-                changed=(new != lab).astype(np.int64),
+                vid=col_np(t, "vid"),
+                enc=(col_np(t, "label") + OFF) * 2 + col_np(t, "is_seed"),
+            )
+
+        def enc_winner(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "winner" not in t.column_names:
+                return pa.table({"vid": pa.array([], pa.int64()),
+                                 "enc": pa.array([], pa.int64())})
+            return table_from_arrays(
+                vid=col_np(t, "vid"), enc=W + col_np(t, "winner") + OFF
+            )
+
+        def decode(t: pa.Table) -> pa.Table:
+            lo = col_np(t, "lo")
+            hi = col_np(t, "hi")
+            old = lo // 2 - OFF
+            seed = (lo & 1).astype(np.int8)
+            new = np.where((seed == 0) & (hi >= W), hi - W - OFF, old)
+            return table_from_arrays(
+                vid=col_np(t, "vid"), label=new.astype(np.int64),
+                is_seed=seed, changed=(new != old).astype(np.int64),
             )
 
         joined = (
-            state.join(
-                winners, join_type="left_outer", num_partitions=P,
-                on=("vid",), right_on=("vid",),
-            )
-            .map_batches(update, batch_format="pyarrow")
+            state.map_batches(enc_state, batch_format="pyarrow")
+            .union(winners.map_batches(enc_winner, batch_format="pyarrow"))
+            .groupby("vid")
+            .aggregate(Min("enc", alias_name="lo"), Max("enc", alias_name="hi"))
+            .map_batches(decode, batch_format="pyarrow")
             .materialize()
         )
         changed = int(joined.aggregate(Sum("changed", alias_name="s"))["s"] or 0)
         state = joined.drop_columns(["changed"]).materialize()
+        if ckpt is not None and cfg.checkpoint_every and (
+            (rnd + 1) % cfg.checkpoint_every == 0
+        ):
+            ckpt.write_dataset(rnd, state, metrics={"changed": changed})
         if changed == 0:
             break
     return state
@@ -320,8 +358,26 @@ def label_propagation(
     seed_vids, seed_codes = _resolve_seeds(graph, seeds, code)
     edges = _canon_edges(graph)
 
+    ckpt = None
+    if cfg.checkpoint_dir and cfg.checkpoint_every:
+        import hashlib
+
+        from ..state.checkpoint import CheckpointManager, graph_fingerprint
+
+        # LP state depends on the seed assignment as much as on the
+        # graph — fold a seeds digest into the lineage fingerprint so a
+        # checkpoint is never resumed under a different seeding.
+        seed_digest = hashlib.sha256(
+            repr(sorted(seeds.items())).encode()
+        ).hexdigest()[:16]
+        ckpt = CheckpointManager(
+            cfg.checkpoint_dir, "labelprop",
+            f"{graph_fingerprint(graph)}-seeds{seed_digest}",
+            cfg.num_partitions,
+        )
+
     if mode == "broadcast":
-        lab = _lp_broadcast(graph, edges, seed_vids, seed_codes, L, cfg)
+        lab = _lp_broadcast(graph, edges, seed_vids, seed_codes, L, cfg, ckpt)
         out_labels = np.array([""] + vocab, dtype=object)[lab + 1]
         lab_ref = ray.put(out_labels)
 
@@ -334,7 +390,7 @@ def label_propagation(
 
         return graph.vertices.map_batches(attach, batch_format="pyarrow")
     elif mode == "shuffle":
-        state = _lp_shuffle(graph, edges, seed_vids, seed_codes, L, cfg)
+        state = _lp_shuffle(graph, edges, seed_vids, seed_codes, L, cfg, ckpt)
         vocab_arr = pa.array([""] + vocab, pa.string())
 
         def decode(t: pa.Table, _vocab=vocab_arr) -> pa.Table:

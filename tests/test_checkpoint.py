@@ -181,3 +181,94 @@ def test_cc_shuffle_resume_same_labels(ckpt_dir):
     )["component_id"]
     assert np.array_equal(cc_full, cc1)
     assert np.array_equal(cc1, cc2)
+
+
+def lp_labels_of(ds):
+    out = dataset_to_numpy(ds.sort("url"), "url", "label")
+    return dict(zip([str(u) for u in out["url"]],
+                    [str(x) for x in out["label"]]))
+
+
+def test_labelprop_broadcast_resume_bit_identical(ckpt_dir):
+    from imtag_ray.pipelines.labelprop import label_propagation
+    from imtag_ray.sources.synth import gurl
+
+    tbl = named_graph_edges("barbell")
+    g = build_graph(ray.data.from_arrow(tbl))
+    seeds = {gurl(0): "a", gurl(24): "b"}
+
+    cfg_full = EngineConfig(num_partitions=4, max_iterations=8)
+    full = lp_labels_of(label_propagation(g, seeds, cfg_full, mode="broadcast"))
+
+    cfg_half = EngineConfig(
+        num_partitions=4, max_iterations=3,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    label_propagation(g, seeds, cfg_half, mode="broadcast")
+    iters = sorted(os.listdir(os.path.join(ckpt_dir, "labelprop")))
+    assert iters == ["iter=00000", "iter=00001", "iter=00002"]
+
+    cfg_resume = EngineConfig(
+        num_partitions=4, max_iterations=8,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    resumed = lp_labels_of(
+        label_propagation(g, seeds, cfg_resume, mode="broadcast")
+    )
+    assert full == resumed
+
+
+def test_labelprop_shuffle_resume_equivalent(ckpt_dir):
+    """Dataset-state LP (the scale path) resumes from a mid-run
+    checkpoint to the same labels as an uninterrupted run."""
+    from imtag_ray.pipelines.labelprop import label_propagation
+    from imtag_ray.sources.synth import gurl
+
+    tbl = named_graph_edges("gnp")
+    g = build_graph(ray.data.from_arrow(tbl))
+    seeds = {gurl(i): f"c{i % 3}" for i in range(0, 30, 7)}
+
+    cfg_full = EngineConfig(num_partitions=4, max_iterations=8)
+    full = lp_labels_of(label_propagation(g, seeds, cfg_full, mode="shuffle"))
+
+    cfg_half = EngineConfig(
+        num_partitions=4, max_iterations=2,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    label_propagation(g, seeds, cfg_half, mode="shuffle")
+    assert sorted(os.listdir(os.path.join(ckpt_dir, "labelprop"))) == [
+        "iter=00000", "iter=00001",
+    ]
+    cfg_resume = EngineConfig(
+        num_partitions=4, max_iterations=8,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    resumed = lp_labels_of(
+        label_propagation(g, seeds, cfg_resume, mode="shuffle")
+    )
+    assert full == resumed
+
+
+def test_labelprop_checkpoint_not_resumed_across_seeds(ckpt_dir):
+    """A checkpoint written under one seeding must NOT be picked up by a
+    run with different seeds (the lineage fingerprint folds the seed
+    assignment in)."""
+    from imtag_ray.pipelines.labelprop import label_propagation
+    from imtag_ray.sources.synth import gurl
+
+    tbl = named_graph_edges("two_cliques")
+    g = build_graph(ray.data.from_arrow(tbl))
+    cfg = EngineConfig(
+        num_partitions=4, max_iterations=8,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    label_propagation(g, {gurl(0): "red", gurl(5): "blue"}, cfg,
+                      mode="broadcast")
+    # different seeding: clique colors swapped — stale-resume would
+    # reproduce the OLD colors
+    out = lp_labels_of(
+        label_propagation(g, {gurl(0): "blue", gurl(5): "red"}, cfg,
+                          mode="broadcast")
+    )
+    assert out[gurl(1)] == "blue"
+    assert out[gurl(6)] == "red"
