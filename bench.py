@@ -373,16 +373,19 @@ def run_scale_probe() -> dict:
     GROUPS = 2  # _pr_ranges groups_per_range default
     WINDOWS = int(os.environ.get("GRAFT_SCALE_WINDOWS", "3"))
     paths, bounds = cached_split_edges(V, D, N_BLOCKS, P)
+    # one plasma object per (range, block) file — the same layout the
+    # production path builds (block-local src windows keep the gather
+    # cache-resident); concatenating a range's blocks into one slab
+    # measured ~2x slower per iteration
     per_range = []
     for p in range(P):
-        files = paths[p]
-        gsize = -(-len(files) // GROUPS)
         refs = []
-        for g0 in range(0, len(files), gsize):
-            tbl = pa.concat_tables(
-                [pq.read_table(f) for f in files[g0 : g0 + gsize]]
-            ).combine_chunks()
-            refs.append(ray.put(tbl))
+        for f in paths[p]:
+            t = pq.read_table(f)
+            refs.append(ray.put({
+                "src": np.ascontiguousarray(t.column("src").to_numpy()),
+                "dst": np.ascontiguousarray(t.column("dst").to_numpy()),
+            }))
         per_range.append(refs)
     graph = Graph(vertices=None, edges=None, num_vertices=V, num_edges=V * D)
     graph._deg_cache["out"] = np.full(V, D, dtype=np.int64)
@@ -479,16 +482,39 @@ def run_scaling() -> dict:
     round_sec: dict = {lvl: [] for lvl in SCALE_LEVELS}  # per-round lists
     ex_sec: dict = {lvl: [] for lvl in SCALE_LEVELS}
     meta: dict = {}
+    # each probe is persisted to a sidecar JSONL as it completes, and a
+    # restarted run (GRAFT_SCALE_RESUME=1) replays finished (round,
+    # level) probes from it — a multi-hour protocol killed at round k
+    # keeps rounds 0..k-1 instead of losing everything
+    sidecar = os.environ.get(
+        "GRAFT_SCALE_LOG", "/tmp/imtag_ray_bench/scaling_probes.jsonl"
+    )
+    done: dict = {}
+    if os.environ.get("GRAFT_SCALE_RESUME") == "1" and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            for line in f:
+                rec = json.loads(line)
+                done[(rec["round"], rec["ncpu"])] = rec["probe"]
+        log(f"resuming: {len(done)} finished probes from {sidecar}")
+    elif os.path.exists(sidecar):
+        os.remove(sidecar)
+    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
     for r in range(rounds):
         for ncpu in SCALE_LEVELS:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            log(f"--- scaling round {r} at num_cpus={ncpu} ---")
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-run"],
-                env=env, capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            probe = json.loads(p.stdout.strip().splitlines()[-1])
+            if (r, ncpu) in done:
+                probe = done[(r, ncpu)]
+            else:
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+                log(f"--- scaling round {r} at num_cpus={ncpu} ---")
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--scale-run"],
+                    env=env, capture_output=True, text=True, check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                probe = json.loads(p.stdout.strip().splitlines()[-1])
+                with open(sidecar, "a") as f:
+                    f.write(json.dumps(
+                        {"round": r, "ncpu": ncpu, "probe": probe}) + "\n")
             win_sec[ncpu].extend(probe["pagerank_windows_sec"])
             round_sec[ncpu].append(probe["pagerank_windows_sec"])
             ex_sec[ncpu].extend(probe["extract_windows_sec"])

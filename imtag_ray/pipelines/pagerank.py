@@ -321,13 +321,21 @@ def _range_partial(contrib_ref, lo: int, hi: int, *parts) -> np.ndarray:
     contrib = contrib_ref
     n = hi - lo
     acc = np.zeros(n, dtype=np.float64)
+    # chunk the gather+bincount: a monolithic pass over a multi-10M-edge
+    # part materializes contrib[src] / dst-lo temporaries of 100+ MB,
+    # which the allocator mmaps fresh each call — page-fault thrash
+    # measured 27x slower than cache-sized chunks on this host
+    CH = 1 << 21
     for part in parts:
-        if isinstance(part, pa.Table):  # P==1: unsplit Arrow edge block
+        if isinstance(part, pa.Table):  # pre-grouped Arrow edge slab
             src, dst = col_np(part, "src"), col_np(part, "dst")
         else:
             src, dst = part["src"], part["dst"]
-        if len(dst):
-            acc += np.bincount(dst - lo, weights=contrib[src], minlength=n)
+        for s0 in range(0, len(dst), CH):
+            sl = slice(s0, s0 + CH)
+            acc += np.bincount(
+                dst[sl] - lo, weights=contrib[src[sl]], minlength=n
+            )
     return acc
 
 
