@@ -377,15 +377,19 @@ def run_scale_probe() -> dict:
     # production path builds (block-local src windows keep the gather
     # cache-resident); concatenating a range's blocks into one slab
     # measured ~2x slower per iteration
+    # run-compressed CSC parts (the production layout's form): the
+    # cached files are dst-sorted per (range, block)
+    from imtag_ray.pipelines.pagerank import _csc_part
+
     per_range = []
     for p in range(P):
         refs = []
         for f in paths[p]:
             t = pq.read_table(f)
-            refs.append(ray.put({
-                "src": np.ascontiguousarray(t.column("src").to_numpy()),
-                "dst": np.ascontiguousarray(t.column("dst").to_numpy()),
-            }))
+            refs.append(ray.put(_csc_part(
+                np.ascontiguousarray(t.column("src").to_numpy()),
+                np.ascontiguousarray(t.column("dst").to_numpy()),
+            )))
         per_range.append(refs)
     graph = Graph(vertices=None, edges=None, num_vertices=V, num_edges=V * D)
     graph._deg_cache["out"] = np.full(V, D, dtype=np.int64)

@@ -213,6 +213,9 @@ def _block_partial_sliced(block: pa.Table, contrib: np.ndarray, V: int,
     (Ray multi-return) so the reduction can be range-parallel."""
     src = col_np(block, "src")
     dst = col_np(block, "dst")
+    # NOT chunked like _range_partial: the dense V-length result is the
+    # dominant allocation here, and chunking would re-allocate it per
+    # chunk (bincount minlength=V) — strictly worse
     dense = np.bincount(dst, weights=contrib[src], minlength=V)
     return tuple(dense[bounds[i]: bounds[i + 1]] for i in range(len(bounds) - 1))
 
@@ -298,11 +301,32 @@ def _pr_blocks(
     return ranks
 
 
+def _csc_part(src: np.ndarray, dst_sorted: np.ndarray) -> dict:
+    """Run-compress a dst-SORTED edge slice into the per-partition CSC
+    block form: src per edge + one (dst, run-start) entry per distinct
+    dst. Cuts the per-iteration edge scan from (src+dst) 16B/edge to
+    8B/edge + ~16B/distinct-dst, and lets the iteration kernel use
+    add.reduceat over runs instead of bincount.
+
+    (Id narrowing to int32 was also A/B-tested here and measured ~20%
+    SLOWER — np.bincount casts to intp per call — which motivated this
+    run compression instead.)"""
+    if len(dst_sorted) == 0:
+        return {"src": src, "dst_u": dst_sorted,
+                "starts": np.empty(0, dtype=np.int64)}
+    b = np.empty(len(dst_sorted), dtype=bool)
+    b[0] = True
+    np.not_equal(dst_sorted[1:], dst_sorted[:-1], out=b[1:])
+    starts = np.flatnonzero(b)
+    return {"src": src, "dst_u": dst_sorted[starts], "starts": starts}
+
+
 @ray.remote
 def _split_block_by_dst_range(block: pa.Table, bounds: np.ndarray):
-    """One-time layout shuffle: split an edge block into P sub-arrays
-    clustered by dst range (the static range partitioning a multi-node
-    exchange would use)."""
+    """One-time layout shuffle: split an edge block into P run-compressed
+    CSC sub-blocks clustered by dst range (the static range partitioning
+    a multi-node exchange would use — the north star's "per-partition
+    CSR blocks" laid out along the exchange axis)."""
     src = col_np(block, "src")
     dst = col_np(block, "dst")
     order = np.argsort(dst, kind="stable")
@@ -310,7 +334,7 @@ def _split_block_by_dst_range(block: pa.Table, bounds: np.ndarray):
     cuts = np.searchsorted(dst, bounds[1:-1])
     src_parts = np.split(src, cuts)
     dst_parts = np.split(dst, cuts)
-    return tuple({"src": s, "dst": d} for s, d in zip(src_parts, dst_parts))
+    return tuple(_csc_part(s, d) for s, d in zip(src_parts, dst_parts))
 
 
 @ray.remote
@@ -321,12 +345,30 @@ def _range_partial(contrib_ref, lo: int, hi: int, *parts) -> np.ndarray:
     contrib = contrib_ref
     n = hi - lo
     acc = np.zeros(n, dtype=np.float64)
-    # chunk the gather+bincount: a monolithic pass over a multi-10M-edge
-    # part materializes contrib[src] / dst-lo temporaries of 100+ MB,
-    # which the allocator mmaps fresh each call — page-fault thrash
-    # measured 27x slower than cache-sized chunks on this host
+    # all paths are CHUNKED: a monolithic pass over a multi-10M-edge
+    # part materializes contrib[src] temporaries of 100+ MB, which the
+    # allocator mmaps fresh each call — page-fault thrash measured 27x
+    # slower than cache-sized chunks on this host
     CH = 1 << 21
     for part in parts:
+        if isinstance(part, dict) and "starts" in part:
+            # run-compressed CSC block: per-run add.reduceat
+            src, dst_u, starts = part["src"], part["dst_u"], part["starts"]
+            E = len(src)
+            if E == 0:
+                continue
+            nruns = len(starts)
+            # chunk on RUN boundaries so each reduceat sees whole runs
+            rch = max(1, (nruns * CH) // max(E, 1))
+            for r0 in range(0, nruns, rch):
+                r1 = min(r0 + rch, nruns)
+                e0 = int(starts[r0])
+                e1 = int(starts[r1]) if r1 < nruns else E
+                w = contrib[src[e0:e1]]
+                acc[dst_u[r0:r1] - lo] += np.add.reduceat(
+                    w, starts[r0:r1] - e0
+                )
+            continue
         if isinstance(part, pa.Table):  # pre-grouped Arrow edge slab
             src, dst = col_np(part, "src"), col_np(part, "dst")
         else:
