@@ -328,6 +328,20 @@ def cached_split_edges(V: int, D: int, n_blocks: int, P: int):
     return paths, bounds
 
 
+def _bw_worker(_):
+    """2-second streaming-sum worker; returns GB read (for the
+    machine-bandwidth probe — top-level so mp.Pool can pickle it)."""
+    import numpy as np
+
+    a = np.ones(50_000_000)  # 400 MB
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 2.0:
+        a.sum()
+        n += 1
+    return n * 0.4
+
+
 def run_scale_probe() -> dict:
     """PageRank measurement windows on a LARGE deterministic synthetic
     int graph (V=SCALE_V × deg SCALE_DEG; 2M × 320 = 640M edges by
@@ -339,10 +353,28 @@ def run_scale_probe() -> dict:
     parallelism levels, like a real cluster holding the data layout
     constant) where every task emits only its owned V/P slice — the
     minimal-exchange shape. Emits ALL timed windows so the caller can
-    report the distribution, not a cherry-picked point."""
+    report the distribution, not a cherry-picked point.
+
+    Also measures the MACHINE's achievable aggregate memory bandwidth
+    at this level's concurrency (the kernel is bandwidth-bound; on this
+    shared host the box's bandwidth does NOT grow 4x from N to 4N
+    cpus, so the bw ratio is the measured single-box ceiling any
+    bandwidth-bound kernel can reach — a real 4N-node cluster brings
+    4x memory controllers, which is what the ceiling-adjusted
+    efficiency estimates)."""
     import numpy as np
     import ray
     import ray.data
+
+    def _bw_gbps(nproc: int) -> float:
+        """Aggregate streaming read GB/s with nproc concurrent scanners
+        (measured BEFORE ray.init; ~2 s)."""
+        import multiprocessing as mp
+
+        with mp.Pool(nproc) as pool:
+            return round(sum(pool.map(_bw_worker, range(nproc))) / 2.0, 2)
+
+    mem_bw = _bw_gbps(NUM_CPUS)
 
     ray.init(
         address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -432,6 +464,7 @@ def run_scale_probe() -> dict:
     best_ex = min(ex_windows)
     return {
         "num_cpus": NUM_CPUS,
+        "mem_bw_gbps": mem_bw,
         "num_edges": V * D,
         "pagerank_sec": round(best, 3),
         "pagerank_windows_sec": windows,
@@ -485,6 +518,7 @@ def run_scaling() -> dict:
     win_sec: dict = {lvl: [] for lvl in SCALE_LEVELS}
     round_sec: dict = {lvl: [] for lvl in SCALE_LEVELS}  # per-round lists
     ex_sec: dict = {lvl: [] for lvl in SCALE_LEVELS}
+    bw_sec: dict = {lvl: [] for lvl in SCALE_LEVELS}  # machine GB/s per round
     meta: dict = {}
     # each probe is persisted to a sidecar JSONL as it completes, and a
     # restarted run (GRAFT_SCALE_RESUME=1) replays finished (round,
@@ -504,7 +538,11 @@ def run_scaling() -> dict:
         os.remove(sidecar)
     os.makedirs(os.path.dirname(sidecar), exist_ok=True)
     for r in range(rounds):
-        for ncpu in SCALE_LEVELS:
+        # alternate the level order per round: a co-tenant burst arriving
+        # mid-round otherwise always lands on the SECOND level, biasing
+        # the paired ratio in one direction
+        order = SCALE_LEVELS if r % 2 == 0 else tuple(reversed(SCALE_LEVELS))
+        for ncpu in order:
             if (r, ncpu) in done:
                 probe = done[(r, ncpu)]
             else:
@@ -522,6 +560,7 @@ def run_scaling() -> dict:
             win_sec[ncpu].extend(probe["pagerank_windows_sec"])
             round_sec[ncpu].append(probe["pagerank_windows_sec"])
             ex_sec[ncpu].extend(probe["extract_windows_sec"])
+            bw_sec[ncpu].append(probe.get("mem_bw_gbps"))
             meta = {"num_edges": probe["num_edges"], "pr_iters": probe["pr_iters"]}
 
     E, iters = meta["num_edges"], meta["pr_iters"]
@@ -556,6 +595,19 @@ def run_scaling() -> dict:
         for _ in range(10000)
     )
     paired_ci = [round(boot[249], 3), round(boot[9749], 3)]
+    # bandwidth-ceiling-adjusted efficiency (the VERDICT's "quantified
+    # steal-adjusted bound"): the iteration kernel is memory-bandwidth
+    # bound, and each probe measures the MACHINE's achievable aggregate
+    # GB/s at its own concurrency. bw_ratio = bw(4N)/bw(N) is the
+    # hardest speedup any bandwidth-bound kernel can reach on this box
+    # in that round; adjusted = tput_ratio / bw_ratio measures how much
+    # of the machine-available scaling the ENGINE captured (a real 4N-
+    # node cluster scales bandwidth 4x with node count).
+    bw_adj = [
+        (paired[r] * 4) / (bw_sec[hi_lvl][r] / bw_sec[lo_lvl][r])
+        for r in range(rounds)
+        if bw_sec[lo_lvl][r] and bw_sec[hi_lvl][r]
+    ]
     sp = sorted(paired)
     n = len(sp)
     paired_iqr = [round(sp[n // 4], 3),
@@ -582,6 +634,14 @@ def run_scaling() -> dict:
         "scaling_efficiency_paired_boot95ci": paired_ci,
         "scaling_efficiency_pooled_median": round(med_eff, 3),
         "scaling_efficiency_best": round(best_eff, 3),
+        "machine_bw_gbps_N": [b for b in bw_sec[lo_lvl]],
+        "machine_bw_gbps_4N": [b for b in bw_sec[hi_lvl]],
+        "scaling_efficiency_bw_ceiling_adjusted": (
+            round(statistics.median(bw_adj), 3) if bw_adj else None
+        ),
+        "scaling_efficiency_bw_ceiling_adjusted_per_round": [
+            round(x, 3) for x in bw_adj
+        ],
         "extract_pages_per_sec_N": round(statistics.median(lo_ex), 1),
         "extract_pages_per_sec_4N": round(statistics.median(hi_ex), 1),
         "extract_scaling_efficiency": round(ex_med_eff, 3),
