@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_components": q.geo_components_q,
         "geo_component_sizes": q.geo_component_sizes_q,
         "geo_labelprop": q.geo_labelprop_q,
+        "doc_hits8": q.doc_hits8_q,
+        "copart_bfs12": q.copart_bfs12_q,
+        "copart_kcore3": q.copart_kcore3_q,
         # --- text analysis -------------------------------------------------
         "doc_token_stats": d.doc_token_stats_q,
         "doc_bpe_tokens": d.doc_bpe_tokens_q,
@@ -457,6 +460,70 @@ def _lp_unrolled_sql(rounds: int = 6) -> str:
     FROM state{rounds} ORDER BY url""")
 
 
+def _hits_unrolled_sql(iters: int = 8) -> str:
+    """HITS oracle: K iterations unrolled as chained CTEs over the doc
+    link formula (a_r = in-sum of h_{r-1}, then h_r = out-sum of a_r;
+    no per-iteration normalization — it's a scalar factor, applied once
+    at the end, exactly as pipelines.traversal.hits computes it).
+    Vertices whose score hits exact 0 drop out of the inner joins and
+    re-enter as coalesce(0) at the end — identical to the engine's
+    scatter-add zeros."""
+    parts = [f"WITH targets AS ({_DOC_TARGETS}),",
+             "e AS MATERIALIZED (SELECT DISTINCT doc_id AS s, tgt AS d FROM targets"
+             "      WHERE tgt != doc_id),",
+             "verts(v) AS (SELECT s FROM e UNION SELECT d FROM e),",
+             "h0 AS (SELECT v, 1.0 AS x FROM verts),"]
+    for r in range(1, iters + 1):
+        # MATERIALIZED: a{iters} is referenced by both h{iters} and
+        # fin, so an inlined chain is re-evaluated multiplicatively
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT e.d AS v, sum(h{r-1}.x) AS x FROM e"
+            f" JOIN h{r-1} ON h{r-1}.v = e.s GROUP BY e.d),")
+        parts.append(
+            f"h{r} AS MATERIALIZED (SELECT e.s AS v, sum(a{r}.x) AS x FROM e"
+            f" JOIN a{r} ON a{r}.v = e.d GROUP BY e.s),")
+    parts.append(
+        f"fin AS MATERIALIZED (SELECT verts.v, coalesce(h{iters}.x, 0) AS hr,"
+        f" coalesce(a{iters}.x, 0) AS ar FROM verts"
+        f" LEFT JOIN h{iters} ON h{iters}.v = verts.v"
+        f" LEFT JOIN a{iters} ON a{iters}.v = verts.v),")
+    parts.append("tot AS (SELECT sum(hr) AS th, sum(ar) AS ta FROM fin)")
+    return "\n".join(parts) + f"""
+    SELECT {_DURL.format(c='fin.v')} AS url,
+           round(fin.hr / nullif((SELECT th FROM tot), 0), 9) AS hub,
+           round(fin.ar / nullif((SELECT ta FROM tot), 0), 9) AS auth
+    FROM fin ORDER BY url"""
+
+
+def _kcore_unrolled_sql(k: int = 3, rounds: int = 8) -> str:
+    """k-core oracle: R peel rounds unrolled (each round: degree within
+    the previous alive set, keep >= k), then the final alive set's
+    internal degrees — exactly pipelines.traversal.kcore's fixed-round
+    semantics (converging earlier is a no-op: a fixpoint set replays
+    unchanged through the remaining rounds)."""
+    parts = [f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+             "und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs"
+             " UNION ALL SELECT pb_, pa_ FROM pairs),",
+             "a0(v) AS (SELECT DISTINCT s FROM und),"]
+    for r in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: every d{r} references a{r-1}
+        # TWICE, so inlined plans double per round (2^rounds blowup)
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT u.s AS v, count(*) AS c FROM und u"
+            f" JOIN a{r-1} x ON x.v = u.s JOIN a{r-1} y ON y.v = u.d"
+            f" GROUP BY u.s),")
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE c >= {k}),")
+    parts.append(
+        f"dfin AS (SELECT u.s AS v, count(*) AS c FROM und u"
+        f" JOIN a{rounds} x ON x.v = u.s JOIN a{rounds} y ON y.v = u.d"
+        f" GROUP BY u.s)")
+    return "\n".join(parts) + f"""
+    SELECT {_PURL.format(c='a.v')} AS url,
+           CAST(coalesce(dfin.c, 0) AS BIGINT) AS core_degree
+    FROM a{rounds} a LEFT JOIN dfin ON dfin.v = a.v ORDER BY url"""
+
+
 def oracle_sql() -> dict[str, str]:
     purl_a = _PURL.format(c="pa_")
     purl_b = _PURL.format(c="pb_")
@@ -550,6 +617,25 @@ def oracle_sql() -> dict[str, str]:
             FROM minl ORDER BY url
         """,
         "geo_labelprop": _lp_unrolled_sql(6),
+        "doc_hits8": _hits_unrolled_sql(8),
+        "copart_bfs12": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            seed AS (SELECT min(s) AS v FROM und),
+            walk(it, v, dist) AS (
+                SELECT 0, v, 0 FROM seed
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM walk w JOIN und u ON u.s = w.v
+                WHERE w.it < 12
+                GROUP BY w.it, u.d
+            )
+            SELECT {_PURL.format(c='v')} AS url,
+                   CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY v ORDER BY url
+        """,
+        "copart_kcore3": _kcore_unrolled_sql(3, 8),
         "geo_component_sizes": f"""
             {_GEO_COMPONENTS},
             comp AS (SELECT v, CAST(dense_rank() OVER (ORDER BY ml) - 1 AS BIGINT)

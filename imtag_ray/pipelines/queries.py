@@ -329,3 +329,59 @@ def doc_texts_q(sf_dir: str) -> "ray.data.Dataset":
         )
         .sort("url")
     )
+
+
+# ---------------------------------------------------------------------------
+# traversal queries (HITS / BFS / k-core)
+# ---------------------------------------------------------------------------
+
+
+def doc_graph(sf_dir: str) -> Graph:
+    """Directed doc link graph from the FULL extraction pipeline (the
+    HITS oracle replays the link formula in SQL, so engine HITS over a
+    graph built by real HTML parsing closes the loop end-to-end)."""
+    key = (sf_dir, "doc")
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(doc_edges_q(sf_dir), QCFG)
+    return _GRAPH_CACHE[key]
+
+
+def doc_hits8_q(sf_dir: str) -> "ray.data.Dataset":
+    """HITS hub/authority, fixed 8 iterations with a single final sum
+    normalization (a per-iteration normalization is a scalar factor, so
+    deferring it yields identical scores and keeps the DuckDB oracle a
+    plain unrolled join chain); 9dp rounding."""
+    from .traversal import hits
+
+    h = hits(doc_graph(sf_dir), QCFG, iterations=8)
+
+    def roundha(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["url"],
+             "hub": pc.round(t["hub"], 9),
+             "auth": pc.round(t["auth"], 9)}
+        )
+
+    return h.map_batches(roundha, batch_format="pyarrow").sort("url")
+
+
+def copart_bfs12_q(sf_dir: str) -> "ray.data.Dataset":
+    """Min-hop distance from the lexicographically smallest part url,
+    fixed 12 relaxation rounds (reached-within-12 vertices only) so the
+    bounded recursive-CTE oracle replays it exactly."""
+    from ray.data.aggregate import Min
+
+    from .traversal import bfs_distances
+
+    g = copart_graph(sf_dir)
+    seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
+    return bfs_distances(g, [seed], QCFG, rounds=12).sort("url")
+
+
+def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
+    """3-core membership after 8 fixed peel rounds → (url, degree
+    within the surviving subgraph)."""
+    from .traversal import kcore
+
+    g = copart_graph(sf_dir)
+    return kcore(g, 3, QCFG, rounds=8).sort("url")

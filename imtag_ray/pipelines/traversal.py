@@ -1,0 +1,665 @@
+"""HITS, BFS hop distance, and k-core peeling over the link graph.
+
+Three further link-graph analytics built on the same two-mode
+machinery as pipelines.cc / pipelines.pagerank (broadcast V-array
+state vs Dataset shuffle state; mode picked by ``EngineConfig.
+vertex_state`` / ``broadcast_max_vertices``). All three generalize the
+reference's iterate-until-fixpoint relaxation over the merge table
+(src/disjoint_set.hpp:36-63) from min-label to other monoids:
+
+- **HITS** (Kleinberg): hub/authority power iteration — two scatter-add
+  halves per round (the sum-monoid analogue of PageRank's single half).
+- **BFS**: min-monoid relaxation of ``dist+1`` messages from a seed set
+  (hash-min CC with distance payload instead of component label).
+- **k-core**: iterative peeling — the alive set shrinks monotonically,
+  like the reference's remove_components + dense relabel loop
+  (src/morphology.cpp) iterated to a fixpoint.
+
+Fixed-round semantics: every op takes ``rounds``; when set, exactly
+that many synchronous rounds run (converging earlier is a no-op) so a
+DuckDB oracle can replay the identical trajectory (the copart_bfs12 /
+copart_kcore3 / doc_hits8 queries). ``rounds=None`` iterates to the
+fixpoint under ``cfg.max_iterations``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..stages.graph_build import Graph
+from ..util import (
+    col_np,
+    dataset_to_numpy,
+    sparse_min_reduce,
+    sparse_sum_reduce,
+    table_from_arrays,
+)
+
+_INF = np.iinfo(np.int64).max
+
+
+def _pick_mode(graph: Graph, cfg: EngineConfig) -> str:
+    if cfg.vertex_state != "auto":
+        return cfg.vertex_state
+    return (
+        "broadcast"
+        if graph.num_vertices <= cfg.broadcast_max_vertices
+        else "shuffle"
+    )
+
+
+def _sym_edges(graph: Graph) -> "ray.data.Dataset":
+    """Both-direction edge view (one materialized Dataset, built per
+    call site once) so undirected rounds need ONE state join per round
+    instead of two (two joins per streaming plan is the documented
+    Ray 2.49 deadlock shape)."""
+    edges = graph.edges.select_columns(["src", "dst"])
+    rev = edges.map_batches(
+        lambda t: table_from_arrays(
+            src=col_np(t, "dst"), dst=col_np(t, "src")
+        ),
+        batch_format="pyarrow",
+    )
+    return edges.union(rev).materialize()
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def _hits_broadcast(graph: Graph, cfg: EngineConfig, iterations: int):
+    V = graph.num_vertices
+    edges = graph.edges
+    hub = np.ones(V, dtype=np.float64)
+    auth = np.ones(V, dtype=np.float64)
+
+    def scatter(src_col: str, dst_col: str, vec: np.ndarray) -> np.ndarray:
+        ref = ray.put(vec)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            v = ray.get(_ref)
+            s = col_np(batch, src_col)
+            d = col_np(batch, dst_col)
+            k, p = sparse_sum_reduce(d, v[s])
+            return table_from_arrays(vid=k, part=p)
+
+        out = np.zeros(V, dtype=np.float64)
+        for b in edges.map_batches(step, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            np.add.at(out, col_np(b, "vid"), col_np(b, "part"))
+        return out
+
+    for _ in range(iterations):
+        # classic order: authorities from OLD hubs, hubs from NEW
+        # authorities; no per-iteration normalization (a scalar factor —
+        # normalizing once at the end yields the identical direction and
+        # keeps the SQL oracle a plain unrolled join chain)
+        auth = scatter("src", "dst", hub)
+        hub = scatter("dst", "src", auth)
+    hs, as_ = hub.sum(), auth.sum()
+    if hs > 0:
+        hub = hub / hs
+    if as_ > 0:
+        auth = auth / as_
+    return hub, auth
+
+
+def _hits_shuffle(
+    graph: Graph, cfg: EngineConfig, iterations: int
+) -> "ray.data.Dataset":
+    P = cfg.num_partitions
+    edges = graph.edges.select_columns(["src", "dst"])
+    state = graph.vertices.select_columns(["vid"]).map_batches(
+        lambda t: table_from_arrays(
+            vid=col_np(t, "vid"),
+            hub=np.ones(t.num_rows, dtype=np.float64),
+            auth=np.ones(t.num_rows, dtype=np.float64),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def half(state, join_on, emit_key, src_field, out_col):
+        """One scatter half: sum state[src_field] over edges grouped by
+        the opposite endpoint, write into state[out_col]."""
+        msgs = (
+            edges.join(
+                state, join_type="inner", num_partitions=P,
+                on=(join_on,), right_on=("vid",),
+            )
+            .map_batches(
+                lambda t: table_from_arrays(
+                    vid=col_np(t, emit_key), part=col_np(t, src_field)
+                ),
+                batch_format="pyarrow",
+            )
+            # map-side combiner: ≤1 row per target per block pre-shuffle
+            .map_batches(
+                lambda t: table_from_arrays(
+                    **dict(
+                        zip(
+                            ("vid", "part"),
+                            sparse_sum_reduce(
+                                col_np(t, "vid"), col_np(t, "part")
+                            ),
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("vid")
+            .aggregate(Sum("part", alias_name="part"))
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            part = t.column("part").to_numpy(zero_copy_only=False)
+            part = np.nan_to_num(
+                np.where(part == None, 0.0, part).astype(np.float64)  # noqa: E711
+            )
+            cols = {
+                "vid": col_np(t, "vid"),
+                "hub": col_np(t, "hub"),
+                "auth": col_np(t, "auth"),
+            }
+            cols[out_col] = part
+            return table_from_arrays(**cols)
+
+        return (
+            state.join(
+                msgs, join_type="left_outer", num_partitions=P,
+                on=("vid",), right_on=("vid",),
+            )
+            .map_batches(update, batch_format="pyarrow")
+            .materialize()
+        )
+
+    for _ in range(iterations):
+        state = half(state, "src", "dst", "hub", "auth")
+        state = half(state, "dst", "src", "auth", "hub")
+
+    sums = state.map_batches(
+        lambda t: table_from_arrays(
+            hs=np.array([col_np(t, "hub").sum()]),
+            as_=np.array([col_np(t, "auth").sum()]),
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("hs", alias_name="hs"), Sum("as_", alias_name="as_"))
+    hs = float(sums["hs"]) or 1.0
+    as_ = float(sums["as_"]) or 1.0
+    return state.map_batches(
+        lambda t, _h=hs, _a=as_: table_from_arrays(
+            vid=col_np(t, "vid"),
+            hub=col_np(t, "hub") / _h,
+            auth=col_np(t, "auth") / _a,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+
+def hits(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    iterations: int = 8,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (vid, url, hub, auth); each score vector sums to 1."""
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "hub": pa.array([], pa.float64()),
+                 "auth": pa.array([], pa.float64())}
+            )
+        )
+    mode = mode or _pick_mode(graph, cfg)
+    if mode == "shuffle":
+        state = _hits_shuffle(graph, cfg, iterations)
+        return (
+            graph.vertices.join(
+                state, join_type="inner",
+                num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["vid", "url", "hub", "auth"])
+            .materialize()
+        )
+    hub, auth = _hits_broadcast(graph, cfg, iterations)
+    ref = ray.put(np.stack([hub, auth]))
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        ha = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        return batch.append_column(
+            "hub", pa.array(ha[0][vid])
+        ).append_column("auth", pa.array(ha[1][vid]))
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance
+# ---------------------------------------------------------------------------
+
+
+def _seed_vids(graph: Graph, seed_urls) -> np.ndarray:
+    """Seed urls → vids via a filtered vertex scan (seed set is tiny;
+    never a driver dict of all urls — same shape as labelprop's
+    _resolve_seeds)."""
+    seed_set = pa.array(sorted(set(seed_urls)), type=pa.string())
+
+    def find(t: pa.Table, _set=seed_set) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["url"], value_set=_set)).select(["vid"])
+
+    vids = [
+        r["vid"]
+        for r in graph.vertices.map_batches(
+            find, batch_format="pyarrow"
+        ).take_all()
+    ]
+    return np.asarray(sorted(vids), dtype=np.int64)
+
+
+def _bfs_broadcast(
+    graph: Graph, cfg: EngineConfig, seeds: np.ndarray,
+    rounds: int | None, directed: bool,
+) -> np.ndarray:
+    V = graph.num_vertices
+    dist = np.full(V, _INF, dtype=np.int64)
+    dist[seeds] = 0
+    edges = graph.edges
+    max_rounds = rounds if rounds is not None else cfg.max_iterations
+    converged = False
+    for _ in range(max_rounds):
+        ref = ray.put(dist)
+
+        def step(batch: pa.Table, _ref=ref, _dir=directed) -> pa.Table:
+            d = ray.get(_ref)
+            src = col_np(batch, "src")
+            dst = col_np(batch, "dst")
+            if _dir:
+                keys, vals = dst, d[src]
+            else:
+                keys = np.concatenate([dst, src])
+                vals = np.concatenate([d[src], d[dst]])
+            fin = vals != _INF
+            k, v = sparse_min_reduce(keys[fin], vals[fin] + 1)
+            return table_from_arrays(vid=k, cand=v)
+
+        n_updates = 0
+        for b in edges.map_batches(step, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            vid = col_np(b, "vid")
+            cand = col_np(b, "cand")
+            m = cand < dist[vid]
+            n_updates += int(m.sum())
+            np.minimum.at(dist, vid[m], cand[m])
+        if n_updates == 0:
+            converged = True
+            break
+    if rounds is None and not converged:
+        raise RuntimeError(
+            f"bfs_distances did not converge within "
+            f"max_iterations={cfg.max_iterations}"
+        )
+    return dist
+
+
+def _bfs_shuffle(
+    graph: Graph, cfg: EngineConfig, seeds: np.ndarray,
+    rounds: int | None, directed: bool,
+) -> "ray.data.Dataset":
+    P = cfg.num_partitions
+    edges = (
+        graph.edges.select_columns(["src", "dst"])
+        if directed
+        else _sym_edges(graph)
+    )
+    seed_set = set(int(s) for s in seeds)
+    seed_arr = np.asarray(sorted(seed_set), dtype=np.int64)
+
+    def init(t: pa.Table, _s=seed_arr) -> pa.Table:
+        vid = col_np(t, "vid")
+        d = np.full(len(vid), _INF, dtype=np.int64)
+        d[np.isin(vid, _s)] = 0
+        return table_from_arrays(vid=vid, dist=d)
+
+    state = graph.vertices.select_columns(["vid"]).map_batches(
+        init, batch_format="pyarrow"
+    ).materialize()
+
+    max_rounds = rounds if rounds is not None else cfg.max_iterations
+
+    def relax(t: pa.Table) -> pa.Table:
+        # map-side combiner: ≤1 candidate per dst per block pre-shuffle
+        d = col_np(t, "dist")
+        dst = col_np(t, "dst")
+        fin = d != _INF
+        kk, v = sparse_min_reduce(dst[fin], d[fin] + 1)
+        return table_from_arrays(vid=kk, cand=v)
+
+    converged = False
+    for _ in range(max_rounds):
+        msgs = (
+            edges.join(
+                state, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .map_batches(relax, batch_format="pyarrow")
+            .groupby("vid")
+            .aggregate(Min("cand", alias_name="cand"))
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            old = col_np(t, "dist")
+            # int64-safe null fill (a float round-trip would corrupt
+            # the INT64_MAX sentinel)
+            cand = np.asarray(
+                pc.fill_null(t.column("cand").combine_chunks(), _INF)
+            ).astype(np.int64)
+            new = np.minimum(old, cand)
+            return table_from_arrays(
+                vid=col_np(t, "vid"), dist=new,
+                changed=(new != old).astype(np.int64),
+            )
+
+        joined = (
+            state.join(
+                msgs, join_type="left_outer", num_partitions=P,
+                on=("vid",), right_on=("vid",),
+            )
+            .map_batches(update, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = int(joined.aggregate(Sum("changed", alias_name="c"))["c"])
+        state = joined.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            converged = True
+            break
+    if rounds is None and not converged:
+        raise RuntimeError(
+            f"bfs_distances (shuffle) did not converge within "
+            f"max_iterations={cfg.max_iterations}"
+        )
+    return state
+
+
+def bfs_distances(
+    graph: Graph,
+    seed_urls,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    rounds: int | None = None,
+    directed: bool = False,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """Min-hop distance from ``seed_urls`` → Dataset (url, dist) over
+    REACHED vertices only (unreachable vertices are absent, matching
+    what a transitive-closure SQL oracle produces). With ``rounds=R``
+    exactly R synchronous relaxation rounds run, so only vertices at
+    distance ≤ R appear."""
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "dist": pa.array([], pa.int64())}
+    )
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(empty)
+    seeds = _seed_vids(graph, seed_urls)
+    if len(seeds) == 0:
+        return ray.data.from_arrow(empty)
+    mode = mode or _pick_mode(graph, cfg)
+    if mode == "shuffle":
+        state = _bfs_shuffle(graph, cfg, seeds, rounds, directed)
+        reached = state.map_batches(
+            lambda t: t.filter(
+                pa.array(col_np(t, "dist") != _INF)
+            ),
+            batch_format="pyarrow",
+        )
+        return (
+            graph.vertices.join(
+                reached, join_type="inner",
+                num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["url", "dist"])
+            .materialize()
+        )
+    dist = _bfs_broadcast(graph, cfg, seeds, rounds, directed)
+    ref = ray.put(dist)
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        d = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        dv = d[vid]
+        m = dv != _INF
+        return pa.table(
+            {"url": batch.column("url").filter(pa.array(m)),
+             "dist": pa.array(dv[m])}
+        )
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def _kcore_broadcast(
+    graph: Graph, cfg: EngineConfig, k: int, rounds: int | None
+) -> np.ndarray:
+    """→ int64 per-vertex array: alive-internal degree for members of
+    the k-core (after peeling), -1 for peeled vertices."""
+    V = graph.num_vertices
+    alive = np.ones(V, dtype=bool)
+    edges = graph.edges
+    max_rounds = rounds if rounds is not None else cfg.max_iterations
+
+    def alive_degrees(alive: np.ndarray) -> np.ndarray:
+        ref = ray.put(alive)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            a = ray.get(_ref)
+            src = col_np(batch, "src")
+            dst = col_np(batch, "dst")
+            m = a[src] & a[dst]
+            keys = np.concatenate([src[m], dst[m]])
+            kk, s = sparse_sum_reduce(
+                keys, np.ones(len(keys), dtype=np.int64)
+            )
+            return table_from_arrays(vid=kk, c=s)
+
+        deg = np.zeros(V, dtype=np.int64)
+        for b in edges.map_batches(step, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            np.add.at(deg, col_np(b, "vid"), col_np(b, "c"))
+        return deg
+
+    converged = False
+    deg = alive_degrees(alive)
+    for _ in range(max_rounds):
+        nxt = alive & (deg >= k)
+        if np.array_equal(nxt, alive):
+            converged = True
+            break
+        alive = nxt
+        deg = alive_degrees(alive)
+    if rounds is None and not converged:
+        raise RuntimeError(
+            f"kcore did not converge within max_iterations={cfg.max_iterations}"
+        )
+    # deg is over the FINAL alive set here: recomputed after the last
+    # peel (loop tail) or unchanged at the fixpoint (break)
+    return np.where(alive, deg, -1)
+
+
+def _kcore_shuffle(
+    graph: Graph, cfg: EngineConfig, k: int, rounds: int | None
+) -> "ray.data.Dataset":
+    """Scale path: the iterated state is the shrinking alive-alive EDGE
+    Dataset (peeling deletes vertices, so the edge set only shrinks —
+    each round is one degree groupby + two semi-join filters, all
+    distributed)."""
+    P = cfg.num_partitions
+    edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    max_rounds = rounds if rounds is not None else cfg.max_iterations
+
+    def edge_degrees(edges, col="c") -> "ray.data.Dataset":
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # post-join empties are schema-less
+                return pa.table(
+                    {"vid": pa.array([], pa.int64()),
+                     col: pa.array([], pa.int64())}
+                )
+            keys = np.concatenate([col_np(t, "src"), col_np(t, "dst")])
+            kk, s = sparse_sum_reduce(
+                keys, np.ones(len(keys), dtype=np.int64)
+            )
+            return table_from_arrays(**{"vid": kk, col: s})
+
+        return (
+            edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("vid")
+            .aggregate(Sum(col, alias_name=col))
+        )
+
+    def at_least_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # post-groupby empties are schema-less too
+            return pa.table({"vid": pa.array([], pa.int64())})
+        return t.filter(pa.array(col_np(t, "c") >= k)).select(["vid"])
+
+    converged = False
+    alive = None
+    n_alive_prev = -1
+    empty_edges = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+    for _ in range(max_rounds):
+        alive = (
+            edge_degrees(edges)
+            .map_batches(at_least_k, batch_format="pyarrow")
+            .materialize()
+        )
+        n_alive = alive.count()
+        if n_alive == n_alive_prev:
+            converged = True
+            break
+        n_alive_prev = n_alive
+        if n_alive == 0:
+            edges = ray.data.from_arrow(empty_edges)
+            converged = True
+            break
+        # two semi-joins with a materialize between them (Ray 2.49:
+        # fused JoinOperators deadlock on small CPU budgets)
+        edges = edges.join(
+            alive, join_type="inner", num_partitions=P,
+            on=("src",), right_on=("vid",),
+        ).select_columns(["src", "dst"]).materialize()
+        edges = edges.join(
+            alive, join_type="inner", num_partitions=P,
+            on=("dst",), right_on=("vid",),
+        ).select_columns(["src", "dst"]).materialize()
+    if rounds is None and not converged:
+        raise RuntimeError(
+            f"kcore (shuffle) did not converge within "
+            f"max_iterations={cfg.max_iterations}"
+        )
+    if alive is None:  # max_rounds == 0: no peeling
+        alive = graph.vertices.select_columns(["vid"]).materialize()
+    # final core degrees over the surviving edge set, zero-filled over
+    # the alive set: a vertex that survived the last peel but lost all
+    # neighbors to it (possible under fixed-round semantics) keeps a
+    # core_degree=0 row, matching broadcast mode and the SQL oracle
+    if edges.count() == 0:
+        # the last peel consumed every edge: all survivors are isolated
+        # (skip the join — an all-empty right side is schema-less)
+        return alive.map_batches(
+            lambda t: table_from_arrays(
+                vid=col_np(t, "vid"),
+                core_degree=np.zeros(t.num_rows, dtype=np.int64),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    deg = edge_degrees(edges, col="core_degree")
+    joined = alive.join(
+        deg, join_type="left_outer", num_partitions=P,
+        on=("vid",), right_on=("vid",),
+    )
+
+    def fill0(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:  # post-join empty blocks are schema-less
+            return pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "core_degree": pa.array([], pa.int64())}
+            )
+        cd = np.asarray(
+            pc.fill_null(t.column("core_degree").combine_chunks(), 0)
+        ).astype(np.int64)
+        return table_from_arrays(vid=col_np(t, "vid"), core_degree=cd)
+
+    return joined.map_batches(fill0, batch_format="pyarrow").materialize()
+
+
+def kcore(
+    graph: Graph,
+    k: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    rounds: int | None = None,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """k-core members after iterative peeling → Dataset
+    (url, core_degree) where core_degree is the vertex's degree within
+    the surviving subgraph. Treats the graph as undirected over its
+    canonical (deduplicated) edge rows. ``rounds=R`` runs exactly R
+    peel rounds (fixed-round semantics for the SQL oracle replay)."""
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "core_degree": pa.array([], pa.int64())}
+    )
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(empty)
+    mode = mode or _pick_mode(graph, cfg)
+    if mode == "shuffle":
+        deg = _kcore_shuffle(graph, cfg, k, rounds)
+        if deg.count() == 0:  # empty core: skip the empty-side join
+            return ray.data.from_arrow(empty)
+        # NOTE: shuffle mode loses survived-but-isolated vertices (no
+        # edge rows). Broadcast mode keeps them with core_degree 0;
+        # with rounds=None (fixpoint) the modes agree because an
+        # isolated survivor is impossible at a fixpoint with k >= 1.
+        return (
+            graph.vertices.join(
+                deg, join_type="inner", num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["url", "core_degree"])
+            .materialize()
+        )
+    core = _kcore_broadcast(graph, cfg, k, rounds)
+    ref = ray.put(core)
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        cv = c[vid]
+        m = cv >= 0
+        return pa.table(
+            {"url": batch.column("url").filter(pa.array(m)),
+             "core_degree": pa.array(cv[m])}
+        )
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")

@@ -1,0 +1,219 @@
+"""HITS / BFS / k-core: differential vs numpy+networkx references,
+broadcast and shuffle modes, and the fixed-round oracle semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from imtag_ray.config import EngineConfig
+from imtag_ray.pipelines.traversal import bfs_distances, hits, kcore
+from imtag_ray.sources.synth import gurl, named_graph_edges
+from imtag_ray.stages.graph_build import build_graph
+from imtag_ray.util import dataset_to_numpy
+
+CFG = EngineConfig(num_partitions=4)
+SHUF = EngineConfig(num_partitions=4, vertex_state="shuffle")
+
+
+def graph_and_vids(name):
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl))
+    verts = dataset_to_numpy(g.vertices.sort("vid"), "url")
+    url_to_vid = {str(u): i for i, u in enumerate(verts["url"])}
+    e = dataset_to_numpy(g.edges, "src", "dst")
+    return g, tbl, url_to_vid, e["src"], e["dst"]
+
+
+def hits_ref(src, dst, V, iters):
+    h = np.ones(V)
+    a = np.ones(V)
+    for _ in range(iters):
+        a = np.zeros(V)
+        np.add.at(a, dst, h[src])
+        h2 = np.zeros(V)
+        np.add.at(h2, src, a[dst])
+        h = h2
+    if h.sum() > 0:
+        h = h / h.sum()
+    if a.sum() > 0:
+        a = a / a.sum()
+    return h, a
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+def test_hits_matches_numpy_reference(cfg):
+    g, _, _, src, dst = graph_and_vids("gnp")
+    want_h, want_a = hits_ref(src, dst, g.num_vertices, iters=8)
+    out = dataset_to_numpy(hits(g, cfg, iterations=8).sort("vid"),
+                           "vid", "hub", "auth")
+    assert np.array_equal(out["vid"], np.arange(g.num_vertices))
+    np.testing.assert_allclose(out["hub"], want_h, rtol=1e-9, atol=1e-15)
+    np.testing.assert_allclose(out["auth"], want_a, rtol=1e-9, atol=1e-15)
+
+
+def test_hits_modes_agree():
+    g, _, _, _, _ = graph_and_vids("barbell")
+    b = dataset_to_numpy(hits(g, CFG, iterations=5).sort("vid"), "hub", "auth")
+    s = dataset_to_numpy(hits(g, SHUF, iterations=5).sort("vid"), "hub", "auth")
+    np.testing.assert_allclose(b["hub"], s["hub"], rtol=1e-12)
+    np.testing.assert_allclose(b["auth"], s["auth"], rtol=1e-12)
+
+
+def bfs_nx(name, seed_vertex):
+    import networkx as nx
+
+    tbl = named_graph_edges(name)
+    g = nx.Graph()
+    g.add_edges_from(
+        zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist())
+    )
+    return nx.single_source_shortest_path_length(g, seed_vertex)
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+def test_bfs_matches_networkx(cfg):
+    g, _, _, _, _ = graph_and_vids("barbell")
+    want = bfs_nx("barbell", gurl(0))
+    out = dataset_to_numpy(
+        bfs_distances(g, [gurl(0)], cfg).sort("url"), "url", "dist"
+    )
+    got = dict(zip([str(u) for u in out["url"]], out["dist"]))
+    assert got == want
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+def test_bfs_fixed_rounds_truncates(cfg):
+    # rounds=R keeps exactly the vertices within R hops (oracle replay
+    # semantics for copart_bfs12)
+    g, _, _, _, _ = graph_and_vids("barbell")
+    want = {u: d for u, d in bfs_nx("barbell", gurl(0)).items() if d <= 3}
+    out = dataset_to_numpy(
+        bfs_distances(g, [gurl(0)], cfg, rounds=3).sort("url"), "url", "dist"
+    )
+    got = dict(zip([str(u) for u in out["url"]], out["dist"]))
+    assert got == want
+
+
+def test_bfs_multi_seed_and_missing_seed():
+    g, _, _, _, _ = graph_and_vids("two_cliques")
+    out = dataset_to_numpy(
+        bfs_distances(g, [gurl(0), gurl(5), "https://nope/"], CFG),
+        "url", "dist",
+    )
+    got = dict(zip([str(u) for u in out["url"]], out["dist"]))
+    # both cliques reached from their own seed; all non-seeds distance 1
+    assert got[gurl(0)] == 0 and got[gurl(5)] == 0
+    assert all(
+        d == (0 if u in (gurl(0), gurl(5)) else 1) for u, d in got.items()
+    )
+
+
+def kcore_nx(name, k):
+    import networkx as nx
+
+    tbl = named_graph_edges(name)
+    g = nx.Graph()
+    g.add_edges_from(
+        zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist())
+    )
+    core = nx.k_core(g, k)
+    return dict(core.degree())
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+@pytest.mark.parametrize("k", [3, 5])
+def test_kcore_matches_networkx(cfg, k):
+    g, _, _, _, _ = graph_and_vids("gnp")
+    want = kcore_nx("gnp", k)
+    out = dataset_to_numpy(
+        kcore(g, k, cfg).sort("url"), "url", "core_degree"
+    )
+    got = dict(zip([str(u) for u in out["url"]], out["core_degree"]))
+    assert got == want
+
+
+def kcore_rounds_ref(pairs, k, rounds):
+    """Fixed-round peeling reference (plain Python)."""
+    from collections import Counter
+
+    alive = {v for p in pairs for v in p}
+    for _ in range(rounds):
+        deg = Counter()
+        for u, v in pairs:
+            if u in alive and v in alive:
+                deg[u] += 1
+                deg[v] += 1
+        nxt = {v for v in alive if deg[v] >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    deg = Counter()
+    for u, v in pairs:
+        if u in alive and v in alive:
+            deg[u] += 1
+            deg[v] += 1
+    return {v: deg[v] for v in alive}
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+def test_kcore_fixed_rounds_matches_reference(cfg):
+    # 1 round of k=6 peeling on the barbell leaves a non-fixpoint set:
+    # the fixed-round result must match the replayed trajectory (and
+    # survivors isolated by the last peel keep a core_degree=0 row)
+    g, tbl, _, _, _ = graph_and_vids("barbell")
+    pairs = list(
+        zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist())
+    )
+    for rounds in (1, 2, 4):
+        want = kcore_rounds_ref(pairs, 6, rounds)
+        out = dataset_to_numpy(
+            kcore(g, 6, cfg, rounds=rounds).sort("url"),
+            "url", "core_degree",
+        )
+        got = dict(zip([str(u) for u in out["url"]], out["core_degree"]))
+        assert got == want, f"rounds={rounds}"
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+def test_kcore_isolated_survivor_fixed_round(cfg):
+    # star, k=2, one round: leaves (deg 1) peel, the hub (deg 1000)
+    # survives but is left with no alive neighbor — fixed-round
+    # semantics must keep it with core_degree=0 in BOTH modes (the
+    # shuffle mode's alive left-join zero-fill)
+    g, _, _, _, _ = graph_and_vids("star")
+    out = dataset_to_numpy(
+        kcore(g, 2, cfg, rounds=1), "url", "core_degree"
+    )
+    assert dict(zip([str(u) for u in out["url"]], out["core_degree"])) == {
+        gurl(0): 0
+    }
+    # one more round and the isolated hub peels too
+    assert kcore(g, 2, cfg, rounds=2).count() == 0
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+def test_kcore_empty_core(cfg):
+    # k above the max degree peels everything
+    g, _, _, _, _ = graph_and_vids("cycle")
+    out = kcore(g, 3, cfg)
+    assert out.count() == 0
+
+
+def test_bfs_nonconvergence_raises():
+    g, _, _, _, _ = graph_and_vids("cycle")  # diameter 25
+    with pytest.raises(RuntimeError):
+        bfs_distances(
+            g, [gurl(0)], EngineConfig(num_partitions=4, max_iterations=3)
+        )
+
+
+def test_empty_graph_traversal():
+    empty = pa.table(
+        {"src_url": pa.array([], pa.string()),
+         "dst_url": pa.array([], pa.string())}
+    )
+    g = build_graph(ray.data.from_arrow(empty))
+    assert hits(g, CFG).count() == 0
+    assert bfs_distances(g, [gurl(0)], CFG).count() == 0
+    assert kcore(g, 2, CFG).count() == 0
