@@ -58,6 +58,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from imtag_ray.pipelines import dataops as d
     from imtag_ray.pipelines import queries as q
+    from imtag_ray.pipelines import scoring as s
     from imtag_ray import relational as r
 
     return {
@@ -87,6 +88,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": d.simhash_pairs_q,
         "simhash_table": d.simhash_table_q,
         "ngram_pairs": d.ngram_pairs_q,
+        "dedup_near_keep": s.dedup_near_keep_q,
+        # --- corpus scoring / selection -------------------------------------
+        "doc_bm25": s.doc_bm25_q,
+        "doc_top3_source": s.doc_top3_source_q,
+        "doc_sample": s.doc_sample_q,
+        "doc_len_quantiles": s.doc_len_quantiles_q,
         # --- similarity search --------------------------------------------
         "embed_knn": d.embed_knn_q,
         "embed_knn_ivf": d.embed_knn_ivf_q,
@@ -524,6 +531,34 @@ def _kcore_unrolled_sql(k: int = 3, rounds: int = 8) -> str:
     FROM a{rounds} a LEFT JOIN dfin ON dfin.v = a.v ORDER BY url"""
 
 
+def _near_keep_sql(rounds: int = 6) -> str:
+    """near-dedup keep-set oracle: the exact minhash-pairs replay as the
+    pair graph, then `rounds` unrolled hash-min rounds (each vertex
+    takes min of its own and its neighbors' labels — identical to
+    dedup.cluster.minlabel_clusters), then keep docs whose label is
+    their own id."""
+    parts = [
+        f"WITH mp AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_sql()})),",
+        "e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM mp"
+        " UNION ALL SELECT id_b, id_a FROM mp),",
+        "l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e),",
+    ]
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: l{r} is referenced twice by l{r+1}
+        parts.append(
+            f"l{r} AS MATERIALIZED ("
+            f" SELECT l.v, least(l.lbl, coalesce(min(p.lbl), l.lbl)) AS lbl"
+            f" FROM l{r-1} l LEFT JOIN e ON e.s = l.v"
+            f" LEFT JOIN l{r-1} p ON p.v = e.d"
+            f" GROUP BY l.v, l.lbl),"
+        )
+    parts.append(f"dropped AS (SELECT v FROM l{rounds} WHERE lbl != v)")
+    return "\n".join(parts) + """
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN dropped ON dropped.v = d.doc_id
+    WHERE dropped.v IS NULL ORDER BY d.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     purl_a = _PURL.format(c="pa_")
     purl_b = _PURL.format(c="pb_")
@@ -807,4 +842,79 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_sql(),
         "embed_knn_ivf": _IVF_SQL,
         "embed_dup_pairs_lsh": _lsh_sql(),
+        "dedup_near_keep": _near_keep_sql(6),
+        # corpus scoring / selection (pipelines.scoring)
+        "doc_bm25": r"""
+            WITH dl AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END AS BIGINT) AS dl
+              FROM documents),
+            stats AS (SELECT count(*) AS n,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM dl),
+            tk AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(
+                              trim(lower(text)), '\s+')) AS tok
+                   FROM documents WHERE trim(text) != ''),
+            tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tk
+                   WHERE tok IN ('hash', 'merge', 'spark', 'table')
+                   GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf
+                   GROUP BY tok),
+            contrib AS (
+              SELECT tf.doc_id,
+                     ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl.dl / stats.avgdl)) AS c
+              FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats),
+            sc AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+            SELECT d.doc_id, round(coalesce(sc.s, 0.0), 6) AS bm25
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "doc_top3_source": """
+            SELECT source, doc_id, n_chars, rnk FROM (
+              SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(row_number() OVER (
+                         PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     ) AS BIGINT) AS rnk
+              FROM documents) WHERE rnk <= 3 ORDER BY source, rnk
+        """,
+        "doc_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     CAST('0x' || substring(
+                         md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 16
+                     ) AS UBIGINT) % 1000 AS m
+              FROM documents)
+            WHERE m < CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 300
+                                WHEN 'es' THEN 200 WHEN 'fr' THEN 100
+                                ELSE 250 END
+            ORDER BY doc_id
+        """,
+        "doc_len_quantiles": r"""
+            WITH tok AS (
+              SELECT lang,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END AS BIGINT) AS nt
+              FROM documents),
+            h AS (SELECT lang, nt, count(*) AS c FROM tok GROUP BY lang, nt),
+            w AS (SELECT lang, nt,
+                         sum(c) OVER (PARTITION BY lang ORDER BY nt) AS cum,
+                         sum(c) OVER (PARTITION BY lang) AS n
+                  FROM h)
+            SELECT lang,
+                   CAST(min(CASE WHEN 100 * cum >= 50 * n THEN nt END)
+                        AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN 100 * cum >= 90 * n THEN nt END)
+                        AS BIGINT) AS p90,
+                   CAST(min(CASE WHEN 100 * cum >= 99 * n THEN nt END)
+                        AS BIGINT) AS p99
+            FROM w GROUP BY lang ORDER BY lang
+        """,
     }

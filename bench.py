@@ -237,6 +237,20 @@ def _bench_pass(cfg, pages_path) -> tuple:
     embed_knn_q(SF_DIR)
     queries["knn"] = time.perf_counter() - t0
 
+    from imtag_ray.pipelines.scoring import BM25_TERMS, bm25_scores
+
+    t0 = time.perf_counter()
+    bm25_scores(docs, "doc_id", "text", BM25_TERMS).count()
+    queries["bm25"] = time.perf_counter() - t0
+    log(f"bm25 in {queries['bm25']:.2f}s")
+
+    from imtag_ray.pipelines.traversal import hits
+
+    t0 = time.perf_counter()
+    hits(graph, iterations=8, mode="broadcast").count()
+    queries["hits"] = time.perf_counter() - t0
+    log(f"hits: 8 iters in {queries['hits']:.2f}s")
+
     return queries, extras
 
 

@@ -30,7 +30,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max
 
-from ..util import col_np, table_from_arrays
+from ..util import col_np, compact_nonempty, table_from_arrays
 
 _WS = re.compile(r"\s+")
 _MERSENNE = (1 << 61) - 1
@@ -318,48 +318,71 @@ def verify_pairs_jaccard(
             )
 
         return cand.map_batches(all_ones, batch_format="pyarrow")
-    sizes = ex.groupby("doc_id").count().rename_columns(
-        {"count()": "n"}
+    # compact_nonempty on EVERY join input: a zero-row first block on
+    # either side silences Ray 2.49's one-shot schema broadcast and the
+    # join dies on skew-emptied partitions (see util.compact_nonempty)
+    sizes = compact_nonempty(
+        ex.groupby("doc_id").count().rename_columns({"count()": "n"})
     )
 
-    # NOTE each join is materialized so every streaming execution holds
-    # at most ONE JoinOperator — multiple join actor-pools fused into a
-    # single plan can deadlock under a small CPU budget (observed on
-    # ray 2.49 local mode), and a stage boundary per exchange is the
-    # standard shape at scale anyway.
-    cand = cand.materialize()
-    a_sh = (
+    # NOTE each join is materialized (compact_nonempty materializes) so
+    # every streaming execution holds at most ONE JoinOperator —
+    # multiple join actor-pools fused into a single plan can deadlock
+    # under a small CPU budget (observed on ray 2.49 local mode), and a
+    # stage boundary per exchange is the standard shape at scale anyway.
+    cand = compact_nonempty(cand)
+    ex = compact_nonempty(ex)
+    a_sh = compact_nonempty(
         cand.join(
             ex, join_type="inner", num_partitions=P,
             on=("id_a",), right_on=("doc_id",),
-        )
-        .select_columns(["id_a", "id_b", "h"])
-        .materialize()
+        ).select_columns(["id_a", "id_b", "h"])
     )
     inter = (
-        a_sh.join(
-            ex.rename_columns({"doc_id": "id_b_", "h": "h_"}),
-            join_type="inner", num_partitions=P,
-            on=("id_b", "h"), right_on=("id_b_", "h_"),
+        compact_nonempty(
+            a_sh.join(
+                ex.rename_columns({"doc_id": "id_b_", "h": "h_"}),
+                join_type="inner", num_partitions=P,
+                on=("id_b", "h"), right_on=("id_b_", "h_"),
+            )
+            .groupby(["id_a", "id_b"])
+            .count()
+            .rename_columns({"count()": "inter"})
         )
-        .groupby(["id_a", "id_b"])
-        .count()
-        .rename_columns({"count()": "inter"})
-        .materialize()
+        if a_sh is not None
+        else None
     )
-    with_inter = cand.join(
-        inter, join_type="left_outer", num_partitions=P,
-        on=("id_a", "id_b"),
-    ).materialize()
-    with_na = with_inter.join(
-        sizes.rename_columns({"doc_id": "da", "n": "na"}),
-        join_type="left_outer", num_partitions=P,
-        on=("id_a",), right_on=("da",),
-    ).materialize()
-    with_nb = with_na.join(
-        sizes.rename_columns({"doc_id": "db", "n": "nb"}),
-        join_type="left_outer", num_partitions=P,
-        on=("id_b",), right_on=("db",),
+    # all-empty intermediates: every candidate pair has that quantity 0;
+    # skip the join (jaccard() treats the missing column as zeros)
+    with_inter = (
+        compact_nonempty(
+            cand.join(
+                inter, join_type="left_outer", num_partitions=P,
+                on=("id_a", "id_b"),
+            )
+        )
+        if inter is not None
+        else cand
+    )
+    with_na = (
+        compact_nonempty(
+            with_inter.join(
+                sizes.rename_columns({"doc_id": "da", "n": "na"}),
+                join_type="left_outer", num_partitions=P,
+                on=("id_a",), right_on=("da",),
+            )
+        )
+        if sizes is not None
+        else with_inter
+    )
+    with_nb = (
+        with_na.join(
+            sizes.rename_columns({"doc_id": "db", "n": "nb"}),
+            join_type="left_outer", num_partitions=P,
+            on=("id_b",), right_on=("db",),
+        )
+        if sizes is not None
+        else with_na
     )
 
     def jaccard(t: pa.Table, _t=threshold) -> pa.Table:

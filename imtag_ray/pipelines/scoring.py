@@ -1,0 +1,340 @@
+"""Corpus scoring / selection operators for the training-data pipeline:
+BM25 relevance scoring, group-wise top-k, deterministic stratified
+sampling, and exact histogram quantiles.
+
+These extend the driver brief's text-analysis flank (the reference's
+per-component statistics pass, src/SegmentImageImpl.cpp rows_to_
+components, generalized from pixel counts to corpus statistics). All
+semantics are deliberately ANSI-SQL-replicable so the DuckDB oracles in
+__ray_entry__.oracle_sql can check them value-for-value:
+
+- **BM25**: two streaming passes — pass 1 reduces to O(|terms|)
+  corpus constants (N, Σdl, per-term df) via a per-batch combiner +
+  tiny Sum aggregate; pass 2 scores every doc with the constants
+  closed over (broadcast once, not per batch).
+- **top-k per group**: per-batch partial top-k (the combiner bounds
+  shuffle volume at k rows per group per block) then a map_groups
+  finalize over the reduced set.
+- **deterministic sampling**: md5-prefix-u64 threshold per stratum —
+  resumable and replayable by construction (same row set on every
+  run, no RNG state).
+- **histogram quantiles**: exact type-1 quantiles of an integer
+  metric at any scale — per-batch (key, value)→count partials, one
+  small shuffle of the histogram, integer-only threshold arithmetic
+  (100·cum ≥ pct·n) so engine and SQL agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.textfn import token_count
+from ..util import table_from_arrays
+
+# --- BM25 -------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _texts(t: pa.Table, col: str) -> pd.Series:
+    return pd.Series(t.column(col).to_numpy(zero_copy_only=False))
+
+
+def _term_tf(texts: pd.Series, terms: list[str]) -> np.ndarray:
+    """(len(texts), len(terms)) int64 matrix of whitespace-token term
+    frequencies over trim(lower(text)) — exactly DuckDB's
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))."""
+    norm = texts.fillna("").str.lower().str.strip()
+    toks = norm.str.split(r"\s+", regex=True)
+    ex = toks.explode()
+    sub = ex[ex.isin(terms)]
+    out = np.zeros((len(texts), len(terms)), dtype=np.int64)
+    if len(sub):
+        cols = {t: j for j, t in enumerate(terms)}
+        rows = sub.index.to_numpy(dtype=np.int64)
+        cidx = np.array([cols[v] for v in sub.to_numpy()], dtype=np.int64)
+        np.add.at(out, (rows, cidx), 1)
+    return out
+
+
+def bm25_corpus_stats(
+    ds: "ray.data.Dataset", text_col: str, terms: list[str]
+) -> dict:
+    """Pass 1: {n, sum_dl, df (per term)} via per-batch combiner + Sum."""
+    terms = list(terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = _texts(t, text_col)
+        dl = token_count(texts)
+        tf = _term_tf(texts, terms)
+        cols = {
+            "n": np.array([len(texts)], dtype=np.int64),
+            "sum_dl": np.array([int(dl.sum())], dtype=np.int64),
+        }
+        for j in range(len(terms)):
+            cols[f"df_{j}"] = np.array(
+                [int((tf[:, j] > 0).sum())], dtype=np.int64
+            )
+        return table_from_arrays(**cols)
+
+    aggs = [Sum("n", alias_name="n"), Sum("sum_dl", alias_name="sum_dl")] + [
+        Sum(f"df_{j}", alias_name=f"df_{j}") for j in range(len(terms))
+    ]
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    if not row or row.get("n") is None:  # empty corpus
+        return {"n": 0, "avgdl": 0.0,
+                "df": np.zeros(len(terms), dtype=np.int64)}
+    n = int(row["n"])
+    return {
+        "n": n,
+        "avgdl": (int(row["sum_dl"]) / n) if n else 0.0,
+        "df": np.array(
+            [int(row[f"df_{j}"]) for j in range(len(terms))], dtype=np.int64
+        ),
+    }
+
+
+def bm25_scores(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> "ray.data.Dataset":
+    """BM25(doc, terms) → Dataset (id_col, bm25). Okapi idf with the
+    +1 smoothing (Lucene form): ln((N - df + 0.5)/(df + 0.5) + 1)."""
+    terms = sorted(set(terms))
+    stats = bm25_corpus_stats(ds, text_col, terms)
+    n, avgdl, df = stats["n"], stats["avgdl"], stats["df"]
+    idf = (
+        np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        if n
+        else np.zeros(len(terms))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = _texts(t, text_col)
+        dl = token_count(texts).astype(np.float64)
+        tf = _term_tf(texts, terms).astype(np.float64)
+        if avgdl > 0:
+            denom = tf + k1 * (1.0 - b + b * (dl / avgdl))[:, None]
+        else:
+            denom = tf + k1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            per_term = np.where(tf > 0, tf * (k1 + 1.0) / denom, 0.0)
+        return pa.table(
+            {id_col: t[id_col], "bm25": pa.array(per_term @ idf)}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- group-wise top-k -------------------------------------------------------
+
+
+def top_k_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    keep_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Top-k rows per group by (order_col DESC, tiebreak_col ASC) with a
+    1..k rank column (`rnk`). Per-batch partial top-k bounds the shuffle
+    at k rows per group per block; map_groups finalizes."""
+    keep = keep_cols or [group_col, order_col, tiebreak_col]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(keep).to_pandas()
+        df = df.sort_values(
+            [group_col, order_col, tiebreak_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby(group_col, sort=False).head(k)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [order_col, tiebreak_col], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+
+def sample_hash_u64(keys) -> np.ndarray:
+    """md5('smp:'+key) first-16-hex-chars → uint64 (the oracle-proven
+    CAST('0x' || substring(md5(...),1,16) AS UBIGINT) scheme)."""
+    return np.array(
+        [
+            int(hashlib.md5(f"smp:{k}".encode()).hexdigest()[:16], 16)
+            for k in keys
+        ],
+        dtype=np.uint64,
+    )
+
+
+def sample_stratified(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    strata_col: str,
+    permille: dict[str, int],
+    default_permille: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic per-stratum sample: keep rows where
+    hash_u64('smp:'+id) % 1000 < permille[stratum]. Pure filter — no
+    shuffle, no RNG state, identical row set on every run (resumable
+    sampling for training-data selection)."""
+    pm = dict(permille)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        strata = t.column(strata_col).to_numpy(zero_copy_only=False)
+        mod = (sample_hash_u64(ids) % np.uint64(1000)).astype(np.int64)
+        thresh = np.array(
+            [pm.get(s, default_permille) for s in strata], dtype=np.int64
+        )
+        return t.filter(pa.array(mod < thresh))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- exact histogram quantiles ----------------------------------------------
+
+
+def int_quantiles_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    percentiles: list[int],
+) -> "ray.data.Dataset":
+    """Exact type-1 quantiles of an INTEGER column per group, at any
+    scale: per-batch (group, value)→count partials collapse the data to
+    a histogram (|groups| × |distinct values| rows), one small shuffle,
+    then a per-group cumsum pick. The threshold is integer-only
+    (100·cum ≥ pct·n) so the DuckDB oracle agrees bit-for-bit.
+    → Dataset (group_col, p{pct}... int64)."""
+    pcts = sorted(percentiles)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                group_col: t.column(group_col).to_numpy(
+                    zero_copy_only=False
+                ),
+                value_col: t.column(value_col).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        out = (
+            df.groupby([group_col, value_col], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            g.groupby(value_col, sort=True)["c"].sum().sort_index()
+        )
+        vals = h.index.to_numpy(dtype=np.int64)
+        cum = h.to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        row = {group_col: [g[group_col].iloc[0]]}
+        for p in pcts:
+            # smallest v with 100*cum >= p*n (integer arithmetic)
+            idx = int(np.searchsorted(100 * cum, p * n, side="left"))
+            row[f"p{p}"] = np.array([vals[idx]], dtype=np.int64)
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+# --- queries() wrappers (column names match oracle_sql) ----------------------
+
+BM25_TERMS = ["hash", "merge", "spark", "table"]
+SAMPLE_PERMILLE = {"en": 400, "de": 300, "es": 200, "fr": 100}
+SAMPLE_DEFAULT_PERMILLE = 250
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    from ..util import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def doc_bm25_q(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_scores(ds, "doc_id", "text", BM25_TERMS)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "bm25": pc.round(t["bm25"], 6)}
+        ),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
+def doc_top3_source_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = top_k_per_group(
+        ds, "source", "n_chars", "doc_id", k=3,
+        keep_cols=["source", "doc_id", "n_chars"],
+    )
+    return out.sort(["source", "rnk"])
+
+
+def doc_sample_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sample_stratified(
+        ds, "doc_id", "lang", SAMPLE_PERMILLE, SAMPLE_DEFAULT_PERMILLE
+    ).sort("doc_id")
+
+
+def doc_len_quantiles_q(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def add_tokens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t["lang"],
+             "n_tokens": pa.array(token_count(_texts(t, "text")))}
+        )
+
+    withtok = ds.map_batches(add_tokens, batch_format="pyarrow")
+    return int_quantiles_by_group(
+        withtok, "lang", "n_tokens", [50, 90, 99]
+    ).sort("lang")
+
+
+def dedup_near_keep_q(sf_dir: str) -> "ray.data.Dataset":
+    from ..dedup.cluster import near_dedup_keep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return near_dedup_keep(ds, "doc_id", "text", threshold=0.5, rounds=6)

@@ -34,6 +34,7 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.graph_build import Graph
 from ..util import (
     col_np,
+    compact_nonempty,
     dataset_to_numpy,
     sparse_min_reduce,
     sparse_sum_reduce,
@@ -53,11 +54,12 @@ def _pick_mode(graph: Graph, cfg: EngineConfig) -> str:
     )
 
 
-def _sym_edges(graph: Graph) -> "ray.data.Dataset":
+def _sym_edges(graph: Graph):
     """Both-direction edge view (one materialized Dataset, built per
     call site once) so undirected rounds need ONE state join per round
     instead of two (two joins per streaming plan is the documented
-    Ray 2.49 deadlock shape)."""
+    Ray 2.49 deadlock shape). Compacted for join safety
+    (util.compact_nonempty); None when the graph has no edges."""
     edges = graph.edges.select_columns(["src", "dst"])
     rev = edges.map_batches(
         lambda t: table_from_arrays(
@@ -65,7 +67,7 @@ def _sym_edges(graph: Graph) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
-    return edges.union(rev).materialize()
+    return compact_nonempty(edges.union(rev))
 
 
 # ---------------------------------------------------------------------------
@@ -115,19 +117,41 @@ def _hits_shuffle(
     graph: Graph, cfg: EngineConfig, iterations: int
 ) -> "ray.data.Dataset":
     P = cfg.num_partitions
-    edges = graph.edges.select_columns(["src", "dst"])
-    state = graph.vertices.select_columns(["vid"]).map_batches(
-        lambda t: table_from_arrays(
-            vid=col_np(t, "vid"),
-            hub=np.ones(t.num_rows, dtype=np.float64),
-            auth=np.ones(t.num_rows, dtype=np.float64),
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    edges = compact_nonempty(graph.edges.select_columns(["src", "dst"]))
+    state = compact_nonempty(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            lambda t: table_from_arrays(
+                vid=col_np(t, "vid"),
+                hub=np.ones(t.num_rows, dtype=np.float64),
+                auth=np.ones(t.num_rows, dtype=np.float64),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def zero_out(state, out_col):
+        """No deliverable messages: the scatter target column is all 0."""
+
+        def z(t: pa.Table) -> pa.Table:
+            cols = {
+                "vid": col_np(t, "vid"),
+                "hub": col_np(t, "hub"),
+                "auth": col_np(t, "auth"),
+            }
+            cols[out_col] = np.zeros(t.num_rows, dtype=np.float64)
+            return table_from_arrays(**cols)
+
+        return state.map_batches(z, batch_format="pyarrow").materialize()
+
+    if edges is None:  # no edges: every score scatters to 0
+        return zero_out(zero_out(state, "auth"), "hub")
 
     def half(state, join_on, emit_key, src_field, out_col):
         """One scatter half: sum state[src_field] over edges grouped by
-        the opposite endpoint, write into state[out_col]."""
+        the opposite endpoint, write into state[out_col]. Both join
+        inputs and the groupby output are compacted (a zero-row first
+        block silences Ray 2.49's one-shot join schema broadcast —
+        util.compact_nonempty)."""
         msgs = (
             edges.join(
                 state, join_type="inner", num_partitions=P,
@@ -156,6 +180,9 @@ def _hits_shuffle(
             .groupby("vid")
             .aggregate(Sum("part", alias_name="part"))
         )
+        msgs = compact_nonempty(msgs)
+        if msgs is None:  # nothing scattered anywhere this half
+            return zero_out(state, out_col)
 
         def update(t: pa.Table) -> pa.Table:
             part = t.column("part").to_numpy(zero_copy_only=False)
@@ -170,13 +197,11 @@ def _hits_shuffle(
             cols[out_col] = part
             return table_from_arrays(**cols)
 
-        return (
+        return compact_nonempty(
             state.join(
                 msgs, join_type="left_outer", num_partitions=P,
                 on=("vid",), right_on=("vid",),
-            )
-            .map_batches(update, batch_format="pyarrow")
-            .materialize()
+            ).map_batches(update, batch_format="pyarrow")
         )
 
     for _ in range(iterations):
@@ -222,7 +247,7 @@ def hits(
     if mode == "shuffle":
         state = _hits_shuffle(graph, cfg, iterations)
         return (
-            graph.vertices.join(
+            compact_nonempty(graph.vertices).join(
                 state, join_type="inner",
                 num_partitions=cfg.num_partitions,
                 on=("vid",), right_on=("vid",),
@@ -320,7 +345,7 @@ def _bfs_shuffle(
 ) -> "ray.data.Dataset":
     P = cfg.num_partitions
     edges = (
-        graph.edges.select_columns(["src", "dst"])
+        compact_nonempty(graph.edges.select_columns(["src", "dst"]))
         if directed
         else _sym_edges(graph)
     )
@@ -333,9 +358,13 @@ def _bfs_shuffle(
         d[np.isin(vid, _s)] = 0
         return table_from_arrays(vid=vid, dist=d)
 
-    state = graph.vertices.select_columns(["vid"]).map_batches(
-        init, batch_format="pyarrow"
-    ).materialize()
+    state = compact_nonempty(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            init, batch_format="pyarrow"
+        )
+    )
+    if edges is None:  # no edges: only the seeds are reachable
+        return state
 
     max_rounds = rounds if rounds is not None else cfg.max_iterations
 
@@ -358,6 +387,10 @@ def _bfs_shuffle(
             .groupby("vid")
             .aggregate(Min("cand", alias_name="cand"))
         )
+        msgs = compact_nonempty(msgs)
+        if msgs is None:  # nothing relaxed: fixpoint reached
+            converged = True
+            break
 
         def update(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -374,16 +407,14 @@ def _bfs_shuffle(
                 changed=(new != old).astype(np.int64),
             )
 
-        joined = (
+        joined = compact_nonempty(
             state.join(
                 msgs, join_type="left_outer", num_partitions=P,
                 on=("vid",), right_on=("vid",),
-            )
-            .map_batches(update, batch_format="pyarrow")
-            .materialize()
+            ).map_batches(update, batch_format="pyarrow")
         )
         n_changed = int(joined.aggregate(Sum("changed", alias_name="c"))["c"])
-        state = joined.drop_columns(["changed"]).materialize()
+        state = compact_nonempty(joined.drop_columns(["changed"]))
         if n_changed == 0:
             converged = True
             break
@@ -420,14 +451,18 @@ def bfs_distances(
     mode = mode or _pick_mode(graph, cfg)
     if mode == "shuffle":
         state = _bfs_shuffle(graph, cfg, seeds, rounds, directed)
-        reached = state.map_batches(
-            lambda t: t.filter(
-                pa.array(col_np(t, "dist") != _INF)
-            ),
-            batch_format="pyarrow",
+        reached = compact_nonempty(
+            state.map_batches(
+                lambda t: t.filter(
+                    pa.array(col_np(t, "dist") != _INF)
+                ),
+                batch_format="pyarrow",
+            )
         )
+        if reached is None:  # possible only if the seed rows vanished
+            return ray.data.from_arrow(empty)
         return (
-            graph.vertices.join(
+            compact_nonempty(graph.vertices).join(
                 reached, join_type="inner",
                 num_partitions=cfg.num_partitions,
                 on=("vid",), right_on=("vid",),
@@ -513,7 +548,12 @@ def _kcore_shuffle(
     each round is one degree groupby + two semi-join filters, all
     distributed)."""
     P = cfg.num_partitions
-    edges = graph.edges.select_columns(["src", "dst"]).materialize()
+    empty_edges_t = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+    edges = compact_nonempty(graph.edges.select_columns(["src", "dst"]))
+    if edges is None:  # edgeless graph: every vertex peels at k >= 1
+        edges = ray.data.from_arrow(empty_edges_t)
     max_rounds = rounds if rounds is not None else cfg.max_iterations
 
     def edge_degrees(edges, col="c") -> "ray.data.Dataset":
@@ -547,30 +587,43 @@ def _kcore_shuffle(
         {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
     )
     for _ in range(max_rounds):
-        alive = (
-            edge_degrees(edges)
-            .map_batches(at_least_k, batch_format="pyarrow")
-            .materialize()
+        # compact_nonempty everywhere a Dataset feeds a join: a
+        # zero-row first block silences Ray 2.49's one-shot join schema
+        # broadcast (util.compact_nonempty)
+        alive = compact_nonempty(
+            edge_degrees(edges).map_batches(
+                at_least_k, batch_format="pyarrow"
+            )
         )
-        n_alive = alive.count()
+        n_alive = alive.count() if alive is not None else 0
         if n_alive == n_alive_prev:
             converged = True
             break
         n_alive_prev = n_alive
         if n_alive == 0:
+            alive = ray.data.from_arrow(
+                pa.table({"vid": pa.array([], pa.int64())})
+            )
             edges = ray.data.from_arrow(empty_edges)
             converged = True
             break
-        # two semi-joins with a materialize between them (Ray 2.49:
-        # fused JoinOperators deadlock on small CPU budgets)
-        edges = edges.join(
-            alive, join_type="inner", num_partitions=P,
-            on=("src",), right_on=("vid",),
-        ).select_columns(["src", "dst"]).materialize()
-        edges = edges.join(
-            alive, join_type="inner", num_partitions=P,
-            on=("dst",), right_on=("vid",),
-        ).select_columns(["src", "dst"]).materialize()
+        # two semi-joins with a compaction (= materialize) between them
+        # (Ray 2.49: fused JoinOperators deadlock on small CPU budgets)
+        edges = compact_nonempty(
+            edges.join(
+                alive, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            ).select_columns(["src", "dst"])
+        )
+        if edges is not None:
+            edges = compact_nonempty(
+                edges.join(
+                    alive, join_type="inner", num_partitions=P,
+                    on=("dst",), right_on=("vid",),
+                ).select_columns(["src", "dst"])
+            )
+        if edges is None:  # no edge survived; next round peels the rest
+            edges = ray.data.from_arrow(empty_edges)
     if rounds is None and not converged:
         raise RuntimeError(
             f"kcore (shuffle) did not converge within "
@@ -592,7 +645,7 @@ def _kcore_shuffle(
             ),
             batch_format="pyarrow",
         ).materialize()
-    deg = edge_degrees(edges, col="core_degree")
+    deg = compact_nonempty(edge_degrees(edges, col="core_degree"))
     joined = alive.join(
         deg, join_type="left_outer", num_partitions=P,
         on=("vid",), right_on=("vid",),
@@ -642,8 +695,9 @@ def kcore(
         # with rounds=None (fixpoint) the modes agree because an
         # isolated survivor is impossible at a fixpoint with k >= 1.
         return (
-            graph.vertices.join(
-                deg, join_type="inner", num_partitions=cfg.num_partitions,
+            compact_nonempty(graph.vertices).join(
+                compact_nonempty(deg), join_type="inner",
+                num_partitions=cfg.num_partitions,
                 on=("vid",), right_on=("vid",),
             )
             .select_columns(["url", "core_degree"])

@@ -149,3 +149,57 @@ def dataset_to_numpy(ds: "ray.data.Dataset", *cols: str) -> dict[str, np.ndarray
         c: (np.concatenate(v) if v else np.empty(0))
         for c, v in parts.items()
     }
+
+
+def ensure_typed(**types):
+    """Batch fn giving zero-row blocks a concrete schema.
+
+    Ray 2.49's hash groupby/aggregate emits SCHEMA-LESS empty blocks
+    for partitions that received no rows; when such a Dataset later
+    feeds a hash join, the join aggregator builds a zero-column table
+    for partitions covered only by those blocks and pyarrow's
+    Table.join fails with 'No match or multiple matches for key field
+    reference'. Chain `.map_batches(ensure_typed(k=pa.int64(), ...),
+    batch_format="pyarrow")` between any sparse groupby and a join.
+    Non-empty blocks pass through untouched (zero-copy)."""
+    import pyarrow as _pa
+
+    empty = _pa.table({n: _pa.array([], ty) for n, ty in types.items()})
+
+    def fix(t: "_pa.Table", _e=empty) -> "_pa.Table":
+        return _e if t.num_rows == 0 else t
+
+    return fix
+
+
+def compact_nonempty(ds: "ray.data.Dataset"):
+    """Materialize `ds` and drop zero-row blocks (metadata-only: block
+    refs are re-bundled, no data is fetched to the driver).
+
+    Why: Ray 2.49's hash-shuffle join broadcasts each side's schema to
+    all aggregator partitions only with the FIRST submitted shuffle
+    task — and `_shuffle_block` early-returns on a zero-row input
+    block, so when a side's first block happens to be empty the
+    broadcast never fires, partitions that receive no rows finalize a
+    zero-column table, and pyarrow's Table.join raises 'No match or
+    multiple matches for key field reference'. Feeding a side through
+    compact_nonempty makes its first block non-empty, which fixes the
+    broadcast deterministically.
+
+    Returns the compacted Dataset, or None if every block is empty
+    (callers must handle the all-empty case with typed short-circuits
+    — from_arrow_refs of nothing has no schema to offer).
+    """
+    import ray as _ray
+    import ray.data as _rd
+
+    mat = ds.materialize()
+    refs = [
+        block_ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for block_ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return None
+    return _rd.from_arrow_refs(refs)
