@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": d.embed_knn_ivf_q,
         "embed_dup_pairs": d.embed_dup_pairs_q,
         "embed_dup_pairs_lsh": d.embed_dup_pairs_lsh_q,
+        "embed_centroids": s.embed_centroids_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "top_customers": r.top_customers_by_revenue,
@@ -895,6 +896,15 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'es' THEN 200 WHEN 'fr' THEN 100
                                 ELSE 250 END
             ORDER BY doc_id
+        """,
+        "embed_centroids": """
+            WITH ex AS (
+              SELECT label, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i))
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   round(sum(v) / count(*), 6) AS centroid
+            FROM ex GROUP BY label, dim ORDER BY label, dim
         """,
         "doc_len_quantiles": r"""
             WITH tok AS (

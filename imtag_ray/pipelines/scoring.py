@@ -338,3 +338,79 @@ def dedup_near_keep_q(sf_dir: str) -> "ray.data.Dataset":
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return near_dedup_keep(ds, "doc_id", "text", threshold=0.5, rounds=6)
+
+
+# --- vector aggregate: per-group embedding centroids --------------------------
+
+EMB_DIM = 64
+
+
+def vector_centroids(
+    ds: "ray.data.Dataset", group_col: str, vec_col: str, dim: int
+) -> "ray.data.Dataset":
+    """Mean embedding per group → Dataset (label, dim, centroid), one
+    row per (group, dimension). The k-means / IVF-training building
+    block, shaped for scale: each batch collapses to |groups|·dim
+    partial (sum, count) rows before the only shuffle (a groupby on the
+    combined group·dim key), so shuffle volume is independent of row
+    count."""
+    dim_arange = np.arange(dim, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # flatten() (not .values) honors list-array slicing offsets;
+        # cast each float32 element to float64 BEFORE summing, exactly
+        # like SQL's sum(CAST(e AS DOUBLE))
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        m = vals.reshape(t.num_rows, dim)
+        lab = t.column(group_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        ld = (uniq[:, None] * dim + dim_arange[None, :]).ravel()
+        return table_from_arrays(
+            ld=ld, s=sums.ravel(), c=np.repeat(cnt, dim)
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ld")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # post-groupby empties are schema-less
+            return pa.table(
+                {"label": pa.array([], pa.int64()),
+                 "dim": pa.array([], pa.int64()),
+                 "centroid": pa.array([], pa.float64())}
+            )
+        ld = t.column("ld").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        return table_from_arrays(
+            label=ld // dim, dim=ld % dim, centroid=s / c
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def embed_centroids_q(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    out = vector_centroids(ds, "label", "embedding", EMB_DIM)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"label": t["label"], "dim": t["dim"],
+             "centroid": pc.round(t["centroid"], 6)}
+        ),
+        batch_format="pyarrow",
+    ).sort(["label", "dim"])

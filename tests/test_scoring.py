@@ -227,3 +227,34 @@ def test_near_dedup_keep_all_shingleless():
     # empty/whitespace docs: every pair is jaccard-1.0 → one cluster
     docs = {4: "", 8: "   ", 15: ""}
     assert _near_keep(docs) == [4]
+
+
+def test_vector_centroids_matches_numpy():
+    from imtag_ray.pipelines.scoring import vector_centroids
+
+    rng = np.random.RandomState(11)
+    n, dim = 137, 8
+    labels = rng.randint(0, 4, n).astype(np.int64)
+    vecs = rng.rand(n, dim).astype(np.float32)
+    t = pa.table(
+        {
+            "label": pa.array(labels),
+            "embedding": pa.array(
+                [v for v in vecs.tolist()], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        vector_centroids(
+            ray.data.from_arrow(t).repartition(5), "label", "embedding", dim
+        )
+        .sort(["label", "dim"])
+        .to_pandas()
+    )
+    want = np.stack(
+        [vecs[labels == g].astype(np.float64).mean(axis=0) for g in range(4)]
+    )
+    got = out["centroid"].to_numpy().reshape(4, dim)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert list(out["label"]) == [g for g in range(4) for _ in range(dim)]
+    assert list(out["dim"]) == list(range(dim)) * 4
