@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_labelprop": q.geo_labelprop_q,
         "doc_hits8": q.doc_hits8_q,
         "copart_bfs12": q.copart_bfs12_q,
+        "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
         # --- text analysis -------------------------------------------------
         "doc_token_stats": d.doc_token_stats_q,
@@ -665,6 +666,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT w.it + 1, u.d, min(w.dist) + 1
                 FROM walk w JOIN und u ON u.s = w.v
                 WHERE w.it < 12
+                GROUP BY w.it, u.d
+            )
+            SELECT {_PURL.format(c='v')} AS url,
+                   CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY v ORDER BY url
+        """,
+        "copart_sssp16": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            wund AS MATERIALIZED (
+                SELECT pa_ AS s, pb_ AS d,
+                       CAST(1 + (pa_ + pb_) % 7 AS BIGINT) AS wt FROM pairs
+                UNION ALL
+                SELECT pb_, pa_, CAST(1 + (pa_ + pb_) % 7 AS BIGINT)
+                FROM pairs),
+            seed AS (SELECT min(s) AS v FROM wund),
+            walk(it, v, dist) AS (
+                SELECT 0, v, CAST(0 AS BIGINT) FROM seed
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist + u.wt)
+                FROM walk w JOIN wund u ON u.s = w.v
+                WHERE w.it < 16
                 GROUP BY w.it, u.d
             )
             SELECT {_PURL.format(c='v')} AS url,

@@ -385,3 +385,61 @@ def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
 
     g = copart_graph(sf_dir)
     return kcore(g, 3, QCFG, rounds=8).sort("url")
+
+
+def copart_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Weighted copart edges in vid space: w = 1 + (ka + kb) % 7 from
+    the two endpoint part keys (parsed back out of the urls so the SQL
+    oracle can recompute the identical weight from pa_/pb_)."""
+    from ..util import compact_nonempty
+
+    g = copart_graph(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.cast(
+            pc.utf8_slice_codeunits(t["url"], 7, 32), pa.int64()
+        )
+        return pa.table({"kvid": t["vid"], "key": key})
+
+    vk = compact_nonempty(
+        g.vertices.map_batches(keyed, batch_format="pyarrow")
+    )
+    e = compact_nonempty(g.edges.select_columns(["src", "dst"]))
+    a = compact_nonempty(
+        e.join(
+            vk, join_type="inner", num_partitions=QCFG.num_partitions,
+            on=("src",), right_on=("kvid",),
+        ).map_batches(
+            lambda t: table_from_arrays(
+                src=col_np(t, "src"), dst=col_np(t, "dst"),
+                ka=col_np(t, "key"),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return compact_nonempty(
+        a.join(
+            vk, join_type="inner", num_partitions=QCFG.num_partitions,
+            on=("dst",), right_on=("kvid",),
+        ).map_batches(
+            lambda t: table_from_arrays(
+                src=col_np(t, "src"), dst=col_np(t, "dst"),
+                w=1 + (col_np(t, "ka") + col_np(t, "key")) % 7,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def copart_sssp16_q(sf_dir: str) -> "ray.data.Dataset":
+    """Weighted shortest-path cost from the lexicographically smallest
+    part url, fixed 16 relaxation rounds (min cost over paths of ≤ 16
+    edges — the bounded recursive-CTE oracle's exact trajectory)."""
+    from ray.data.aggregate import Min
+
+    from .traversal import sssp_distances
+
+    g = copart_graph(sf_dir)
+    wedges = copart_weighted_edges(sf_dir)
+    seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
+    return sssp_distances(g, [seed], wedges, QCFG, rounds=16).sort("url")

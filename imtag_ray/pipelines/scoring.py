@@ -22,6 +22,9 @@ __ray_entry__.oracle_sql can check them value-for-value:
   metric at any scale — per-batch (key, value)→count partials, one
   small shuffle of the histogram, integer-only threshold arithmetic
   (100·cum ≥ pct·n) so engine and SQL agree bit-for-bit.
+- **vector centroids**: mean embedding per group (the k-means / IVF
+  training primitive) — per-batch (group → Σvec, count) partials on a
+  combined group·dim key, shuffle volume independent of row count.
 """
 
 from __future__ import annotations

@@ -717,3 +717,201 @@ def kcore(
         )
 
     return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# weighted single-source shortest paths (min-plus relaxation)
+# ---------------------------------------------------------------------------
+
+
+def _sssp_broadcast(
+    graph: Graph, cfg: EngineConfig, seeds: np.ndarray,
+    wedges: "ray.data.Dataset", rounds: int | None,
+) -> np.ndarray:
+    V = graph.num_vertices
+    dist = np.full(V, _INF, dtype=np.int64)
+    dist[seeds] = 0
+    max_rounds = rounds if rounds is not None else cfg.max_iterations
+    converged = False
+    for _ in range(max_rounds):
+        ref = ray.put(dist)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)
+            src = col_np(batch, "src")
+            dst = col_np(batch, "dst")
+            w = col_np(batch, "w")
+            # undirected: relax both directions; finite-source only
+            # (INF + w overflows int64)
+            keys = np.concatenate([dst, src])
+            base = np.concatenate([d[src], d[dst]])
+            ww = np.concatenate([w, w])
+            fin = base != _INF
+            k, v = sparse_min_reduce(keys[fin], base[fin] + ww[fin])
+            return table_from_arrays(vid=k, cand=v)
+
+        n_updates = 0
+        for b in wedges.map_batches(
+            step, batch_format="pyarrow"
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            vid = col_np(b, "vid")
+            cand = col_np(b, "cand")
+            m = cand < dist[vid]
+            n_updates += int(m.sum())
+            np.minimum.at(dist, vid[m], cand[m])
+        if n_updates == 0:
+            converged = True
+            break
+    if rounds is None and not converged:
+        raise RuntimeError(
+            f"sssp_distances did not converge within "
+            f"max_iterations={cfg.max_iterations}"
+        )
+    return dist
+
+
+def _sssp_shuffle(
+    graph: Graph, cfg: EngineConfig, seeds: np.ndarray,
+    wedges: "ray.data.Dataset", rounds: int | None,
+) -> "ray.data.Dataset":
+    P = cfg.num_partitions
+    # one both-direction weighted view so each round needs one join
+    rev = wedges.map_batches(
+        lambda t: table_from_arrays(
+            src=col_np(t, "dst"), dst=col_np(t, "src"), w=col_np(t, "w")
+        ),
+        batch_format="pyarrow",
+    )
+    edges = compact_nonempty(wedges.union(rev))
+    seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+
+    def init(t: pa.Table, _s=seed_arr) -> pa.Table:
+        vid = col_np(t, "vid")
+        d = np.full(len(vid), _INF, dtype=np.int64)
+        d[np.isin(vid, _s)] = 0
+        return table_from_arrays(vid=vid, dist=d)
+
+    state = compact_nonempty(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            init, batch_format="pyarrow"
+        )
+    )
+    if edges is None:  # no edges: only the seeds are reachable
+        return state
+
+    max_rounds = rounds if rounds is not None else cfg.max_iterations
+
+    def relax(t: pa.Table) -> pa.Table:
+        d = col_np(t, "dist")
+        dst = col_np(t, "dst")
+        w = col_np(t, "w")
+        fin = d != _INF
+        kk, v = sparse_min_reduce(dst[fin], d[fin] + w[fin])
+        return table_from_arrays(vid=kk, cand=v)
+
+    converged = False
+    for _ in range(max_rounds):
+        msgs = compact_nonempty(
+            edges.join(
+                state, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .map_batches(relax, batch_format="pyarrow")
+            .groupby("vid")
+            .aggregate(Min("cand", alias_name="cand"))
+        )
+        if msgs is None:  # nothing relaxed: fixpoint
+            converged = True
+            break
+
+        def update(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            old = col_np(t, "dist")
+            cand = np.asarray(
+                pc.fill_null(t.column("cand").combine_chunks(), _INF)
+            ).astype(np.int64)
+            new = np.minimum(old, cand)
+            return table_from_arrays(
+                vid=col_np(t, "vid"), dist=new,
+                changed=(new != old).astype(np.int64),
+            )
+
+        joined = compact_nonempty(
+            state.join(
+                msgs, join_type="left_outer", num_partitions=P,
+                on=("vid",), right_on=("vid",),
+            ).map_batches(update, batch_format="pyarrow")
+        )
+        n_changed = int(joined.aggregate(Sum("changed", alias_name="c"))["c"])
+        state = compact_nonempty(joined.drop_columns(["changed"]))
+        if n_changed == 0:
+            converged = True
+            break
+    if rounds is None and not converged:
+        raise RuntimeError(
+            f"sssp_distances (shuffle) did not converge within "
+            f"max_iterations={cfg.max_iterations}"
+        )
+    return state
+
+
+def sssp_distances(
+    graph: Graph,
+    seed_urls,
+    wedges: "ray.data.Dataset",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    rounds: int | None = None,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """Weighted min-plus shortest-path distance from ``seed_urls`` over
+    an undirected weighted edge Dataset (src, dst, w int64; vid space)
+    → Dataset (url, dist) over REACHED vertices. ``rounds=R`` relaxes
+    exactly R synchronous rounds, i.e. min cost over paths of ≤ R
+    edges (the bounded recursive-CTE oracle's trajectory). Same
+    Bellman-Ford-style relaxation as bfs_distances with dist+w messages
+    instead of dist+1 (the reference's fixpoint relaxation generalized
+    to the tropical semiring)."""
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "dist": pa.array([], pa.int64())}
+    )
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(empty)
+    seeds = _seed_vids(graph, seed_urls)
+    if len(seeds) == 0:
+        return ray.data.from_arrow(empty)
+    mode = mode or _pick_mode(graph, cfg)
+    if mode == "shuffle":
+        state = _sssp_shuffle(graph, cfg, seeds, wedges, rounds)
+        reached = compact_nonempty(
+            state.map_batches(
+                lambda t: t.filter(pa.array(col_np(t, "dist") != _INF)),
+                batch_format="pyarrow",
+            )
+        )
+        if reached is None:
+            return ray.data.from_arrow(empty)
+        return (
+            compact_nonempty(graph.vertices).join(
+                reached, join_type="inner",
+                num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["url", "dist"])
+            .materialize()
+        )
+    dist = _sssp_broadcast(graph, cfg, seeds, wedges, rounds)
+    ref = ray.put(dist)
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        d = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        dv = d[vid]
+        m = dv != _INF
+        return pa.table(
+            {"url": batch.column("url").filter(pa.array(m)),
+             "dist": pa.array(dv[m])}
+        )
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")

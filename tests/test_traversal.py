@@ -217,3 +217,71 @@ def test_empty_graph_traversal():
     assert hits(g, CFG).count() == 0
     assert bfs_distances(g, [gurl(0)], CFG).count() == 0
     assert kcore(g, 2, CFG).count() == 0
+
+
+def wedges_for(g):
+    """Deterministic weights in vid space, reproducible in the test
+    reference: w = 1 + (3*src + 5*dst) % 7 over the canonical edges."""
+    e = dataset_to_numpy(g.edges, "src", "dst")
+    src, dst = e["src"], e["dst"]
+    w = (1 + (3 * src + 5 * dst) % 7).astype(np.int64)
+    t = pa.table(
+        {"src": pa.array(src), "dst": pa.array(dst), "w": pa.array(w)}
+    )
+    return ray.data.from_arrow(t).repartition(3), src, dst, w
+
+
+def sssp_nx(g, src, dst, w, seed_vid):
+    import networkx as nx
+
+    nxg = nx.Graph()
+    for s, d, ww in zip(src, dst, w):
+        # undirected: keep the min weight if both directions appear
+        if nxg.has_edge(s, d):
+            ww = min(ww, nxg[s][d]["weight"])
+        nxg.add_edge(int(s), int(d), weight=int(ww))
+    import networkx as nx
+
+    return nx.single_source_dijkstra_path_length(nxg, seed_vid)
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+def test_sssp_matches_networkx(cfg):
+    from imtag_ray.pipelines.traversal import sssp_distances
+
+    g, _, _, _, _ = graph_and_vids("gnp")
+    wedges, src, dst, w = wedges_for(g)
+    verts = dataset_to_numpy(g.vertices.sort("vid"), "vid", "url")
+    url_of = dict(zip(verts["vid"], [str(u) for u in verts["url"]]))
+    want = {
+        url_of[v]: d for v, d in sssp_nx(g, src, dst, w, 0).items()
+    }
+    out = dataset_to_numpy(
+        sssp_distances(g, [url_of[0]], wedges, cfg).sort("url"),
+        "url", "dist",
+    )
+    got = dict(zip([str(u) for u in out["url"]], out["dist"]))
+    assert got == want
+
+
+@pytest.mark.parametrize("cfg", [CFG, SHUF], ids=["broadcast", "shuffle"])
+def test_sssp_fixed_rounds_truncates(cfg):
+    # rounds=1: exactly the seed + its direct neighbors at min edge cost
+    from imtag_ray.pipelines.traversal import sssp_distances
+
+    g, _, _, _, _ = graph_and_vids("barbell")
+    wedges, src, dst, w = wedges_for(g)
+    verts = dataset_to_numpy(g.vertices.sort("vid"), "vid", "url")
+    url_of = dict(zip(verts["vid"], [str(u) for u in verts["url"]]))
+    want = {url_of[0]: 0}
+    for s, d, ww in zip(src, dst, w):
+        if s == 0:
+            want[url_of[d]] = min(want.get(url_of[d], 10**9), int(ww))
+        if d == 0:
+            want[url_of[s]] = min(want.get(url_of[s], 10**9), int(ww))
+    out = dataset_to_numpy(
+        sssp_distances(g, [url_of[0]], wedges, cfg, rounds=1).sort("url"),
+        "url", "dist",
+    )
+    got = dict(zip([str(u) for u in out["url"]], out["dist"]))
+    assert got == want
