@@ -142,12 +142,21 @@ def near_dedup_keep(
     shingle_k: int = DEFAULT_SHINGLE_K,
     seed: int = DEFAULT_SEED,
     num_partitions: int = 8,
+    driver_cluster_max_pairs: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Keep set after near-dup clustering → Dataset (id_col,) sorted:
     every doc whose min-label after `rounds` hash-min rounds over the
     MinHash pair graph equals its own id (docs in no pair trivially
     keep themselves). The dropped docs are exactly the non-canonical
-    members of each near-dup cluster."""
+    members of each near-dup cluster.
+
+    The pair graph is only the DUPLICATES, usually a tiny fraction of
+    the corpus — when it fits (≤ driver_cluster_max_pairs), the
+    hash-min rounds run as one vectorized numpy kernel and the drop set
+    broadcasts into a filter (6 distributed rounds on a small pair set
+    are pure scheduling overhead; same size-gated auto pattern as
+    pipelines.triangles). Both paths implement the identical
+    synchronous fixed-round trajectory (pinned by a pytest)."""
     ids = ds.select_columns([id_col])
     pairs = minhash_dup_pairs(
         ds, id_col, text_col, threshold=threshold, num_perm=num_perm,
@@ -156,6 +165,21 @@ def near_dedup_keep(
     )
     if isinstance(pairs, pa.Table):  # typed empty: nothing to drop
         return ids.sort(id_col)
+    if pairs.count() <= driver_cluster_max_pairs:
+        from ..util import dataset_to_numpy
+
+        e = dataset_to_numpy(pairs, "id_a", "id_b")
+        drop = _minlabel_drop_numpy(e["id_a"], e["id_b"], rounds)
+        if len(drop) == 0:
+            return ids.sort(id_col)
+        ref = ray.put(drop)
+
+        def keep(t: pa.Table, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)
+            vals = col_np(t, id_col)
+            return t.filter(pa.array(~np.isin(vals, d)))
+
+        return ids.map_batches(keep, batch_format="pyarrow").sort(id_col)
     labels = minlabel_clusters(pairs, rounds, num_partitions).materialize()
     dropped = labels.map_batches(
         lambda t: t.filter(
@@ -191,3 +215,22 @@ def near_dedup_keep(
         .map_batches(keep_unmatched, batch_format="pyarrow")
         .sort(id_col)
     )
+
+
+def _minlabel_drop_numpy(
+    id_a: np.ndarray, id_b: np.ndarray, rounds: int
+) -> np.ndarray:
+    """Vectorized replica of minlabel_clusters' synchronous trajectory:
+    `rounds` rounds of lbl_v ← min(lbl_v, min over neighbors of their
+    PREVIOUS label) → ids whose final label differs from themselves."""
+    ids = np.unique(np.concatenate([id_a, id_b]))
+    ia = np.searchsorted(ids, id_a)
+    ib = np.searchsorted(ids, id_b)
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    lbl = ids.copy()
+    for _ in range(rounds):
+        msg = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(msg, dst, lbl[src])
+        lbl = np.minimum(lbl, msg)
+    return ids[lbl != ids]

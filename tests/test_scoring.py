@@ -258,3 +258,35 @@ def test_vector_centroids_matches_numpy():
     np.testing.assert_allclose(got, want, rtol=1e-12)
     assert list(out["label"]) == [g for g in range(4) for _ in range(dim)]
     assert list(out["dim"]) == list(range(dim)) * 4
+
+
+def test_near_dedup_keep_paths_agree():
+    # the driver fast path (default gate) and the fully distributed
+    # path (gate forced to 0) must produce the identical keep set
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = {
+        1: base, 5: base, 9: base,
+        2: "one two three four five six seven eight",
+        3: "one two three four five six seven eight",
+    }
+    t = pa.table(
+        {"doc_id": pa.array(sorted(docs), pa.int64()),
+         "text": pa.array([docs[k] for k in sorted(docs)], pa.string())}
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    fast = sorted(
+        dataset_to_numpy(
+            near_dedup_keep(ds, "doc_id", "text", threshold=0.5, rounds=6),
+            "doc_id",
+        )["doc_id"]
+    )
+    dist = sorted(
+        dataset_to_numpy(
+            near_dedup_keep(
+                ds, "doc_id", "text", threshold=0.5, rounds=6,
+                driver_cluster_max_pairs=0,
+            ),
+            "doc_id",
+        )["doc_id"]
+    )
+    assert fast == dist == [1, 2]
