@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from imtag_ray.pipelines import dataops as d
     from imtag_ray.pipelines import queries as q
     from imtag_ray.pipelines import scoring as s
+    from imtag_ray.pipelines import sketch as sk
     from imtag_ray import relational as r
 
     return {
@@ -108,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": r.events_sessionize,
         "events_asof": r.events_asof_latest_order,
         "supplier_parts": r.supplier_part_counts,
+        # --- sketches --------------------------------------------------------
+        "events_hll_users": sk.events_hll_users_q,
     }
 
 
@@ -866,6 +869,34 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn_ivf": _IVF_SQL,
         "embed_dup_pairs_lsh": _lsh_sql(),
         "dedup_near_keep": _near_keep_sql(6),
+        # HLL distinct: exact replay — md5 hash, p=12 buckets, integer
+        # register sum in HUGEINT (so float summation order cannot
+        # diverge), same linear-counting branch
+        "events_hll_users": """
+            WITH h AS (
+              SELECT CAST('0x' || substring(
+                  md5('hll:' || CAST(user_id AS VARCHAR)), 1, 16
+              ) AS UBIGINT) AS x FROM events),
+            br AS (SELECT x % 4096 AS b, x >> 12 AS rem FROM h),
+            r AS (SELECT b,
+                         max(CASE WHEN rem = 0 THEN 53
+                             ELSE 53 - length(bin(rem)) END) AS rho
+                  FROM br GROUP BY b),
+            allb AS (SELECT unnest(range(0, 4096)) AS b),
+            m AS (SELECT allb.b, coalesce(r.rho, 0) AS rho
+                  FROM allb LEFT JOIN r ON r.b = allb.b),
+            s AS (SELECT sum(CAST(1 AS HUGEINT)
+                             << CAST(53 - rho AS INTEGER)) AS z,
+                         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+                  FROM m),
+            e AS (SELECT (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                         * pow(2.0, 53) / CAST(z AS DOUBLE) AS e_raw,
+                         zeros FROM s)
+            SELECT round(CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+                         THEN 4096 * ln(4096.0 / zeros)
+                         ELSE e_raw END, 3) AS n_users_hll
+            FROM e
+        """,
         # corpus scoring / selection (pipelines.scoring)
         "doc_bm25": r"""
             WITH dl AS (
