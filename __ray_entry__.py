@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_parts": r.supplier_part_counts,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
+        "events_cms_types": sk.events_cms_types_q,
+        "events_bloom_hot_users": sk.events_bloom_hot_users_q,
     }
 
 
@@ -896,6 +898,57 @@ def oracle_sql() -> dict[str, str]:
                          THEN 4096 * ln(4096.0 / zeros)
                          ELSE e_raw END, 3) AS n_users_hll
             FROM e
+        """,
+        # Count-Min sketch: integer counters, exact replay including
+        # every hash-collision overcount
+        "events_cms_types": """
+            WITH rws AS (SELECT unnest(range(0, 4)) AS r),
+            ec AS (
+              SELECT rws.r AS r,
+                     CAST('0x' || substring(md5(
+                         'cms' || CAST(rws.r AS VARCHAR) || ':'
+                         || e.event_type), 1, 16) AS UBIGINT)
+                         % 1024 AS cell,
+                     count(*) AS c
+              FROM events e CROSS JOIN rws
+              GROUP BY 1, 2),
+            types AS (SELECT DISTINCT event_type FROM events),
+            probe AS (
+              SELECT t.event_type, rws.r,
+                     CAST('0x' || substring(md5(
+                         'cms' || CAST(rws.r AS VARCHAR) || ':'
+                         || t.event_type), 1, 16) AS UBIGINT)
+                         % 1024 AS cell
+              FROM types t CROSS JOIN rws)
+            SELECT p.event_type,
+                   CAST(min(coalesce(ec.c, 0)) AS BIGINT) AS cms_count
+            FROM probe p LEFT JOIN ec ON ec.r = p.r AND ec.cell = p.cell
+            GROUP BY p.event_type ORDER BY p.event_type
+        """,
+        # Bloom semi-join: exact replay of the bit positions, including
+        # deterministic false positives
+        "events_bloom_hot_users": """
+            WITH ks AS (SELECT unnest(range(0, 3)) AS i),
+            hot AS (SELECT DISTINCT c_custkey AS k FROM customer
+                    WHERE c_acctbal > 9000.0),
+            bits AS (
+              SELECT DISTINCT CAST('0x' || substring(md5(
+                  'bf' || CAST(ks.i AS VARCHAR) || ':'
+                  || CAST(hot.k AS VARCHAR)), 1, 16) AS UBIGINT)
+                  % 16384 AS b
+              FROM hot CROSS JOIN ks),
+            epos AS (
+              SELECT e.event_id, e.user_id,
+                     CAST('0x' || substring(md5(
+                         'bf' || CAST(ks.i AS VARCHAR) || ':'
+                         || CAST(e.user_id AS VARCHAR)), 1, 16) AS UBIGINT)
+                         % 16384 AS b
+              FROM events e CROSS JOIN ks),
+            hits AS (
+              SELECT event_id, user_id, count(*) AS nhit
+              FROM epos JOIN bits USING (b) GROUP BY 1, 2)
+            SELECT event_id, user_id FROM hits WHERE nhit = 3
+            ORDER BY event_id
         """,
         # corpus scoring / selection (pipelines.scoring)
         "doc_bm25": r"""

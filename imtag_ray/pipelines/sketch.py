@@ -118,3 +118,190 @@ def events_hll_users_q(sf_dir: str) -> "ray.data.Dataset":
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
     return hll_distinct(ds, "user_id", out_col="n_users_hll")
+
+
+# --- Count-Min sketch ---------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_hash_cells(keys, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """(len(keys), depth) int64 cell columns: md5(f'cms{r}:{key}')
+    first-16-hex u64 % width per row r."""
+    out = np.empty((len(keys), depth), dtype=np.int64)
+    for i, k in enumerate(keys):
+        for r in range(depth):
+            h = int(
+                hashlib.md5(f"cms{r}:{k}".encode()).hexdigest()[:16], 16
+            )
+            out[i, r] = h % width
+    return out
+
+
+def cms_counts(
+    ds: "ray.data.Dataset", col: str,
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> np.ndarray:
+    """Count-Min sketch of `col` → (depth, width) int64 counter matrix.
+    Per-batch partials collapse each block to ≤ depth·width rows, one
+    cell-Sum groupby, and a CONSTANT-size driver finale — sketch size
+    independent of input size (the scale point, as with HLL)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(col).to_numpy(zero_copy_only=False)
+        mat = np.zeros((depth, width), dtype=np.int64)
+        if len(keys):
+            cells = cms_hash_cells(keys, depth, width)
+            for r in range(depth):
+                np.add.at(mat[r], cells[:, r], 1)
+        flat = mat.ravel()
+        nz = np.nonzero(flat)[0]
+        return table_from_arrays(cell=nz, c=flat[nz])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    got = dataset_to_numpy(agg, "cell", "c")
+    mat = np.zeros(depth * width, dtype=np.int64)
+    if len(got["cell"]):
+        mat[got["cell"].astype(np.int64)] = got["c"].astype(np.int64)
+    return mat.reshape(depth, width)
+
+
+def cms_estimate(mat: np.ndarray, keys) -> np.ndarray:
+    """Point-query the sketch: min over rows (int64, exact overcount)."""
+    depth, width = mat.shape
+    cells = cms_hash_cells(keys, depth, width)
+    ests = np.stack([mat[r][cells[:, r]] for r in range(depth)])
+    return ests.min(axis=0)
+
+
+def events_cms_types_q(sf_dir: str) -> "ray.data.Dataset":
+    """CMS-estimated count per distinct event_type (probed against the
+    sketch — integer-exact, so the SQL oracle reproduces every
+    overcount bit-for-bit)."""
+    from ..util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
+    mat = cms_counts(ds, "event_type")
+    # probe keys: the distinct types (small domain), distributed distinct
+    types = sorted(
+        dataset_to_numpy(
+            ds.groupby("event_type").count(), "event_type"
+        )["event_type"]
+    )
+    est = cms_estimate(mat, types)
+    return ray.data.from_arrow(
+        pa.table(
+            {"event_type": pa.array([str(t) for t in types], pa.string()),
+             "cms_count": pa.array(est, pa.int64())}
+        )
+    )
+
+
+# --- Bloom-filter semi-join ----------------------------------------------------
+
+BF_BITS = 16384
+BF_K = 3
+
+
+def bloom_positions(keys, k: int = BF_K, m: int = BF_BITS) -> np.ndarray:
+    """(len(keys), k) int64 bit positions: md5(f'bf{i}:{key}')
+    first-16-hex u64 % m per hash i."""
+    out = np.empty((len(keys), k), dtype=np.int64)
+    for j, key in enumerate(keys):
+        for i in range(k):
+            h = int(
+                hashlib.md5(f"bf{i}:{key}".encode()).hexdigest()[:16], 16
+            )
+            out[j, i] = h % m
+    return out
+
+
+def bloom_build(
+    ds: "ray.data.Dataset", col: str, k: int = BF_K, m: int = BF_BITS
+) -> np.ndarray:
+    """Build-side: → bool bitmap (length m). Per-batch partials emit
+    DISTINCT set positions (≤ m rows per block), one distinct groupby,
+    constant-size driver finale — like HLL/CMS, the sketch is
+    independent of build-side size."""
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(col).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table({"bit": pa.array([], pa.int64())})
+        pos = np.unique(bloom_positions(keys, k, m).ravel())
+        return table_from_arrays(bit=pos)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Count(alias_name="_c"))
+    )
+    got = dataset_to_numpy(agg, "bit")
+    bitmap = np.zeros(m, dtype=bool)
+    if len(got["bit"]):
+        bitmap[got["bit"].astype(np.int64)] = True
+    return bitmap
+
+
+def bloom_semijoin(
+    left: "ray.data.Dataset", left_col: str,
+    right: "ray.data.Dataset", right_col: str,
+    k: int = BF_K, m: int = BF_BITS,
+) -> "ray.data.Dataset":
+    """Keep left rows whose key MAY be in the right key set (bloom
+    membership: deterministic false positives, zero false negatives) —
+    the broadcast pre-filter that prunes a big probe side before an
+    exact join without shuffling it. The bitmap ships once via
+    ray.put."""
+    bitmap = bloom_build(right, right_col, k, m)
+    ref = ray.put(bitmap)
+
+    def probe(t: pa.Table, _ref=ref) -> pa.Table:
+        bm = ray.get(_ref)
+        keys = t.column(left_col).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return t
+        pos = bloom_positions(keys, k, m)
+        mask = np.ones(len(keys), dtype=bool)
+        for i in range(k):
+            mask &= bm[pos[:, i]]
+        return t.filter(pa.array(mask))
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
+def events_bloom_hot_users_q(sf_dir: str) -> "ray.data.Dataset":
+    """Events whose user passes the bloom filter of high-balance
+    customers (bloom semi-join: exact oracle replays the identical
+    bit positions, INCLUDING any false positives)."""
+    import pyarrow.compute as pc
+
+    from ..util import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 9000.0)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = bloom_semijoin(ev, "user_id", cust, "c_custkey").sort("event_id")
+    if out.count() == 0:
+        # typed empty: Ray's to_pandas() drops all columns of a
+        # zero-row Dataset (documented engine-wide empty-result rule)
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64())}
+        )
+    return out

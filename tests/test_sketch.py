@@ -62,3 +62,69 @@ def test_hll_empty():
     out = hll_distinct(ray.data.from_arrow(t), "k").to_pandas()
     # all-zero registers → linear counting with zeros = m → ln(1) = 0
     assert float(out["n_distinct_hll"].iloc[0]) == 0.0
+
+
+def test_cms_upper_bound_and_blocks_invariant():
+    from imtag_ray.pipelines.sketch import cms_counts, cms_estimate
+
+    rng = np.random.RandomState(5)
+    keys = rng.zipf(1.5, 5000).astype(np.int64) % 100
+    true = {int(k): int((keys == k).sum()) for k in np.unique(keys)}
+    probe = sorted(true)
+    t = pa.table({"k": pa.array(keys)})
+    m1 = cms_counts(ray.data.from_arrow(t).repartition(3), "k")
+    m2 = cms_counts(ray.data.from_arrow(t).repartition(7), "k")
+    np.testing.assert_array_equal(m1, m2)  # partitioning-invariant
+    est = cms_estimate(m1, probe)
+    for k, e in zip(probe, est):
+        assert e >= true[k]  # CMS never undercounts
+    # with width 1024 and only 100 keys, most estimates are exact
+    exact = sum(int(e) == true[k] for k, e in zip(probe, est))
+    assert exact >= 90
+
+
+def test_bloom_semijoin_superset_and_invariant():
+    from imtag_ray.pipelines.sketch import bloom_semijoin
+
+    rng = np.random.RandomState(9)
+    left_keys = rng.randint(0, 10000, 5000).astype(np.int64)
+    right_keys = np.unique(rng.randint(0, 10000, 300).astype(np.int64))
+    left = pa.table(
+        {"rowid": pa.array(np.arange(5000, dtype=np.int64)),
+         "k": pa.array(left_keys)}
+    )
+    right = pa.table({"k": pa.array(right_keys)})
+    out = (
+        bloom_semijoin(
+            ray.data.from_arrow(left).repartition(4), "k",
+            ray.data.from_arrow(right).repartition(3), "k",
+        )
+        .sort("rowid")
+        .to_pandas()
+    )
+    passed = set(out["rowid"])
+    true = {i for i, k in enumerate(left_keys) if k in set(right_keys)}
+    assert true <= passed  # zero false negatives
+    # 16384 bits / 300 keys / k=3 → false-positive rate well under 2%
+    fp = len(passed - true)
+    assert fp / 5000 < 0.02
+    out2 = (
+        bloom_semijoin(
+            ray.data.from_arrow(left).repartition(7), "k",
+            ray.data.from_arrow(right).repartition(1), "k",
+        )
+        .sort("rowid")
+        .to_pandas()
+    )
+    assert list(out2["rowid"]) == list(out["rowid"])  # deterministic
+
+
+def test_bloom_empty_build_side():
+    from imtag_ray.pipelines.sketch import bloom_semijoin
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([], pa.int64())})
+    out = bloom_semijoin(
+        ray.data.from_arrow(left), "k", ray.data.from_arrow(right), "k"
+    )
+    assert out.count() == 0  # empty filter admits nothing
