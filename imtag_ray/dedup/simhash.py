@@ -14,6 +14,7 @@ pair output has an exact DuckDB oracle
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -96,13 +97,25 @@ class SimHasher:
         )
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_hasher(id_col: str, text_col: str) -> SimHasher:
+    return SimHasher(id_col, text_col)
+
+
+def _simhash_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
+    """Task-pool form of SimHasher: the token-md5 cache lives on the
+    worker-process-cached instance (same amortization as an actor pool,
+    none of the multi-second actor spin-up per pipeline)."""
+    return _cached_hasher(id_col, text_col)(batch)
+
+
 def simhash_table(
     ds: "ray.data.Dataset", id_col: str, text_col: str,
     concurrency: int | tuple = 4,
 ) -> "ray.data.Dataset":
     return ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher, fn_constructor_args=(id_col, text_col),
-        batch_format="pyarrow", concurrency=concurrency,
+        _simhash_batch, fn_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
     )
 
 
