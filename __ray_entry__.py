@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_bfs12": q.copart_bfs12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
+        "copart_adamic": q.copart_adamic_q,
+        "copart_clustering": q.copart_clustering_q,
+        "copart_ppr12": q.copart_ppr12_q,
+        "doc_reciprocity": q.doc_reciprocity_q,
         # --- text analysis -------------------------------------------------
         "doc_token_stats": d.doc_token_stats_q,
         "doc_bpe_tokens": d.doc_bpe_tokens_q,
@@ -107,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": r.top_customers_by_revenue,
         "events_hourly": r.events_hourly_windows,
         "events_sessions": r.events_sessionize,
+        "events_windows": r.events_window_funcs,
         "events_asof": r.events_asof_latest_order,
         "supplier_parts": r.supplier_part_counts,
         # --- sketches --------------------------------------------------------
@@ -538,6 +543,46 @@ def _kcore_unrolled_sql(k: int = 3, rounds: int = 8) -> str:
     FROM a{rounds} a LEFT JOIN dfin ON dfin.v = a.v ORDER BY url"""
 
 
+def _ppr_unrolled_sql(iters: int = 12, n_seeds: int = 5) -> str:
+    """Personalized-PageRank oracle: `iters` power-iteration rounds
+    unrolled over the symmetrized copart graph (dangling-free — every
+    vertex has outdeg ≥ 1 there), teleport mass on the n_seeds
+    lexicographically-smallest vertices — exactly
+    pipelines.pagerank._pr_broadcast's restart semantics, including the
+    (1.0 - 0.85) literal form (1.0-0.85 != 0.15 in float64)."""
+    seed_r = f"(CASE WHEN s.v IS NOT NULL THEN 1.0/{n_seeds} ELSE 0.0 END)"
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+        "und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs"
+        " UNION ALL SELECT pb_, pa_ FROM pairs),",
+        "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM und),",
+        "outdeg AS MATERIALIZED (SELECT s AS v,"
+        " CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY s),",
+        f"seeds AS MATERIALIZED (SELECT v FROM verts ORDER BY v"
+        f" LIMIT {n_seeds}),",
+        f"p0 AS MATERIALIZED (SELECT verts.v,"
+        f" CASE WHEN s.v IS NOT NULL THEN 1.0/{n_seeds} ELSE 0.0 END AS r"
+        " FROM verts LEFT JOIN seeds s ON s.v = verts.v),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT u.d AS v,"
+            f" sum(p{i-1}.r / od.deg) AS inc"
+            f" FROM p{i-1} JOIN und u ON u.s = p{i-1}.v"
+            f" JOIN outdeg od ON od.v = p{i-1}.v GROUP BY u.d),"
+        )
+        comma = "," if i < iters else ""
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT verts.v,"
+            f" (1.0 - 0.85) * {seed_r} + 0.85 * coalesce(c{i}.inc, 0.0) AS r"
+            f" FROM verts LEFT JOIN seeds s ON s.v = verts.v"
+            f" LEFT JOIN c{i} ON c{i}.v = verts.v){comma}"
+        )
+    return "\n".join(parts) + f"""
+    SELECT {_PURL.format(c='v')} AS url, round(r, 9) AS rank
+    FROM p{iters} ORDER BY url"""
+
+
 def _near_keep_sql(rounds: int = 6) -> str:
     """near-dedup keep-set oracle: the exact minhash-pairs replay as the
     pair graph, then `rounds` unrolled hash-min rounds (each vertex
@@ -569,6 +614,8 @@ def _near_keep_sql(rounds: int = 6) -> str:
 def oracle_sql() -> dict[str, str]:
     purl_a = _PURL.format(c="pa_")
     purl_b = _PURL.format(c="pb_")
+    purl_wa = _PURL.format(c="a")
+    purl_wb = _PURL.format(c="b")
     return {
         "doc_edges": f"""
             WITH targets AS ({_DOC_TARGETS}),
@@ -699,6 +746,70 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY v ORDER BY url
         """,
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
+        "copart_adamic": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            deg AS MATERIALIZED (SELECT s AS v,
+                    CAST(count(*) AS DOUBLE) AS dg FROM und GROUP BY s),
+            wedge AS (
+                SELECT e1.s AS w, e1.d AS a, e2.d AS b
+                FROM und e1 JOIN und e2
+                  ON e1.s = e2.s AND e1.d < e2.d
+            )
+            SELECT {purl_wa} AS url_a, {purl_wb} AS url_b,
+                   CAST(count(*) AS BIGINT) AS cn,
+                   round(sum(1.0 / ln(deg.dg)), 9) AS aa
+            FROM wedge JOIN deg ON deg.v = wedge.w
+            GROUP BY a, b HAVING count(*) >= 2
+            ORDER BY url_a, url_b
+        """,
+        "copart_clustering": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            verts AS (SELECT DISTINCT pa_ AS p FROM pairs
+                      UNION SELECT DISTINCT pb_ FROM pairs),
+            tri AS (
+                SELECT e1.pa_ AS a, e1.pb_ AS b, e2.pb_ AS c
+                FROM pairs e1
+                JOIN pairs e2 ON e2.pa_ = e1.pb_
+                JOIN pairs e3 ON e3.pa_ = e1.pa_ AND e3.pb_ = e2.pb_
+            ),
+            pv AS (SELECT a AS p FROM tri UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri),
+            cnt AS (SELECT p, count(*) AS c FROM pv GROUP BY p),
+            undd AS (SELECT pa_ AS u FROM pairs UNION ALL SELECT pb_ FROM pairs),
+            deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS dg
+                    FROM undd GROUP BY u)
+            SELECT {_PURL.format(c='v.p')} AS url,
+                   round(CASE WHEN d.dg >= 2
+                         THEN 2.0 * CAST(coalesce(cnt.c, 0) AS DOUBLE)
+                              / (d.dg * (d.dg - 1.0))
+                         ELSE 0.0 END, 9) AS lcc
+            FROM verts v JOIN deg d ON d.u = v.p
+            LEFT JOIN cnt ON cnt.p = v.p ORDER BY url
+        """,
+        "copart_ppr12": _ppr_unrolled_sql(12, 5),
+        "doc_reciprocity": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            fil AS (SELECT DISTINCT doc_id, tgt FROM targets
+                    WHERE tgt != doc_id),
+            rec AS (SELECT count(*) AS nr FROM fil a
+                    JOIN fil b ON a.doc_id = b.tgt AND a.tgt = b.doc_id),
+            tot AS (SELECT count(*) AS n FROM fil)
+            SELECT CAST(tot.n AS BIGINT) AS n_edges,
+                   CAST(rec.nr AS BIGINT) AS n_reciprocal,
+                   round(CAST(rec.nr AS DOUBLE) / tot.n, 9) AS reciprocity
+            FROM tot, rec
+        """,
+        "events_windows": """
+            SELECT event_id, user_id, ts,
+                   CAST(row_number() OVER w AS BIGINT) AS seq,
+                   CAST(date_diff('microsecond', lag(ts) OVER w, ts)
+                        AS BIGINT) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, seq
+        """,
         "geo_component_sizes": f"""
             {_GEO_COMPONENTS},
             comp AS (SELECT v, CAST(dense_rank() OVER (ORDER BY ml) - 1 AS BIGINT)

@@ -280,25 +280,80 @@ def _pairs_of_bucket(group: pa.Table) -> pa.Table:
     )
 
 
+def _pairs_of_band_block(g: pa.Table) -> pa.Table:
+    """Vectorized pair expansion for ONE coarse hash bucket holding MANY
+    (band, band_key) LSH buckets: one lexsort, segment boundaries, then
+    a triu expansion per distinct segment size — the per-LSH-bucket
+    map_groups form paid Ray's per-group overhead n_docs×bands times."""
+    band = col_np(g, "band").astype(np.int64)
+    key = col_np(g, "band_key").astype(np.int64)
+    doc = col_np(g, "doc_id").astype(np.int64)
+    order = np.lexsort((doc, key, band))
+    b, k, dv = band[order], key[order], doc[order]
+    n = len(b)
+    bound = np.zeros(n, dtype=bool)
+    bound[0] = True
+    bound[1:] = (b[1:] != b[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(bound)
+    sizes = np.diff(np.append(starts, n))
+    parts_a: list = []
+    parts_b: list = []
+    for c in np.unique(sizes):
+        if c < 2:
+            continue
+        idx = np.flatnonzero(sizes == c)
+        mat = dv[starts[idx][:, None] + np.arange(int(c))[None, :]]
+        ia, ib = np.triu_indices(int(c), 1)
+        # doc ids ascend within a segment (lexsort innermost) → a < b
+        parts_a.append(mat[:, ia].ravel())
+        parts_b.append(mat[:, ib].ravel())
+    if not parts_a:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {"id_a": pa.array(np.concatenate(parts_a), pa.int64()),
+         "id_b": pa.array(np.concatenate(parts_b), pa.int64())}
+    )
+
+
 def minhash_candidates(
     sh_ds: "ray.data.Dataset",
     num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS,
     seed: int = DEFAULT_SEED, concurrency: int | tuple = 4,
+    num_buckets: int = 256,
 ) -> "ray.data.Dataset":
     """Shingle table → DISTINCT candidate pair Dataset (id_a < id_b).
-    Stays a Dataset end-to-end: bucket groupby, per-bucket pair
-    expansion, distinct via groupby."""
+    Stays a Dataset end-to-end: coarse-bucket shuffle (LSH-bucket
+    cardinality is ~n_docs×bands — far beyond Ray's per-group groupby
+    budget, see util.bucketed_sum_aggregate), vectorized per-block pair
+    expansion, distinct via the same bucketed reduction."""
+    from ..util import _mix_to_bucket, bucketed_sum_aggregate
+
     bucketed = sh_ds.map_batches(
         _band_batch,
         fn_kwargs={"num_perm": num_perm, "bands": bands, "seed": seed},
         batch_format="pyarrow", batch_size=512,
     )
-    return (
-        bucketed.groupby(["band", "band_key"])
-        .map_groups(_pairs_of_bucket, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .count()
-        .select_columns(["id_a", "id_b"])
+
+    def coarse(t: pa.Table, _nb=num_buckets) -> pa.Table:
+        keys = [
+            col_np(t, "band").astype(np.int64),
+            col_np(t, "band_key").astype(np.int64),
+        ]
+        return t.append_column(
+            "__bucket", pa.array(_mix_to_bucket(keys, _nb))
+        )
+
+    pairs = (
+        bucketed.map_batches(coarse, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_pairs_of_band_block, batch_format="pyarrow")
+    )
+    return bucketed_sum_aggregate(
+        pairs, key_cols=["id_a", "id_b"], sum_cols=[],
+        num_buckets=num_buckets,
     )
 
 
@@ -479,9 +534,10 @@ def verify_pairs_jaccard(
     )
     verified = None
     if joined is not None:
+        from ..util import bucketed_sum_aggregate
 
         def mark_inter(t: pa.Table) -> pa.Table:
-            c = col_np(t, "count()")
+            c = col_np(t, "c")
             n = t.num_rows
             return pa.table(
                 {
@@ -493,8 +549,8 @@ def verify_pairs_jaccard(
             )
 
         def jaccard(t: pa.Table, _t=threshold) -> pa.Table:
-            union = np.asarray(col_np(t, "sum(u)"), dtype=np.float64)
-            inter = np.asarray(col_np(t, "sum(i)"), dtype=np.float64)
+            union = np.asarray(col_np(t, "u"), dtype=np.float64)
+            inter = np.asarray(col_np(t, "i"), dtype=np.float64)
             j = np.where(union > 0, inter / np.maximum(union, 1.0), 1.0)
             keep = j >= _t
             return pa.table(
@@ -505,14 +561,18 @@ def verify_pairs_jaccard(
                 }
             )
 
-        verified = (
-            joined.groupby(["id_a", "id_b", "h"])
-            .count()
-            .map_batches(mark_inter, batch_format="pyarrow")
-            .groupby(["id_a", "id_b"])
-            .sum(["u", "i"])
-            .map_batches(jaccard, batch_format="pyarrow")
+        # both aggregations are bucketed: (pair, h) cardinality is the
+        # joined row count itself — Ray's per-group groupby overhead
+        # would dominate (util.bucketed_sum_aggregate)
+        per_h = bucketed_sum_aggregate(
+            joined, key_cols=["id_a", "id_b", "h"], sum_cols=[],
+            num_buckets=P * 32, count_col="c",
         )
+        verified = bucketed_sum_aggregate(
+            per_h.map_batches(mark_inter, batch_format="pyarrow"),
+            key_cols=["id_a", "id_b"], sum_cols=["u", "i"],
+            num_buckets=P * 32,
+        ).map_batches(jaccard, batch_format="pyarrow")
 
     extra = _both_empty_pairs(cand, sh_ds, threshold, P)
     parts = [p for p in (verified, extra) if p is not None]

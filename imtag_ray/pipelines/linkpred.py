@@ -1,0 +1,385 @@
+"""Link-prediction and local-structure operators over the edge table.
+
+Generalizes the reference's pairwise-adjacency analytics (imtag's
+`update_connectivity` / `hole_adjacencies` sort-merge joins over
+component contact pairs, ref src/morphology.cpp:196-312) from lattice
+contacts to web-graph neighborhoods:
+
+- ``adamic_adar_pairs``: common-neighbor count + Adamic–Adar score per
+  candidate vertex pair — the classic link-prediction wedge
+  enumeration, expressed as one degree join + one self-join on the
+  middle vertex + a groupby aggregation (same exchange shape as the
+  shuffle-mode triangle counter).
+- ``clustering_coefficients``: per-vertex local clustering coefficient
+  from the engine's own triangle counts and degree Dataset.
+- ``edge_reciprocity``: directed-graph reciprocity (share of edges
+  whose reverse edge exists) as one canonical-pair groupby.
+
+Scale notes: wedge enumeration is Θ(Σ deg(w)²) — hub middle vertices
+dominate, exactly like skewed keys in any groupby; cap or salt hubs
+upstream (stages.salt) when degrees are power-law, and keep min_cn ≥ 2
+so the output table stays near-linear in the edge count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..util import (
+    bucketed_sum_aggregate,
+    col_np,
+    compact_nonempty,
+    table_from_arrays,
+)
+
+
+def undirected_both(edges: "ray.data.Dataset", src: str = "src_url",
+                    dst: str = "dst_url") -> "ray.data.Dataset":
+    """Canonical (a<b) edge table → both-direction (s, d) rows."""
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = t.column(src), t.column(dst)
+        return pa.table(
+            {"s": pa.concat_arrays(
+                 [c.combine_chunks() for c in (a, b)]
+             ),
+             "d": pa.concat_arrays(
+                 [c.combine_chunks() for c in (b, a)]
+             )}
+        )
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def adamic_adar_pairs(
+    graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    min_cn: int = 2,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (url_a, url_b, cn, aa): for every unordered vertex pair
+    with at least ``min_cn`` common neighbors, the common-neighbor count
+    and the Adamic–Adar score Σ_w 1/ln(deg(w)) over shared neighbors w.
+
+    Broadcast mode (default for E ≤ cfg.broadcast_max_edges, like the
+    triangle counter): the undirected CSR ships once via ray.put, wedge
+    pairs are enumerated fully vectorized per middle-vertex batch with a
+    within-batch combiner, and ONE int-keyed groupby finishes — no
+    string ever enters a shuffle (the first join-based cut was 27×
+    slower than DuckDB on the same wedges because of string-keyed
+    exchanges). Shuffle mode is the no-driver-state fallback: the same
+    wedge self-join expressed as vid-space Dataset joins."""
+    V = graph.num_vertices
+    if V == 0:
+        return ray.data.from_arrow(_EMPTY_AA)
+    if mode is None:
+        mode = (
+            "broadcast"
+            if graph.num_edges <= cfg.broadcast_max_edges
+            else "shuffle"
+        )
+    if mode == "broadcast":
+        return _aa_broadcast(graph, cfg, min_cn)
+    return _aa_shuffle(graph, cfg, min_cn)
+
+
+def _url_lookup_ref(graph):
+    """ray.put a V-length url object array (broadcast attachment —
+    gated by the caller's broadcast mode)."""
+    from ..util import dataset_to_numpy
+
+    vres = dataset_to_numpy(graph.vertices, "vid", "url")
+    urls = np.empty(graph.num_vertices, dtype=object)
+    urls[vres["vid"].astype(np.int64)] = vres["url"]
+    return ray.put(urls)
+
+
+def _aa_broadcast(graph, cfg: EngineConfig, min_cn: int):
+    from ..util import dataset_to_numpy
+
+    V = graph.num_vertices
+    e = dataset_to_numpy(graph.edges, "src", "dst")
+    s = np.concatenate([e["src"], e["dst"]]).astype(np.int64)
+    d = np.concatenate([e["dst"], e["src"]]).astype(np.int64)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    indptr = np.cumsum(indptr)
+    deg = np.diff(indptr).astype(np.float64)
+    invlog = np.zeros(V, dtype=np.float64)
+    m2 = deg >= 2
+    invlog[m2] = 1.0 / np.log(deg[m2])
+    state = ray.put((indptr, d, invlog))
+
+    # per-task wedge budget: a hub with degree k hosts k(k-1)/2 wedge
+    # pairs, so chunk the per-degree row blocks to bound peak memory
+    MAX_WEDGES = 1 << 22
+
+    def step(batch: pa.Table, _ref=state, _V=V) -> pa.Table:
+        indptr, adj, invlog = ray.get(_ref)
+        w = col_np(batch, "vid").astype(np.int64)
+        cnt = (indptr[w + 1] - indptr[w]).astype(np.int64)
+        keys_parts: list = []
+        inv_parts: list = []
+        for c in np.unique(cnt):
+            if c < 2:
+                continue
+            idx = np.flatnonzero(cnt == c)
+            npairs = int(c * (c - 1) // 2)
+            rows_per_chunk = max(1, MAX_WEDGES // npairs)
+            ia, ib = np.triu_indices(int(c), 1)
+            for lo in range(0, len(idx), rows_per_chunk):
+                sel = idx[lo : lo + rows_per_chunk]
+                base = indptr[w[sel]]
+                nb = adj[base[:, None] + np.arange(int(c))[None, :]]
+                # adjacency slices are sorted ascending → a < b holds
+                a = nb[:, ia].ravel()
+                b = nb[:, ib].ravel()
+                keys_parts.append(a * _V + b)
+                inv_parts.append(np.repeat(invlog[w[sel]], npairs))
+        if not keys_parts:
+            return table_from_arrays(
+                key=np.empty(0, np.int64),
+                cn=np.empty(0, np.int64),
+                aa=np.empty(0, np.float64),
+            )
+        keys = np.concatenate(keys_parts)
+        inv = np.concatenate(inv_parts)
+        # within-batch combiner: one sort, two reduceats
+        order = np.argsort(keys, kind="stable")
+        ks, iv = keys[order], inv[order]
+        bound = np.empty(len(ks), dtype=bool)
+        bound[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=bound[1:])
+        starts = np.flatnonzero(bound)
+        return table_from_arrays(
+            key=ks[starts],
+            cn=np.diff(np.append(starts, len(ks))).astype(np.int64),
+            aa=np.add.reduceat(iv, starts),
+        )
+
+    # bucketed aggregate, NOT groupby(key): pair-key cardinality is
+    # O(V²) and Ray's groupby pays per-distinct-group overhead (see
+    # util.bucketed_sum_aggregate — 27× faster at 2M groups)
+    agg = bucketed_sum_aggregate(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            step, batch_format="pyarrow", batch_size=1024
+        ),
+        key_cols=["key"], sum_cols=["cn", "aa"],
+        num_buckets=max(cfg.num_partitions * 32, 256),
+    )
+    uref = _url_lookup_ref(graph)
+
+    def finish(t: pa.Table, _k=min_cn, _V=V, _uref=uref) -> pa.Table:
+        urls = ray.get(_uref)
+        cn = col_np(t, "cn").astype(np.int64)
+        keep = cn >= _k
+        key = col_np(t, "key")[keep].astype(np.int64)
+        return pa.table(
+            {
+                "url_a": pa.array(urls[key // _V], pa.string()),
+                "url_b": pa.array(urls[key % _V], pa.string()),
+                "cn": pa.array(cn[keep], pa.int64()),
+                "aa": pc.round(
+                    pa.array(col_np(t, "aa")[keep], pa.float64()), 9
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _aa_shuffle(graph, cfg: EngineConfig, min_cn: int):
+    """No-driver-state path: vid-space wedge self-join. Strings touch
+    only the final url attachment (two vid-keyed hash joins)."""
+    from ..stages.graph_build import degree_dataset
+
+    P = cfg.num_partitions
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = col_np(t, "src"), col_np(t, "dst")
+        return table_from_arrays(
+            s=np.concatenate([a, b]).astype(np.int64),
+            d=np.concatenate([b, a]).astype(np.int64),
+        )
+
+    und = compact_nonempty(
+        graph.edges.map_batches(both, batch_format="pyarrow")
+    )
+    if und is None:
+        return ray.data.from_arrow(_EMPTY_AA)
+    deg = degree_dataset(graph, "undirected")
+
+    def invlog(t: pa.Table) -> pa.Table:
+        d = col_np(t, "degree").astype(np.float64)
+        keep = d >= 2  # deg-1 middle vertices host no wedge; ln(1)=0
+        return pa.table(
+            {"v": t.column("vid").filter(pa.array(keep)),
+             "invlog": pa.array(1.0 / np.log(d[keep]), pa.float64())}
+        )
+
+    mid = compact_nonempty(deg.map_batches(invlog, batch_format="pyarrow"))
+    if mid is None:
+        return ray.data.from_arrow(_EMPTY_AA)
+    left = compact_nonempty(
+        und.join(
+            mid, join_type="inner", num_partitions=P,
+            on=("s",), right_on=("v",),
+        ).select_columns(["s", "d", "invlog"])
+    )
+    if left is None:
+        return ray.data.from_arrow(_EMPTY_AA)
+    wedges = compact_nonempty(
+        left.join(
+            und.rename_columns({"s": "s2", "d": "d2"}),
+            join_type="inner", num_partitions=P,
+            on=("s",), right_on=("s2",),
+        )
+    )
+    if wedges is None:
+        return ray.data.from_arrow(_EMPTY_AA)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = col_np(t, "d").astype(np.int64)
+        b = col_np(t, "d2").astype(np.int64)
+        keep = a < b
+        return table_from_arrays(
+            a=a[keep], b=b[keep],
+        ).append_column(
+            "invlog", pa.array(col_np(t, "invlog")[keep], pa.float64())
+        )
+
+    scored = compact_nonempty(
+        bucketed_sum_aggregate(
+            wedges.map_batches(orient, batch_format="pyarrow"),
+            key_cols=["a", "b"], sum_cols=["invlog"],
+            num_buckets=max(cfg.num_partitions * 32, 256),
+            count_col="cn",
+        )
+    )
+    if scored is None:
+        return ray.data.from_arrow(_EMPTY_AA)
+
+    def gate(t: pa.Table, _k=min_cn) -> pa.Table:
+        cn = col_np(t, "cn").astype(np.int64)
+        keep = cn >= _k
+        return pa.table(
+            {
+                "a": pa.array(col_np(t, "a")[keep], pa.int64()),
+                "b": pa.array(col_np(t, "b")[keep], pa.int64()),
+                "cn": pa.array(cn[keep], pa.int64()),
+                "aa": pc.round(
+                    pa.array(col_np(t, "invlog")[keep], pa.float64()), 9
+                ),
+            }
+        )
+
+    gated = compact_nonempty(scored.map_batches(gate, batch_format="pyarrow"))
+    if gated is None:
+        return ray.data.from_arrow(_EMPTY_AA)
+    verts = graph.vertices.select_columns(["vid", "url"])
+    wa = compact_nonempty(
+        gated.join(
+            verts.rename_columns({"vid": "va", "url": "url_a"}),
+            join_type="inner", num_partitions=P,
+            on=("a",), right_on=("va",),
+        )
+    )
+    if wa is None:
+        return ray.data.from_arrow(_EMPTY_AA)
+    return wa.join(
+        verts.rename_columns({"vid": "vb", "url": "url_b"}),
+        join_type="inner", num_partitions=P,
+        on=("b",), right_on=("vb",),
+    ).select_columns(["url_a", "url_b", "cn", "aa"])
+
+
+_EMPTY_AA = pa.table(
+    {"url_a": pa.array([], pa.string()), "url_b": pa.array([], pa.string()),
+     "cn": pa.array([], pa.int64()), "aa": pa.array([], pa.float64())}
+)
+
+
+def clustering_coefficients(
+    graph, cfg: EngineConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    """→ Dataset (vid, url, lcc): local clustering coefficient
+    2·tri(v) / (deg(v)·(deg(v)−1)), 0 for deg < 2 — derived entirely
+    from the engine's own distributed triangle counts and degree
+    Dataset (one extra hash join, no new kernel)."""
+    from ..stages.graph_build import degree_dataset
+    from .triangles import triangle_counts
+
+    tri = triangle_counts(graph, cfg)
+    deg = degree_dataset(graph, "undirected")
+    joined = tri.join(
+        deg, join_type="inner", num_partitions=cfg.num_partitions,
+        on=("vid",), right_on=("vid",),
+    )
+
+    def lcc(t: pa.Table) -> pa.Table:
+        d = col_np(t, "degree").astype(np.float64)
+        tr = col_np(t, "triangles").astype(np.float64)
+        denom = d * (d - 1.0)
+        out = np.where(denom > 0, 2.0 * tr / np.maximum(denom, 1.0), 0.0)
+        return pa.table(
+            {"vid": t.column("vid"), "url": t.column("url"),
+             "lcc": pc.round(pa.array(out, pa.float64()), 9)}
+        )
+
+    return joined.map_batches(lcc, batch_format="pyarrow")
+
+
+def edge_reciprocity(
+    edges: "ray.data.Dataset", src: str = "src_url", dst: str = "dst_url"
+) -> pa.Table:
+    """Directed-graph reciprocity → one-row table
+    (n_edges, n_reciprocal, reciprocity): n_reciprocal counts directed
+    edges whose reverse edge also exists. One canonical-pair groupby
+    (map-side key canonicalization), then a scalar aggregation —
+    distinct directed edges are assumed (dedup upstream)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src).combine_chunks()
+        d = t.column(dst).combine_chunks()
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        return pa.table({"lo": lo, "hi": hi})
+
+    per_pair = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .count()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = col_np(t, "count()").astype(np.int64)
+        return table_from_arrays(
+            n_edges=np.array([int(c.sum())], dtype=np.int64),
+            n_reciprocal=np.array(
+                [int((c[c == 2]).sum())], dtype=np.int64
+            ),
+        )
+
+    agg = per_pair.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_edges", alias_name="n_edges"),
+        Sum("n_reciprocal", alias_name="n_reciprocal"),
+    )
+    n = int(agg["n_edges"] or 0)
+    nr = int(agg["n_reciprocal"] or 0)
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "n_reciprocal": pa.array([nr], pa.int64()),
+            "reciprocity": pc.round(
+                pa.array([nr / n if n else 0.0], pa.float64()), 9
+            ),
+        }
+    )

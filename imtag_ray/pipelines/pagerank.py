@@ -42,13 +42,20 @@ def _pick_mode(graph: Graph, cfg: EngineConfig) -> str:
 
 
 def _pr_broadcast(
-    graph: Graph, cfg: EngineConfig, on_iter=None, ckpt=None
+    graph: Graph, cfg: EngineConfig, on_iter=None, ckpt=None, restart=None
 ) -> np.ndarray:
     V = graph.num_vertices
     d = cfg.pagerank_damping
     outdeg = degrees(graph, "out").astype(np.float64)
     dangling = outdeg == 0
-    ranks = np.full(V, 1.0 / V, dtype=np.float64)
+    # restart: optional personalization distribution p (V floats, Σp=1).
+    # Teleport AND dangling mass follow p (networkx convention); the
+    # uniform path below keeps its original scalar form bit-for-bit so
+    # cross-mode exactness tests stay valid.
+    p = None if restart is None else np.asarray(restart, dtype=np.float64)
+    ranks = (
+        np.full(V, 1.0 / V, dtype=np.float64) if p is None else p.copy()
+    )
     edges = graph.edges
 
     start_iter = 0
@@ -88,7 +95,10 @@ def _pr_broadcast(
             incoming[res["vid"]] = res["part"]
 
         dangling_mass = float(ranks[dangling].sum())
-        new = (1.0 - d) / V + d * (incoming + dangling_mass / V)
+        if p is None:
+            new = (1.0 - d) / V + d * (incoming + dangling_mass / V)
+        else:
+            new = (1.0 - d) * p + d * (incoming + dangling_mass * p)
         delta = float(np.abs(new - ranks).sum())
         ranks = new
         if ckpt is not None and cfg.checkpoint_every and (
@@ -470,8 +480,14 @@ def pagerank(
     cfg: EngineConfig = DEFAULT_CONFIG,
     mode: str | None = None,
     on_iter=None,
+    restart: "np.ndarray | None" = None,
 ) -> "ray.data.Dataset":
-    """→ Dataset (vid, url, rank), float64, Σrank ≈ 1."""
+    """→ Dataset (vid, url, rank), float64, Σrank ≈ 1.
+
+    ``restart`` personalizes: a V-length teleport distribution p
+    (personalized PageRank — teleport and dangling mass land on p
+    instead of uniform). Broadcast mode only; the vector is V-sized
+    driver state, same budget class as the broadcast rank vector."""
     if graph.num_vertices == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -480,6 +496,12 @@ def pagerank(
                  "rank": pa.array([], pa.float64())}
             )
         )
+    if restart is not None:
+        mode = mode or "broadcast"
+        if mode != "broadcast":
+            raise ValueError(
+                "personalized PageRank (restart=) is broadcast-mode only"
+            )
     mode = mode or _pick_mode(graph, cfg)
     ckpt = None
     if cfg.checkpoint_dir and cfg.checkpoint_every:
@@ -490,7 +512,9 @@ def pagerank(
             num_partitions=cfg.num_partitions,
         )
     if mode == "broadcast":
-        ranks = _pr_broadcast(graph, cfg, on_iter=on_iter, ckpt=ckpt)
+        ranks = _pr_broadcast(
+            graph, cfg, on_iter=on_iter, ckpt=ckpt, restart=restart
+        )
     elif mode == "blocks":
         ranks = _pr_blocks(graph, cfg, on_iter=on_iter, ckpt=ckpt)
     elif mode == "ranges":

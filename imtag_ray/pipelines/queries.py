@@ -157,15 +157,9 @@ def copart_triangles_q(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def copart_pagerank12_q(sf_dir: str) -> "ray.data.Dataset":
-    """PageRank, fixed 12 iterations (tol=0) so a recursive-CTE DuckDB
-    oracle can replay the identical trajectory; ranks rounded to 9dp.
-    Co-purchase edges are undirected → symmetrize before ranking."""
-    from .pagerank import pagerank
-
-    cfg = EngineConfig(
-        num_partitions=8, max_iterations=12, pagerank_tol=0
-    )
+def copart_sym_graph(sf_dir: str) -> Graph:
+    """The copart graph with edges symmetrized (both directions) — the
+    input shape PageRank-family kernels expect for undirected graphs."""
     key = (sf_dir, "sym")
     if key not in _GRAPH_CACHE:
         urls = copart_edge_urls(sf_dir)
@@ -178,7 +172,19 @@ def copart_pagerank12_q(sf_dir: str) -> "ray.data.Dataset":
             )
         )
         _GRAPH_CACHE[key] = build_graph(both, QCFG)
-    g = _GRAPH_CACHE[key]
+    return _GRAPH_CACHE[key]
+
+
+def copart_pagerank12_q(sf_dir: str) -> "ray.data.Dataset":
+    """PageRank, fixed 12 iterations (tol=0) so a recursive-CTE DuckDB
+    oracle can replay the identical trajectory; ranks rounded to 9dp.
+    Co-purchase edges are undirected → symmetrize before ranking."""
+    from .pagerank import pagerank
+
+    cfg = EngineConfig(
+        num_partitions=8, max_iterations=12, pagerank_tol=0
+    )
+    g = copart_sym_graph(sf_dir)
     pr = pagerank(g, cfg, mode="broadcast")
 
     def roundr(t: pa.Table) -> pa.Table:
@@ -385,6 +391,61 @@ def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
 
     g = copart_graph(sf_dir)
     return kcore(g, 3, QCFG, rounds=8).sort("url")
+
+
+def copart_adamic_q(sf_dir: str) -> "ray.data.Dataset":
+    """Adamic–Adar link prediction over the copart graph: every
+    unordered vertex pair with ≥2 common neighbors, with the
+    common-neighbor count and Σ 1/ln(deg(w)) score (9dp)."""
+    from .linkpred import adamic_adar_pairs
+
+    return adamic_adar_pairs(
+        copart_graph(sf_dir), QCFG, min_cn=2
+    ).sort(["url_a", "url_b"])
+
+
+def copart_clustering_q(sf_dir: str) -> "ray.data.Dataset":
+    """Local clustering coefficient per vertex (9dp), from the
+    engine's distributed triangle counts + degree Dataset."""
+    from .linkpred import clustering_coefficients
+
+    g = copart_graph(sf_dir)
+    return (
+        clustering_coefficients(g, QCFG)
+        .select_columns(["url", "lcc"])
+        .sort("url")
+    )
+
+
+def doc_reciprocity_q(sf_dir: str) -> pa.Table:
+    """Directed-link reciprocity of the extracted doc graph — one-row
+    (n_edges, n_reciprocal, reciprocity)."""
+    from .linkpred import edge_reciprocity
+
+    return edge_reciprocity(doc_edges_q(sf_dir))
+
+
+def copart_ppr12_q(sf_dir: str) -> "ray.data.Dataset":
+    """Personalized PageRank (teleport to the 5 lexicographically
+    smallest urls), fixed 12 iterations, 9dp — unrolled-CTE oracle."""
+    from .pagerank import pagerank
+
+    cfg = EngineConfig(num_partitions=8, max_iterations=12, pagerank_tol=0)
+    g = copart_sym_graph(sf_dir)
+    seeds = [
+        r["vid"]
+        for r in g.vertices.sort("url").limit(5).take(5)
+    ]
+    p = np.zeros(g.num_vertices, dtype=np.float64)
+    p[np.asarray(seeds, dtype=np.int64)] = 1.0 / len(seeds)
+    pr = pagerank(g, cfg, mode="broadcast", restart=p)
+
+    def roundr(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["url"], "rank": pc.round(t["rank"], 9)}
+        )
+
+    return pr.map_batches(roundr, batch_format="pyarrow").sort("url")
 
 
 def copart_weighted_edges(sf_dir: str) -> "ray.data.Dataset":

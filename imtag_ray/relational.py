@@ -165,6 +165,40 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     )
 
 
+def events_window_funcs(sf_dir: str) -> "ray.data.Dataset":
+    """SQL window functions over the event log — ROW_NUMBER and LAG per
+    user ordered by (ts, event_id): seq = position in the user's
+    stream, gap_us = whole microseconds since the user's previous event
+    (NULL for the first). Same per-key ordered-log map_groups shape as
+    sessionize; the kernel is vectorized numpy over int64 microsecond
+    timestamps (no float rounding — the ts column is µs-resolution)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        gap = np.empty(len(g), dtype=np.float64)
+        gap[0] = np.nan
+        gap[1:] = np.diff(us)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "seq": np.arange(1, len(g) + 1, dtype=np.int64),
+                # nullable Int64, NOT float64 — the events_asof lesson:
+                # pandas NaN coercion must not leak into the output dtype
+                "gap_us": pd.array(gap, dtype="Int64"),
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(win, batch_format="pandas")
+        .sort(["user_id", "seq"])
+    )
+
+
 def events_asof_latest_order(sf_dir: str) -> "ray.data.Dataset":
     """As-of join (ray_guide 'As-of / range join'): each event matched to
     the user's most recent order at or before the event time

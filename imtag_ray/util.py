@@ -31,6 +31,69 @@ def col_np(batch: pa.Table, name: str) -> np.ndarray:
     return col.combine_chunks().to_numpy(zero_copy_only=False)
 
 
+def _mix_to_bucket(key_arrays, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per row from one or more int64 key
+    columns (fibonacci-hash mixing so adjacent keys spread)."""
+    C = np.uint64(0x9E3779B97F4A7C15)
+    h = np.zeros(len(key_arrays[0]), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in key_arrays:
+            h = (h + np.asarray(k).view(np.uint64)) * C
+        h ^= h >> np.uint64(33)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def bucketed_sum_aggregate(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    sum_cols: list[str],
+    num_buckets: int = 256,
+    count_col: str | None = None,
+) -> "ray.data.Dataset":
+    """``groupby(key_cols).sum(sum_cols)[.count()]`` for
+    HIGH-CARDINALITY integer keys.
+
+    Ray 2.49's groupby aggregation pays ~125µs of per-distinct-group
+    overhead (measured: 4M rows / 2M groups = 250 s), so million-group
+    aggregates must never feed it raw keys. This shuffles on a coarse
+    hash bucket (num_buckets distinct values — per-group overhead paid
+    num_buckets times, not num_keys times) and reduces each bucket with
+    one vectorized lexsort + reduceat pass. Same result table:
+    key_cols + summed sum_cols (dtypes preserved) + optional count.
+    Key columns must be integer-typed."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        keys = [col_np(t, k).astype(np.int64) for k in key_cols]
+        return t.append_column(
+            "__bucket", pa.array(_mix_to_bucket(keys, num_buckets))
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        keys = [col_np(g, k) for k in key_cols]
+        order = np.lexsort(keys[::-1])
+        ks = [k[order] for k in keys]
+        n = len(order)
+        bound = np.zeros(n, dtype=bool)
+        if n:
+            bound[0] = True
+            for k in ks:
+                bound[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(bound)
+        out = {c: k[starts] for c, k in zip(key_cols, ks)}
+        for c in sum_cols:
+            v = col_np(g, c)[order]
+            out[c] = np.add.reduceat(v, starts) if n else v[:0]
+        if count_col is not None:
+            out[count_col] = np.diff(np.append(starts, n)).astype(np.int64)
+        return table_from_arrays(**out)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
 def sparse_min_reduce(keys: np.ndarray, values: np.ndarray):
     """Group ``values`` by ``keys`` and take the per-key min.
 

@@ -1,0 +1,160 @@
+"""Link-prediction / local-structure operators: Adamic–Adar (both
+modes, vs a scalar reference), clustering coefficients (vs networkx),
+reciprocity, personalized PageRank (vs uniform-restart equivalence and
+mass conservation), and the events window functions."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from imtag_ray.config import EngineConfig
+from imtag_ray.pipelines.linkpred import (
+    adamic_adar_pairs,
+    clustering_coefficients,
+    edge_reciprocity,
+)
+from imtag_ray.pipelines.pagerank import pagerank
+from imtag_ray.sources.synth import named_graph_edges
+from imtag_ray.stages.graph_build import build_graph
+from imtag_ray.util import dataset_to_numpy
+
+CFG = EngineConfig(num_partitions=4)
+
+
+def _nx_graph(tbl):
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edges_from(
+        zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist())
+    )
+    return g
+
+
+def _aa_reference(tbl, min_cn=2):
+    """Scalar reference: common neighbors + Adamic–Adar per pair."""
+    g = _nx_graph(tbl)
+    out = {}
+    nodes = sorted(g.nodes())
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            common = set(g[a]) & set(g[b])
+            if len(common) >= min_cn:
+                aa = sum(1.0 / math.log(g.degree(w)) for w in common)
+                out[(a, b)] = (len(common), round(aa, 9))
+    return out
+
+
+def _as_pairs(ds):
+    df = (
+        ds.to_pandas()
+        if hasattr(ds, "to_pandas")
+        else ds
+    )
+    return {
+        (r.url_a, r.url_b): (int(r.cn), round(float(r.aa), 9))
+        for r in df.itertuples()
+    }
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "gnp", "powerlaw"])
+def test_adamic_adar_matches_reference(name):
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    ours = _as_pairs(adamic_adar_pairs(g, CFG, min_cn=2, mode="broadcast"))
+    ref = _aa_reference(tbl, min_cn=2)
+    assert ours == ref
+
+
+def test_adamic_adar_modes_agree():
+    tbl = named_graph_edges("gnp")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    bc = _as_pairs(adamic_adar_pairs(g, CFG, min_cn=2, mode="broadcast"))
+    sh = _as_pairs(adamic_adar_pairs(g, CFG, min_cn=2, mode="shuffle"))
+    assert bc == sh
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "gnp"])
+def test_clustering_matches_networkx(name):
+    import networkx as nx
+
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    out = dataset_to_numpy(clustering_coefficients(g, CFG), "url", "lcc")
+    ours = {str(u): round(float(v), 9) for u, v in zip(out["url"], out["lcc"])}
+    theirs = {
+        u: round(c, 9) for u, c in nx.clustering(_nx_graph(tbl)).items()
+    }
+    assert ours == theirs
+
+
+def test_reciprocity_known_graph():
+    # directed: 0→1, 1→0 (reciprocal), 0→2, 2→3
+    edges = pa.table(
+        {
+            "src_url": ["a", "b", "a", "c"],
+            "dst_url": ["b", "a", "c", "d"],
+        }
+    )
+    out = edge_reciprocity(ray.data.from_arrow(edges))
+    assert out["n_edges"][0].as_py() == 4
+    assert out["n_reciprocal"][0].as_py() == 2
+    assert out["reciprocity"][0].as_py() == pytest.approx(0.5)
+
+
+def test_ppr_uniform_restart_equals_default():
+    tbl = named_graph_edges("gnp")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    cfg = EngineConfig(num_partitions=4, max_iterations=8, pagerank_tol=0)
+    base = dataset_to_numpy(
+        pagerank(g, cfg, mode="broadcast").sort("vid"), "rank"
+    )["rank"]
+    p = np.full(g.num_vertices, 1.0 / g.num_vertices)
+    pers = dataset_to_numpy(
+        pagerank(g, cfg, mode="broadcast", restart=p).sort("vid"), "rank"
+    )["rank"]
+    np.testing.assert_allclose(pers, base, rtol=0, atol=1e-12)
+
+
+def test_ppr_seed_concentration_and_mass():
+    tbl = named_graph_edges("two_cliques")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    cfg = EngineConfig(num_partitions=4, max_iterations=20, pagerank_tol=0)
+    p = np.zeros(g.num_vertices)
+    p[0] = 1.0
+    out = dataset_to_numpy(
+        pagerank(g, cfg, mode="broadcast", restart=p).sort("vid"),
+        "vid", "rank",
+    )
+    assert out["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+    # the seed holds the single largest rank
+    assert int(out["vid"][np.argmax(out["rank"])]) == 0
+
+
+def test_ppr_rejects_non_broadcast_mode():
+    tbl = named_graph_edges("gnp")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    with pytest.raises(ValueError):
+        pagerank(
+            g, CFG, mode="shuffle", restart=np.full(g.num_vertices, 0.1)
+        )
+
+
+def test_events_windows_invariants():
+    from imtag_ray.relational import events_window_funcs
+
+    df = events_window_funcs("/root/testdata/sf0.001").to_pandas()
+    assert list(df.columns) == ["event_id", "user_id", "ts", "seq", "gap_us"]
+    for _, g in df.groupby("user_id"):
+        assert list(g["seq"]) == list(range(1, len(g) + 1))
+        assert pd.isna(g["gap_us"].iloc[0])
+        if len(g) > 1:
+            assert (g["gap_us"].iloc[1:] >= 0).all()
+            ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            np.testing.assert_array_equal(
+                g["gap_us"].iloc[1:].to_numpy(dtype="int64"), np.diff(ts_us)
+            )
