@@ -470,8 +470,12 @@ def embedding_dup_pairs_lsh(
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     # a pair can collide in several tables → distributed dedup
+    # (bucketed: pair cardinality is data-sized — util.bucketed_aggregate)
+    from ..util import bucketed_aggregate
+
     return _with_pair_schema(
-        pair_ds.groupby(["id_a", "id_b"])
-        .aggregate(Min("cos_sim", alias_name="cos_sim"))
-        .sort(["id_a", "id_b"])
+        bucketed_aggregate(
+            pair_ds, key_cols=["id_a", "id_b"],
+            aggs=[("cos_sim", "min", "cos_sim")],
+        ).sort(["id_a", "id_b"])
     )

@@ -86,6 +86,8 @@ def minlabel_clusters(
         .aggregate(Count(alias_name="_c"))  # distinct vertices
         .map_batches(init, batch_format="pyarrow")
     )
+    # (vertex cardinality here is the dup-pair graph's vertex count —
+    # usually small; the relaxation aggregate below is bucketed anyway)
 
     def relax(t: pa.Table) -> pa.Table:
         # map-side combiner: ≤1 candidate per target per block
@@ -93,14 +95,17 @@ def minlabel_clusters(
         return table_from_arrays(v=k, cand=v)
 
     for _ in range(rounds):
+        from ..util import bucketed_aggregate
+
         msgs = compact_nonempty(
-            edges.join(
-                state, join_type="inner", num_partitions=num_partitions,
-                on=("id_a",), right_on=("v",),
+            bucketed_aggregate(
+                edges.join(
+                    state, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("id_a",), right_on=("v",),
+                ).map_batches(relax, batch_format="pyarrow"),
+                key_cols=["v"], aggs=[("cand", "min", "cand")],
             )
-            .map_batches(relax, batch_format="pyarrow")
-            .groupby("v")
-            .aggregate(Min("cand", alias_name="cand"))
         )
         if msgs is None:  # no deliverable message anywhere: fixpoint
             break

@@ -44,13 +44,15 @@ def dedup_exact_ids(
     """→ (id_col, n_copies): the surviving min-id per distinct content,
     with its duplicate count. One hash shuffle; map-side hashing."""
     hashed = add_content_hash(ds.select_columns([id_col, text_col]), text_col)
-    return (
-        hashed.groupby("content_hash")
-        .aggregate(
-            Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
-        )
-        .select_columns([id_col, "n_copies"])
-    )
+    # bucketed, NOT groupby(content_hash): distinct-content cardinality
+    # is ~n_docs (util.bucketed_aggregate)
+    from ..util import bucketed_aggregate
+
+    return bucketed_aggregate(
+        hashed,
+        key_cols=["content_hash"],
+        aggs=[(id_col, "min", id_col), (id_col, "count", "n_copies")],
+    ).select_columns([id_col, "n_copies"])
 
 
 def dedup_exact(

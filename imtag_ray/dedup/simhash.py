@@ -137,46 +137,83 @@ def simhash_dup_pairs(
         shifts = (np.arange(nchunks, dtype=np.uint64) * np.uint64(width))
         mask = np.uint64((1 << width) - 1)
         vals = ((hs[:, None] >> shifts[None, :]) & mask).reshape(-1)
+        # int64-reinterpreted (bijective): uint64 above 2^63 degrades
+        # Ray's sort-shuffle to pickled-object blocks
         return pa.table(
             {"doc_id": pa.array(out_id, pa.int64()),
              "chunk": pa.array(out_chunk, pa.int32()),
-             "val": pa.array(vals, pa.uint64()),
-             "simhash": pa.array(np.repeat(hs, nchunks), pa.uint64())}
+             "val": pa.array(vals.view(np.int64), pa.int64()),
+             "simhash": pa.array(
+                 np.repeat(hs, nchunks).view(np.int64), pa.int64()
+             )}
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = col_np(group, "doc_id")
-        hs = col_np(group, "simhash")
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        n = len(ids)
-        if n < 2:
+    _LUT = np.array([bin(v).count("1") for v in range(256)], dtype=np.int32)
+
+    def chunk_block_pairs(g: pa.Table, _k=hamming_k) -> pa.Table:
+        # ONE coarse hash bucket holding MANY (chunk, val) pigeonhole
+        # buckets: lexsort once, then a triu pair expansion per distinct
+        # segment size (per-bucket map_groups paid Ray's per-group
+        # overhead n_docs x nchunks times)
+        chunk = col_np(g, "chunk").astype(np.int64)
+        val = col_np(g, "val")
+        ids = col_np(g, "doc_id")
+        hs = col_np(g, "simhash")
+        order = np.lexsort((ids, val, chunk))
+        c, v, dv, hv = chunk[order], val[order], ids[order], hs[order]
+        n = len(c)
+        bound = np.zeros(n, dtype=bool)
+        bound[0] = True
+        bound[1:] = (c[1:] != c[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(bound)
+        sizes = np.diff(np.append(starts, n))
+        pa_, pb_, pd_ = [], [], []
+        for sz in np.unique(sizes):
+            if sz < 2:
+                continue
+            idx = np.flatnonzero(sizes == sz)
+            cols = np.arange(int(sz))
+            mids = dv[starts[idx][:, None] + cols[None, :]]
+            mhs = hv[starts[idx][:, None] + cols[None, :]]
+            ia, ib = np.triu_indices(int(sz), 1)
+            x = mhs[:, ia].ravel() ^ mhs[:, ib].ravel()
+            d = _LUT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+            keep = d <= _k
+            pa_.append(mids[:, ia].ravel()[keep])
+            pb_.append(mids[:, ib].ravel()[keep])
+            pd_.append(d[keep])
+        if not pa_:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()),
                  "id_b": pa.array([], pa.int64()),
                  "hamming": pa.array([], pa.int32())}
             )
-        ia, ib = np.triu_indices(n, k=1)
-        x = hs[ia] ^ hs[ib]
-        # vectorized popcount via byte-LUT
-        lut = np.array([bin(v).count("1") for v in range(256)], dtype=np.int32)
-        d = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
-        keep = d <= hamming_k
         return pa.table(
-            {"id_a": pa.array(ids[ia][keep], pa.int64()),
-             "id_b": pa.array(ids[ib][keep], pa.int64()),
-             "hamming": pa.array(d[keep], pa.int32())}
+            {"id_a": pa.array(np.concatenate(pa_), pa.int64()),
+             "id_b": pa.array(np.concatenate(pb_), pa.int64()),
+             "hamming": pa.array(np.concatenate(pd_), pa.int32())}
         )
+
+    from ..util import _mix_to_bucket, bucketed_aggregate
+
+    def coarse(t: pa.Table) -> pa.Table:
+        keys = [col_np(t, "chunk").astype(np.int64),
+                col_np(t, "val").astype(np.int64)]
+        return t.append_column("__bucket", pa.array(_mix_to_bucket(keys, 256)))
 
     pair_ds = (
         tbl.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "val"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(coarse, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(chunk_block_pairs, batch_format="pyarrow")
     )
-    # distributed dedup of pairs found in multiple chunks
+    # distributed dedup of pairs found in multiple chunks (bucketed:
+    # pair cardinality is data-sized)
     deduped = (
-        pair_ds.groupby(["id_a", "id_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        bucketed_aggregate(
+            pair_ds, key_cols=["id_a", "id_b"],
+            aggs=[("hamming", "min", "hamming")],
+        )
         .map_batches(
             lambda t: t.set_column(
                 t.schema.get_field_index("hamming"),

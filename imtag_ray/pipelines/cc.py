@@ -39,7 +39,13 @@ from ray.data.aggregate import Min, Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.graph_build import Graph
-from ..util import col_np, dataset_to_numpy, sparse_min_reduce, table_from_arrays
+from ..util import (
+    bucketed_aggregate,
+    col_np,
+    dataset_to_numpy,
+    sparse_min_reduce,
+    table_from_arrays,
+)
 
 
 def _pick_mode(graph: Graph, cfg: EngineConfig) -> str:
@@ -111,8 +117,9 @@ def _cc_broadcast(
                 converged = True
                 break  # no improving edge anywhere → converged
         else:
-            agg = partials.groupby("vid").aggregate(
-                Min("cand", alias_name="cand")
+            agg = bucketed_aggregate(
+                partials, key_cols=["vid"],
+                aggs=[("cand", "min", "cand")],
             )
             res = dataset_to_numpy(agg, "vid", "cand")
             if len(res["vid"]) == 0:
@@ -181,6 +188,33 @@ def _hop_resolve(group: pa.Table) -> pa.Table:
     )
 
 
+def _hop_resolve_block(g: pa.Table) -> pa.Table:
+    """Many keys at once (one coarse hash bucket): the vectorized form
+    of _hop_resolve — per-key map_groups paid Ray's per-group overhead
+    V times. Each key has at most one provider row (key = that vid)."""
+    key = col_np(g, "key").astype(np.int64)
+    val = col_np(g, "val").astype(np.int64)
+    kind = col_np(g, "kind").astype(np.int8)
+    order = np.lexsort((kind, key))
+    k, v, kd = key[order], val[order], kind[order]
+    n = len(k)
+    if n == 0:
+        return pa.table(
+            {"vid": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+    bound = np.ones(n, dtype=bool)
+    bound[1:] = k[1:] != k[:-1]
+    seg = np.cumsum(bound) - 1
+    nseg = int(seg[-1]) + 1
+    prov_mask = kd == 1
+    prov_label = np.full(nseg, -1, dtype=np.int64)
+    prov_label[seg[prov_mask]] = v[prov_mask]
+    has_prov = np.zeros(nseg, dtype=bool)
+    has_prov[seg[prov_mask]] = True
+    req_mask = (kd == 0) & has_prov[seg]
+    return table_from_arrays(vid=v[req_mask], label=prov_label[seg[req_mask]])
+
+
 def _shortcut_labels(
     labels: "ray.data.Dataset", P: int, max_hops: int = 60
 ) -> tuple["ray.data.Dataset", int]:
@@ -197,12 +231,20 @@ def _shortcut_labels(
     heavy key skew (e.g. a converged star where every label is 0),
     which poisons downstream joins; groupby handles the same skew fine.
     """
+    from ..util import _mix_to_bucket
+
+    def key_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", pa.array(
+            _mix_to_bucket([col_np(t, "key").astype(np.int64)], 256)
+        ))
+
     cur_sum = _label_sum(labels)
     for _ in range(max_hops):
         labels = (
             labels.map_batches(_hop_messages, batch_format="pyarrow")
-            .groupby("key")
-            .map_groups(_hop_resolve, batch_format="pyarrow")
+            .map_batches(key_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_hop_resolve_block, batch_format="pyarrow")
             .materialize()
         )
         nxt_sum = _label_sum(labels)
@@ -253,11 +295,10 @@ def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None) -> "r
             .rename_columns({"src": "vid"})
         )
         candidates = by_src.union(by_dst).union(labels)
-        labels = (
-            candidates.groupby("vid")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        labels = bucketed_aggregate(
+            candidates, key_cols=["vid"],
+            aggs=[("label", "min", "label")],
+        ).materialize()
         # pointer jumping between relaxation rounds (mirrors the
         # broadcast mode); without it, chain-shaped components need
         # O(diameter) rounds and silently mislabel past max_iterations.

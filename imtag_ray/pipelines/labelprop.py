@@ -34,7 +34,13 @@ from ray.data.aggregate import Max, Min, Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.graph_build import Graph
-from ..util import col_np, dataset_to_numpy, table_from_arrays
+from ..util import (
+    bucketed_aggregate,
+    bucketed_sum_aggregate,
+    col_np,
+    dataset_to_numpy,
+    table_from_arrays,
+)
 
 UNLABELED = -1
 
@@ -86,14 +92,13 @@ def _canon_edges(graph: Graph) -> "ray.data.Dataset":
         key = np.unique(lo.astype(np.int64) * _V + hi)
         return table_from_arrays(src=key // _V, dst=key % _V)
 
-    return (
-        graph.edges.select_columns(["src", "dst"])
-        .map_batches(canon, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .count()
-        .select_columns(["src", "dst"])
-        .materialize()
-    )
+    # bucketed distinct — canonical-edge cardinality is E
+    return bucketed_sum_aggregate(
+        graph.edges.select_columns(["src", "dst"]).map_batches(
+            canon, batch_format="pyarrow"
+        ),
+        key_cols=["src", "dst"], sum_cols=[],
+    ).materialize()
 
 
 def _lp_broadcast(
@@ -133,10 +138,10 @@ def _lp_broadcast(
                 vid=uniq // _L, label=uniq % _L, cnt=counts.astype(np.int64)
             )
 
-        agg = (
-            edges.map_batches(step, batch_format="pyarrow")
-            .groupby(["vid", "label"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
+        # bucketed — (vid,label) cardinality is up to E
+        agg = bucketed_sum_aggregate(
+            edges.map_batches(step, batch_format="pyarrow"),
+            key_cols=["vid", "label"], sum_cols=["cnt"],
         )
         res = dataset_to_numpy(agg, "vid", "label", "cnt")
         if len(res["vid"]) == 0:
@@ -173,6 +178,23 @@ def _winner_of_group(group: pa.Table) -> pa.Table:
     return pa.table(
         {"vid": group.column("vid").slice(0, 1),
          "winner": pa.array([int(lab[order[0]])], pa.int64())}
+    )
+
+
+def _winners_of_block(g: pa.Table) -> pa.Table:
+    """Vote rows of MANY vids (one coarse hash bucket) → winning label
+    per vid (count desc, label asc) in one vectorized lexsort — the
+    many-group form of _winner_of_group."""
+    vid = col_np(g, "vid").astype(np.int64)
+    lab = col_np(g, "label").astype(np.int64)
+    cnt = col_np(g, "cnt").astype(np.int64)
+    order = np.lexsort((lab, -cnt, vid))
+    v, l = vid[order], lab[order]
+    first = np.ones(len(v), dtype=bool)
+    first[1:] = v[1:] != v[:-1]
+    return pa.table(
+        {"vid": pa.array(v[first], pa.int64()),
+         "winner": pa.array(l[first], pa.int64())}
     )
 
 
@@ -263,13 +285,23 @@ def _lp_shuffle(
             )
             return table_from_arrays(vid=k // _L, label=k % _L, cnt=c)
 
+        votes = bucketed_sum_aggregate(
+            by_src.union(by_dst).map_batches(combine, batch_format="pyarrow"),
+            key_cols=["vid", "label"], sum_cols=["cnt"],
+        )
+        # winner per vid, one coarse bucket at a time (vid-cardinality
+        # map_groups paid Ray's per-group overhead V times)
+        from ..util import _mix_to_bucket
+
+        def vid_bucket(t: pa.Table) -> pa.Table:
+            return t.append_column("__bucket", pa.array(
+                _mix_to_bucket([col_np(t, "vid").astype(np.int64)], 256)
+            ))
+
         winners = (
-            by_src.union(by_dst)
-            .map_batches(combine, batch_format="pyarrow")
-            .groupby(["vid", "label"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-            .groupby("vid")
-            .map_groups(_winner_of_group, batch_format="pyarrow")
+            votes.map_batches(vid_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_winners_of_block, batch_format="pyarrow")
             .materialize()
         )
         if winners.count() == 0:
@@ -316,10 +348,12 @@ def _lp_shuffle(
             )
 
         joined = (
-            state.map_batches(enc_state, batch_format="pyarrow")
-            .union(winners.map_batches(enc_winner, batch_format="pyarrow"))
-            .groupby("vid")
-            .aggregate(Min("enc", alias_name="lo"), Max("enc", alias_name="hi"))
+            bucketed_aggregate(
+                state.map_batches(enc_state, batch_format="pyarrow")
+                .union(winners.map_batches(enc_winner, batch_format="pyarrow")),
+                key_cols=["vid"],
+                aggs=[("enc", "min", "lo"), ("enc", "max", "hi")],
+            )
             .map_batches(decode, batch_format="pyarrow")
             .materialize()
         )

@@ -28,7 +28,13 @@ from ray.data.aggregate import Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.graph_build import Graph, degrees
-from ..util import col_np, dataset_to_numpy, sparse_sum_reduce, table_from_arrays
+from ..util import (
+    bucketed_sum_aggregate,
+    col_np,
+    dataset_to_numpy,
+    sparse_sum_reduce,
+    table_from_arrays,
+)
 
 
 def _pick_mode(graph: Graph, cfg: EngineConfig) -> str:
@@ -88,8 +94,8 @@ def _pr_broadcast(
             ):
                 np.add.at(incoming, col_np(b, "vid"), col_np(b, "part"))
         else:
-            agg = partials.groupby("vid").aggregate(
-                Sum("part", alias_name="part")
+            agg = bucketed_sum_aggregate(
+                partials, key_cols=["vid"], sum_cols=["part"]
             )
             res = dataset_to_numpy(agg, "vid", "part")
             incoming[res["vid"]] = res["part"]
@@ -179,8 +185,10 @@ def _pr_shuffle(
                 ),
                 batch_format="pyarrow",
             )
-            .groupby("vid")
-            .aggregate(Sum("part", alias_name="part"))
+        )
+        # bucketed, NOT groupby(vid): V distinct groups
+        contribs = bucketed_sum_aggregate(
+            contribs, key_cols=["vid"], sum_cols=["part"]
         )
 
         base = (1.0 - d) / V + d * dangling_mass / V

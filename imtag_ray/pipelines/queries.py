@@ -90,10 +90,12 @@ def copart_edge_urls(sf_dir: str) -> "ray.data.Dataset":
         uniq = np.unique(key)
         return table_from_arrays(pk_a=uniq >> 32, pk_b=uniq & ((1 << 32) - 1))
 
-    dedup = (
-        pairs.map_batches(canon, batch_format="pyarrow")
-        .groupby(["pk_a", "pk_b"])
-        .count()
+    from ..util import bucketed_sum_aggregate
+
+    # bucketed distinct — pair cardinality is E (util.bucketed_sum_aggregate)
+    dedup = bucketed_sum_aggregate(
+        pairs.map_batches(canon, batch_format="pyarrow"),
+        key_cols=["pk_a", "pk_b"], sum_cols=[],
     )
 
     def to_urls(t: pa.Table) -> pa.Table:
@@ -307,13 +309,12 @@ def doc_edges_q(sf_dir: str) -> "ray.data.Dataset":
         # (C++ hash group-by, no pandas conversion)
         return t.group_by(["src_url", "dst_url"]).aggregate([])
 
-    return (
-        edges.map_batches(dedup, batch_format="pyarrow")
-        .groupby(["src_url", "dst_url"])
-        .count()
-        .select_columns(["src_url", "dst_url"])
-        .sort(["src_url", "dst_url"])
-    )
+    from ..util import bucketed_sum_aggregate
+
+    return bucketed_sum_aggregate(
+        edges.map_batches(dedup, batch_format="pyarrow"),
+        key_cols=["src_url", "dst_url"], sum_cols=[],
+    ).sort(["src_url", "dst_url"])
 
 
 def doc_texts_q(sf_dir: str) -> "ray.data.Dataset":

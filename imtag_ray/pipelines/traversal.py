@@ -33,6 +33,8 @@ from ray.data.aggregate import Min, Sum
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.graph_build import Graph
 from ..util import (
+    bucketed_aggregate,
+    bucketed_sum_aggregate,
     col_np,
     compact_nonempty,
     dataset_to_numpy,
@@ -177,10 +179,11 @@ def _hits_shuffle(
                 ),
                 batch_format="pyarrow",
             )
-            .groupby("vid")
-            .aggregate(Sum("part", alias_name="part"))
         )
-        msgs = compact_nonempty(msgs)
+        # bucketed, NOT groupby(vid): V distinct groups
+        msgs = compact_nonempty(
+            bucketed_sum_aggregate(msgs, key_cols=["vid"], sum_cols=["part"])
+        )
         if msgs is None:  # nothing scattered anywhere this half
             return zero_out(state, out_col)
 
@@ -384,10 +387,13 @@ def _bfs_shuffle(
                 on=("src",), right_on=("vid",),
             )
             .map_batches(relax, batch_format="pyarrow")
-            .groupby("vid")
-            .aggregate(Min("cand", alias_name="cand"))
         )
-        msgs = compact_nonempty(msgs)
+        # bucketed, NOT groupby(vid): V distinct groups
+        msgs = compact_nonempty(
+            bucketed_aggregate(
+                msgs, key_cols=["vid"], aggs=[("cand", "min", "cand")]
+            )
+        )
         if msgs is None:  # nothing relaxed: fixpoint reached
             converged = True
             break
@@ -569,10 +575,10 @@ def _kcore_shuffle(
             )
             return table_from_arrays(**{"vid": kk, col: s})
 
-        return (
-            edges.map_batches(partial, batch_format="pyarrow")
-            .groupby("vid")
-            .aggregate(Sum(col, alias_name=col))
+        # bucketed, NOT groupby(vid): V distinct groups
+        return bucketed_sum_aggregate(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            key_cols=["vid"], sum_cols=[col],
         )
 
     def at_least_k(t: pa.Table) -> pa.Table:
@@ -812,13 +818,13 @@ def _sssp_shuffle(
     converged = False
     for _ in range(max_rounds):
         msgs = compact_nonempty(
-            edges.join(
-                state, join_type="inner", num_partitions=P,
-                on=("src",), right_on=("vid",),
+            bucketed_aggregate(
+                edges.join(
+                    state, join_type="inner", num_partitions=P,
+                    on=("src",), right_on=("vid",),
+                ).map_batches(relax, batch_format="pyarrow"),
+                key_cols=["vid"], aggs=[("cand", "min", "cand")],
             )
-            .map_batches(relax, batch_format="pyarrow")
-            .groupby("vid")
-            .aggregate(Min("cand", alias_name="cand"))
         )
         if msgs is None:  # nothing relaxed: fixpoint
             converged = True

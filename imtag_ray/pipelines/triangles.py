@@ -29,7 +29,7 @@ from ray.data.aggregate import Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.graph_build import Graph, degree_dataset, degrees
-from ..util import col_np, dataset_to_numpy, sparse_sum_reduce, table_from_arrays
+from ..util import bucketed_sum_aggregate, col_np, dataset_to_numpy, sparse_sum_reduce, table_from_arrays
 
 
 def _oriented_edges(graph: Graph, cfg: EngineConfig) -> "ray.data.Dataset":
@@ -55,13 +55,12 @@ def _oriented_edges(graph: Graph, cfg: EngineConfig) -> "ray.data.Dataset":
         uniq = np.unique(pair)
         return table_from_arrays(u=uniq // V, v=uniq % V)
 
-    return (
-        graph.edges.map_batches(orient, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .count()
-        .select_columns(["u", "v"])
-        .materialize()
-    )
+    # bucketed distinct — oriented-edge cardinality is E (see
+    # util.bucketed_sum_aggregate for why groupby(u,v) must not see it)
+    return bucketed_sum_aggregate(
+        graph.edges.map_batches(orient, batch_format="pyarrow"),
+        key_cols=["u", "v"], sum_cols=[],
+    ).materialize()
 
 
 def _triangles_broadcast(
@@ -107,10 +106,9 @@ def _triangles_broadcast(
         k, s = sparse_sum_reduce(allv, np.ones(len(allv), dtype=np.int64))
         return table_from_arrays(vid=k, tri=s)
 
-    agg = (
-        oriented.map_batches(step, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("tri", alias_name="tri"))
+    agg = bucketed_sum_aggregate(
+        oriented.map_batches(step, batch_format="pyarrow"),
+        key_cols=["vid"], sum_cols=["tri"],
     )
     out = np.zeros(V, dtype=np.int64)
     res = dataset_to_numpy(agg, "vid", "tri")
@@ -162,13 +160,10 @@ def _oriented_edges_nodriver(
             u=uniq // _V, v=uniq % _V, vdeg=vdeg[idx]
         )
 
-    return (
-        e2.map_batches(orient, batch_format="pyarrow")
-        .groupby(["u", "v", "vdeg"])
-        .count()
-        .select_columns(["u", "v", "vdeg"])
-        .materialize()
-    )
+    return bucketed_sum_aggregate(
+        e2.map_batches(orient, batch_format="pyarrow"),
+        key_cols=["u", "v", "vdeg"], sum_cols=[],
+    ).materialize()
 
 
 def _triangles_shuffle(
@@ -235,12 +230,10 @@ def _triangles_shuffle(
         k, s = sparse_sum_reduce(allv, np.ones(len(allv), dtype=np.int64))
         return table_from_arrays(vid=k, triangles=s)
 
-    return (
-        zeros.union(tris.map_batches(explode, batch_format="pyarrow"))
-        .groupby("vid")
-        .aggregate(Sum("triangles", alias_name="triangles"))
-        .materialize()
-    )
+    return bucketed_sum_aggregate(
+        zeros.union(tris.map_batches(explode, batch_format="pyarrow")),
+        key_cols=["vid"], sum_cols=["triangles"],
+    ).materialize()
 
 
 def triangle_counts(

@@ -26,7 +26,12 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..util import col_np, table_from_arrays, zip_with_index
+from ..util import (
+    bucketed_sum_aggregate,
+    col_np,
+    table_from_arrays,
+    zip_with_index,
+)
 
 
 @dataclass
@@ -146,7 +151,8 @@ def build_vertices(
     all-to-all this stage needs; id assignment is block-local after a
     P-length prefix sum (no driver data pass)."""
     urls = edges_urls.map_batches(_both_endpoints, batch_format="pyarrow")
-    distinct = urls.groupby("url").count().select_columns(["url"])
+    # bucketed distinct — url cardinality is V (see bucketed_sum_aggregate)
+    distinct = bucketed_sum_aggregate(urls, key_cols=["url"], sum_cols=[])
     vertices = zip_with_index(distinct.sort("url"), index_name="vid")
     return vertices.select_columns(["vid", "url"]).materialize()
 
@@ -247,10 +253,13 @@ def build_graph(
             .select_columns(["src", "dst"])
         )
 
-    deduped = (
-        ids.map_batches(_dedup_batch, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Sum("weight", alias_name="weight"))
+    # bucketed, NOT groupby(src,dst): distinct-edge cardinality is E
+    # and Ray's groupby pays per-distinct-group overhead
+    # (util.bucketed_sum_aggregate)
+    deduped = bucketed_sum_aggregate(
+        ids.map_batches(_dedup_batch, batch_format="pyarrow"),
+        key_cols=["src", "dst"], sum_cols=["weight"],
+        num_buckets=max(cfg.num_partitions * 32, 256),
     )
     edges = deduped.materialize()
     return Graph(
@@ -289,10 +298,10 @@ def degree_dataset(
         ),
         batch_format="pyarrow",
     )
-    return (
-        zeros.union(graph.edges.map_batches(partial, batch_format="pyarrow"))
-        .groupby("vid")
-        .aggregate(Sum(col, alias_name=col))
+    # bucketed, NOT groupby(vid): V distinct groups
+    return bucketed_sum_aggregate(
+        zeros.union(graph.edges.map_batches(partial, batch_format="pyarrow")),
+        key_cols=["vid"], sum_cols=[col],
     )
 
 
@@ -318,10 +327,9 @@ def degrees(graph: Graph, direction: str = "out") -> np.ndarray:
         k, s = sparse_sum_reduce(keys, np.ones(len(keys), dtype=np.int64))
         return table_from_arrays(vid=k, deg=s)
 
-    agg = (
-        graph.edges.map_batches(partial, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("deg", alias_name="deg"))
+    agg = bucketed_sum_aggregate(
+        graph.edges.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["vid"], sum_cols=["deg"],
     )
     out = np.zeros(graph.num_vertices, dtype=np.int64)
     from ..util import dataset_to_numpy

@@ -43,6 +43,63 @@ def _mix_to_bucket(key_arrays, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _bucket_of_table(t: pa.Table, key_cols: list[str], num_buckets: int) -> np.ndarray:
+    """Per-row bucket id from int OR string key columns."""
+    keys = []
+    for k in key_cols:
+        col = t.column(k)
+        if pa.types.is_integer(col.type):
+            keys.append(col_np(t, k).astype(np.int64))
+        else:
+            from .functions.urls import hash64_array
+
+            keys.append(hash64_array(col_np(t, k)).view(np.int64))
+    return _mix_to_bucket(keys, num_buckets)
+
+
+def bucketed_aggregate(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    aggs: list[tuple],
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """``groupby(key_cols).aggregate(...)`` for HIGH-CARDINALITY keys.
+
+    Ray 2.49's groupby aggregation pays ~125µs of per-distinct-group
+    overhead (measured: 4M rows / 2M groups = 250 s), so V- or E-sized
+    aggregates must never feed it raw keys. This shuffles on a coarse
+    hash bucket (num_buckets distinct values — per-group overhead paid
+    num_buckets times, not num_keys times) and reduces each bucket with
+    ONE Arrow C++ hash aggregation (string and int keys both fine).
+
+    ``aggs``: (src_col, fn, out_name) with fn ∈ Arrow group_by
+    aggregate functions ("sum" | "min" | "max" | "count" | "mean" ...).
+    Output: key_cols + one column per agg, dtypes Arrow-derived."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(_bucket_of_table(t, key_cols, num_buckets))
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        res = g.group_by(key_cols).aggregate(
+            [(c, fn) for c, fn, _ in aggs]
+        )
+        # Arrow names results '<col>_<fn>'; rename to the requested
+        # aliases and restore column order (keys first)
+        rename = {f"{c}_{fn}": out for c, fn, out in aggs}
+        res = res.rename_columns(
+            [rename.get(n, n) for n in res.column_names]
+        )
+        return res.select(key_cols + [out for _, _, out in aggs])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
 def bucketed_sum_aggregate(
     ds: "ray.data.Dataset",
     key_cols: list[str],
@@ -50,48 +107,18 @@ def bucketed_sum_aggregate(
     num_buckets: int = 256,
     count_col: str | None = None,
 ) -> "ray.data.Dataset":
-    """``groupby(key_cols).sum(sum_cols)[.count()]`` for
-    HIGH-CARDINALITY integer keys.
-
-    Ray 2.49's groupby aggregation pays ~125µs of per-distinct-group
-    overhead (measured: 4M rows / 2M groups = 250 s), so million-group
-    aggregates must never feed it raw keys. This shuffles on a coarse
-    hash bucket (num_buckets distinct values — per-group overhead paid
-    num_buckets times, not num_keys times) and reduces each bucket with
-    one vectorized lexsort + reduceat pass. Same result table:
-    key_cols + summed sum_cols (dtypes preserved) + optional count.
-    Key columns must be integer-typed."""
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        keys = [col_np(t, k).astype(np.int64) for k in key_cols]
-        return t.append_column(
-            "__bucket", pa.array(_mix_to_bucket(keys, num_buckets))
-        )
-
-    def reduce_bucket(g: pa.Table) -> pa.Table:
-        keys = [col_np(g, k) for k in key_cols]
-        order = np.lexsort(keys[::-1])
-        ks = [k[order] for k in keys]
-        n = len(order)
-        bound = np.zeros(n, dtype=bool)
-        if n:
-            bound[0] = True
-            for k in ks:
-                bound[1:] |= k[1:] != k[:-1]
-        starts = np.flatnonzero(bound)
-        out = {c: k[starts] for c, k in zip(key_cols, ks)}
-        for c in sum_cols:
-            v = col_np(g, c)[order]
-            out[c] = np.add.reduceat(v, starts) if n else v[:0]
-        if count_col is not None:
-            out[count_col] = np.diff(np.append(starts, n)).astype(np.int64)
-        return table_from_arrays(**out)
-
-    return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(reduce_bucket, batch_format="pyarrow")
-    )
+    """groupby(key_cols).sum(sum_cols)[.count()] via bucketed_aggregate
+    (see there for why Ray's groupby must not see high-cardinality
+    keys). With no sums and no count this is a distinct."""
+    aggs = [(c, "sum", c) for c in sum_cols]
+    if count_col is not None:
+        aggs.append((key_cols[0], "count", count_col))
+    if not aggs:
+        # distinct: count into a throwaway column, then drop it
+        return bucketed_aggregate(
+            ds, key_cols, [(key_cols[0], "count", "__n")], num_buckets
+        ).select_columns(key_cols)
+    return bucketed_aggregate(ds, key_cols, aggs, num_buckets)
 
 
 def sparse_min_reduce(keys: np.ndarray, values: np.ndarray):
