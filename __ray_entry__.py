@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_adamic": q.copart_adamic_q,
         "copart_clustering": q.copart_clustering_q,
         "copart_ppr12": q.copart_ppr12_q,
+        "copart_wpagerank8": q.copart_wpagerank8_q,
+        "copart_edge_jaccard": q.copart_edge_jaccard_q,
+        "copart_nbr_top3": q.copart_nbr_top3_q,
         "doc_reciprocity": q.doc_reciprocity_q,
         # --- text analysis -------------------------------------------------
         "doc_token_stats": d.doc_token_stats_q,
@@ -113,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": r.events_sessionize,
         "events_windows": r.events_window_funcs,
         "events_asof": r.events_asof_latest_order,
+        "cust_no_orders": r.customers_without_orders,
         "supplier_parts": r.supplier_part_counts,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
@@ -789,6 +793,82 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cnt ON cnt.p = v.p ORDER BY url
         """,
         "copart_ppr12": _ppr_unrolled_sql(12, 5),
+        "copart_wpagerank8": f"""
+            WITH RECURSIVE pairs AS ({_COPART_PAIRS}),
+            wund AS MATERIALIZED (
+                SELECT pa_ AS s, pb_ AS d,
+                       CAST(1 + (pa_ + pb_) % 7 AS DOUBLE) AS wt FROM pairs
+                UNION ALL
+                SELECT pb_, pa_, CAST(1 + (pa_ + pb_) % 7 AS DOUBLE)
+                FROM pairs),
+            verts AS (SELECT DISTINCT s AS v FROM wund),
+            vc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+            strength AS (SELECT s AS v, CAST(sum(wt) AS DOUBLE) AS st
+                         FROM wund GROUP BY s),
+            pr(it, v, r) AS (
+                SELECT 0, v, 1.0 / (SELECT n FROM vc) FROM verts
+                UNION ALL
+                SELECT pr.it + 1, u.d,
+                       (1.0 - 0.85) / any_value((SELECT n FROM vc))
+                       + 0.85 * sum(pr.r / st.st * u.wt)
+                FROM pr
+                JOIN wund u ON u.s = pr.v
+                JOIN strength st ON st.v = pr.v
+                WHERE pr.it < 8
+                GROUP BY pr.it, u.d
+            )
+            SELECT {_PURL.format(c='v')} AS url, round(r, 9) AS rank
+            FROM pr WHERE it = 8 ORDER BY url
+        """,
+        "copart_edge_jaccard": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            deg AS (SELECT s AS v, count(*) AS dg FROM und GROUP BY s),
+            cn AS (SELECT e1.d AS a, e2.d AS b, count(*) AS c
+                   FROM und e1 JOIN und e2
+                     ON e1.s = e2.s AND e1.d < e2.d
+                   GROUP BY a, b)
+            SELECT {_PURL.format(c='p.pa_')} AS url_a,
+                   {_PURL.format(c='p.pb_')} AS url_b,
+                   CAST(coalesce(cn.c, 0) AS BIGINT) AS cn,
+                   round(CASE WHEN da.dg + db.dg - coalesce(cn.c, 0) > 0
+                         THEN CAST(coalesce(cn.c, 0) AS DOUBLE)
+                              / (da.dg + db.dg - coalesce(cn.c, 0))
+                         ELSE 0.0 END, 9) AS jac
+            FROM pairs p
+            JOIN deg da ON da.v = p.pa_
+            JOIN deg db ON db.v = p.pb_
+            LEFT JOIN cn ON cn.a = p.pa_ AND cn.b = p.pb_
+            ORDER BY url_a, url_b
+        """,
+        "copart_nbr_top3": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            wund AS (SELECT pa_ AS s, pb_ AS d,
+                            CAST(1 + (pa_ + pb_) % 7 AS BIGINT) AS wt
+                     FROM pairs
+                     UNION ALL
+                     SELECT pb_, pa_, CAST(1 + (pa_ + pb_) % 7 AS BIGINT)
+                     FROM pairs),
+            ranked AS (SELECT s, d, wt,
+                              row_number() OVER (
+                                  PARTITION BY s ORDER BY wt DESC, d ASC
+                              ) AS rk
+                       FROM wund)
+            SELECT {_PURL.format(c='s')} AS url,
+                   {_PURL.format(c='d')} AS nbr,
+                   wt AS w, CAST(rk AS BIGINT) AS rnk
+            FROM ranked WHERE rk <= 3 ORDER BY url, rnk
+        """,
+        "cust_no_orders": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND year(o.o_orderdate) = 1995
+            )
+            ORDER BY c_custkey
+        """,
         "doc_reciprocity": f"""
             WITH targets AS ({_DOC_TARGETS}),
             fil AS (SELECT DISTINCT doc_id, tgt FROM targets

@@ -307,6 +307,128 @@ _EMPTY_AA = pa.table(
 )
 
 
+def edge_jaccard(graph, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Neighborhood Jaccard similarity per EDGE — networkx
+    jaccard_coefficient semantics: |N(a)∩N(b)| / (deg(a)+deg(b)−cn)
+    for adjacent pairs (a < b). → Dataset (url_a, url_b, cn, jac).
+
+    Same broadcast-CSR wedge enumeration as Adamic–Adar (cn only), one
+    bucketed aggregation, then ONE int-keyed left join from the edge
+    table so zero-common-neighbor edges survive with cn = 0."""
+    from ..util import dataset_to_numpy
+
+    V = graph.num_vertices
+    if V == 0:
+        return ray.data.from_arrow(_EMPTY_EJ)
+    e = dataset_to_numpy(graph.edges, "src", "dst")
+    s = np.concatenate([e["src"], e["dst"]]).astype(np.int64)
+    d = np.concatenate([e["dst"], e["src"]]).astype(np.int64)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    indptr = np.cumsum(indptr)
+    deg = np.diff(indptr).astype(np.int64)
+    state = ray.put((indptr, d))
+
+    MAX_WEDGES = 1 << 22
+
+    def step(batch: pa.Table, _ref=state, _V=V) -> pa.Table:
+        indptr, adj = ray.get(_ref)
+        w = col_np(batch, "vid").astype(np.int64)
+        cnt = (indptr[w + 1] - indptr[w]).astype(np.int64)
+        parts: list = []
+        for c in np.unique(cnt):
+            if c < 2:
+                continue
+            idx = np.flatnonzero(cnt == c)
+            npairs = int(c * (c - 1) // 2)
+            rows = max(1, MAX_WEDGES // npairs)
+            ia, ib = np.triu_indices(int(c), 1)
+            for lo in range(0, len(idx), rows):
+                sel = idx[lo : lo + rows]
+                nb = adj[indptr[w[sel]][:, None] + np.arange(int(c))[None, :]]
+                parts.append(nb[:, ia].ravel() * _V + nb[:, ib].ravel())
+        if not parts:
+            return table_from_arrays(
+                key=np.empty(0, np.int64), cn=np.empty(0, np.int64)
+            )
+        keys = np.concatenate(parts)
+        ks = np.sort(keys)
+        bound = np.empty(len(ks), dtype=bool)
+        bound[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=bound[1:])
+        starts = np.flatnonzero(bound)
+        return table_from_arrays(
+            key=ks[starts],
+            cn=np.diff(np.append(starts, len(ks))).astype(np.int64),
+        )
+
+    cn_ds = compact_nonempty(
+        bucketed_sum_aggregate(
+            graph.vertices.select_columns(["vid"]).map_batches(
+                step, batch_format="pyarrow", batch_size=1024
+            ),
+            key_cols=["key"], sum_cols=["cn"],
+            num_buckets=max(cfg.num_partitions * 32, 256),
+        )
+    )
+
+    def edge_keys(t: pa.Table, _V=V) -> pa.Table:
+        a = col_np(t, "src").astype(np.int64)
+        b = col_np(t, "dst").astype(np.int64)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return table_from_arrays(key=lo * _V + hi)
+
+    ekeys = compact_nonempty(
+        graph.edges.map_batches(edge_keys, batch_format="pyarrow")
+    )
+    if ekeys is None:
+        return ray.data.from_arrow(_EMPTY_EJ)
+    joined = (
+        ekeys.join(
+            cn_ds.rename_columns({"key": "k_"}),
+            join_type="left_outer", num_partitions=cfg.num_partitions,
+            on=("key",), right_on=("k_",),
+        )
+        if cn_ds is not None
+        else ekeys
+    )
+    uref = _url_lookup_ref(graph)
+    dref = ray.put(deg)
+
+    def finish(t: pa.Table, _V=V, _uref=uref, _dref=dref) -> pa.Table:
+        urls = ray.get(_uref)
+        dg = ray.get(_dref)
+        key = col_np(t, "key").astype(np.int64)
+        if "cn" in t.column_names:
+            cn = np.nan_to_num(
+                np.asarray(col_np(t, "cn"), dtype=np.float64), nan=0.0
+            ).astype(np.int64)
+        else:
+            cn = np.zeros(len(key), dtype=np.int64)
+        a, b = key // _V, key % _V
+        union = dg[a] + dg[b] - cn
+        jac = np.where(union > 0, cn / np.maximum(union, 1), 0.0)
+        return pa.table(
+            {
+                "url_a": pa.array(urls[a], pa.string()),
+                "url_b": pa.array(urls[b], pa.string()),
+                "cn": pa.array(cn, pa.int64()),
+                "jac": pc.round(pa.array(jac, pa.float64()), 9),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_EMPTY_EJ = pa.table(
+    {"url_a": pa.array([], pa.string()), "url_b": pa.array([], pa.string()),
+     "cn": pa.array([], pa.int64()), "jac": pa.array([], pa.float64())}
+)
+
+
 def clustering_coefficients(
     graph, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":

@@ -483,6 +483,85 @@ def _pr_ranges(
     return ranks
 
 
+def pagerank_weighted(
+    graph: Graph,
+    wedges: "ray.data.Dataset",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    on_iter=None,
+) -> "ray.data.Dataset":
+    """Weighted PageRank (broadcast kernel): per-edge contribution
+    r[src]·w/strength[src] with strength = Σ outgoing weights; teleport
+    and dangling mass uniform. ``wedges`` is the CANONICAL undirected
+    weighted edge Dataset (src, dst, w; vid space) — symmetrized here.
+    → Dataset (vid, url, rank)."""
+    V = graph.num_vertices
+    if V == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.float64())}
+            )
+        )
+    d = cfg.pagerank_damping
+
+    def both(t: pa.Table) -> pa.Table:
+        s, dd = col_np(t, "src"), col_np(t, "dst")
+        w = col_np(t, "w").astype(np.float64)
+        return table_from_arrays(
+            src=np.concatenate([s, dd]).astype(np.int64),
+            dst=np.concatenate([dd, s]).astype(np.int64),
+            w=np.concatenate([w, w]),
+        )
+
+    edges = wedges.map_batches(both, batch_format="pyarrow").materialize()
+
+    # weighted out-strength (V-sized driver array — broadcast budget,
+    # same class as the broadcast rank vector)
+    strength = np.zeros(V, dtype=np.float64)
+    for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        np.add.at(strength, col_np(b, "src"), col_np(b, "w"))
+    dangling = strength == 0.0
+
+    ranks = np.full(V, 1.0 / V, dtype=np.float64)
+    for it in range(cfg.max_iterations):
+        contrib = np.zeros(V, dtype=np.float64)
+        nz = ~dangling
+        contrib[nz] = ranks[nz] / strength[nz]
+        ref = ray.put(contrib)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            src = col_np(batch, "src")
+            dst = col_np(batch, "dst")
+            w = col_np(batch, "w")
+            k, s = sparse_sum_reduce(dst, c[src] * w)
+            return table_from_arrays(vid=k, part=s)
+
+        incoming = np.zeros(V, dtype=np.float64)
+        for b in edges.map_batches(step, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            np.add.at(incoming, col_np(b, "vid"), col_np(b, "part"))
+        dangling_mass = float(ranks[dangling].sum())
+        new = (1.0 - d) / V + d * (incoming + dangling_mass / V)
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        if on_iter is not None:
+            on_iter(it, ranks, delta)
+        if delta < V * cfg.pagerank_tol:
+            break
+
+    ref = ray.put(ranks)
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        r = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        return batch.append_column("rank", pa.array(r[vid]))
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
 def pagerank(
     graph: Graph,
     cfg: EngineConfig = DEFAULT_CONFIG,

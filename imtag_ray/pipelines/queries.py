@@ -449,6 +449,70 @@ def copart_ppr12_q(sf_dir: str) -> "ray.data.Dataset":
     return pr.map_batches(roundr, batch_format="pyarrow").sort("url")
 
 
+def copart_wpagerank8_q(sf_dir: str) -> "ray.data.Dataset":
+    """Weighted PageRank (edge weight 1+(ka+kb)%7, strength-normalized
+    contributions), fixed 8 iterations, 9dp — recursive-CTE oracle."""
+    from .pagerank import pagerank_weighted
+
+    cfg = EngineConfig(num_partitions=8, max_iterations=8, pagerank_tol=0)
+    g = copart_graph(sf_dir)
+    pr = pagerank_weighted(g, copart_weighted_edges(sf_dir), cfg)
+
+    def roundr(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t["url"], "rank": pc.round(t["rank"], 9)}
+        )
+
+    return pr.map_batches(roundr, batch_format="pyarrow").sort("url")
+
+
+def copart_edge_jaccard_q(sf_dir: str) -> "ray.data.Dataset":
+    """Neighborhood Jaccard per edge (networkx jaccard_coefficient
+    semantics), zero-cn edges included."""
+    from .linkpred import edge_jaccard
+
+    return edge_jaccard(copart_graph(sf_dir), QCFG).sort(
+        ["url_a", "url_b"]
+    )
+
+
+def copart_nbr_top3_q(sf_dir: str) -> "ray.data.Dataset":
+    """Top-3 neighbors per vertex by (edge weight DESC, neighbor url
+    ASC) with a 1..3 rank — the group-wise top-k operator applied to
+    the weighted adjacency."""
+    from ..util import compact_nonempty
+    from .linkpred import _url_lookup_ref
+    from .scoring import top_k_per_group
+
+    g = copart_graph(sf_dir)
+    wedges = copart_weighted_edges(sf_dir)
+    uref = _url_lookup_ref(g)
+
+    def both_urls(t: pa.Table, _uref=uref) -> pa.Table:
+        urls = ray.get(_uref)
+        s = col_np(t, "src").astype(np.int64)
+        d = col_np(t, "dst").astype(np.int64)
+        w = col_np(t, "w").astype(np.int64)
+        return pa.table(
+            {
+                "url": pa.array(
+                    np.concatenate([urls[s], urls[d]]), pa.string()
+                ),
+                "nbr": pa.array(
+                    np.concatenate([urls[d], urls[s]]), pa.string()
+                ),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    adj = compact_nonempty(
+        wedges.map_batches(both_urls, batch_format="pyarrow")
+    )
+    return top_k_per_group(
+        adj, group_col="url", order_col="w", tiebreak_col="nbr", k=3
+    ).sort(["url", "rnk"])
+
+
 def copart_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
     """Weighted copart edges in vid space: w = 1 + (ka + kb) % 7 from
     the two endpoint part keys (parsed back out of the urls so the SQL

@@ -284,6 +284,63 @@ def events_asof_latest_order(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def customers_without_orders(sf_dir: str, year: int = 1995) -> "ray.data.Dataset":
+    """Distributed ANTI-JOIN without a join operator: customers with no
+    order in ``year`` (predicate pushed to the probe-side read). Both
+    key streams are tagged and unioned, one bucketed max-aggregation
+    per key decides membership (same message-exchange shape as the
+    as-of co-partitioning) — the build side is never broadcast and
+    never re-shipped per batch. → (c_custkey) sorted."""
+    from .util import bucketed_aggregate
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        k = col_np(t, "c_custkey").astype(np.int64)
+        return table_from_arrays(
+            key=k,
+            is_cust=np.ones(len(k), dtype=np.int64),
+            has_order=np.zeros(len(k), dtype=np.int64),
+        )
+
+    def tag_order(t: pa.Table, _y=year) -> pa.Table:
+        # filter + per-batch distinct combiner: ≤1 row per custkey/block
+        yrs = pc.year(t.column("o_orderdate"))
+        keys = col_np(t.filter(pc.equal(yrs, _y)), "o_custkey")
+        k = np.unique(keys.astype(np.int64))
+        return table_from_arrays(
+            key=k,
+            is_cust=np.zeros(len(k), dtype=np.int64),
+            has_order=np.ones(len(k), dtype=np.int64),
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_order, batch_format="pyarrow")
+    )
+    agg = bucketed_aggregate(
+        both, key_cols=["key"],
+        aggs=[("is_cust", "max", "is_cust"), ("has_order", "max", "has_order")],
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        ic = col_np(t, "is_cust").astype(np.int64)
+        ho = col_np(t, "has_order").astype(np.int64)
+        sel = (ic == 1) & (ho == 0)
+        return pa.table(
+            {"c_custkey": pa.array(
+                col_np(t, "key").astype(np.int64)[sel], pa.int64()
+            )}
+        )
+
+    out = agg.map_batches(keep, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # typed pa.Table, not an empty Dataset: Ray's to_pandas() drops
+        # all columns for zero-row Datasets
+        return pa.table({"c_custkey": pa.array([], pa.int64())})
+    return out.sort("c_custkey")
+
+
 def supplier_part_counts(sf_dir: str) -> "ray.data.Dataset":
     """Distinct-count style aggregate: distinct parts per supplier from
     lineitem (map-side pair dedup → groupby count)."""

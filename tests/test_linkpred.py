@@ -158,3 +158,87 @@ def test_events_windows_invariants():
             np.testing.assert_array_equal(
                 g["gap_us"].iloc[1:].to_numpy(dtype="int64"), np.diff(ts_us)
             )
+
+
+def test_edge_jaccard_matches_networkx():
+    import networkx as nx
+    from imtag_ray.pipelines.linkpred import edge_jaccard
+
+    tbl = named_graph_edges("gnp")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    df = edge_jaccard(g, CFG).to_pandas()
+    ours = {
+        (r.url_a, r.url_b): (int(r.cn), round(float(r.jac), 9))
+        for r in df.itertuples()
+    }
+    nxg = _nx_graph(tbl)
+    theirs = {}
+    for a, b in nxg.edges():
+        a, b = (a, b) if a < b else (b, a)
+        cn = len(set(nxg[a]) & set(nxg[b]))
+        union = nxg.degree(a) + nxg.degree(b) - cn
+        theirs[(a, b)] = (cn, round(cn / union if union else 0.0, 9))
+    assert ours == theirs
+    # zero-cn edges must be present too
+    assert len(ours) == nxg.number_of_edges()
+
+
+def test_weighted_pagerank_matches_networkx():
+    import networkx as nx
+    from imtag_ray.pipelines.pagerank import pagerank_weighted
+    from imtag_ray.util import col_np as _cn
+
+    tbl = named_graph_edges("gnp")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    # deterministic weights from endpoint vids
+    def weigh(t):
+        s, d = _cn(t, "src"), _cn(t, "dst")
+        import pyarrow as _pa
+        return _pa.table(
+            {"src": _pa.array(s, _pa.int64()),
+             "dst": _pa.array(d, _pa.int64()),
+             "w": _pa.array(1 + (s + d) % 5, _pa.int64())}
+        )
+    wedges = g.edges.map_batches(weigh, batch_format="pyarrow").materialize()
+    cfg = EngineConfig(num_partitions=4, max_iterations=200,
+                       pagerank_tol=1e-12)
+    out = dataset_to_numpy(
+        pagerank_weighted(g, wedges, cfg).sort("vid"), "url", "rank"
+    )
+    # numpy power-iteration reference (networkx.pagerank needs scipy,
+    # absent in this container)
+    V = g.num_vertices
+    wdf = wedges.to_pandas()
+    s = np.concatenate([wdf["src"].to_numpy(), wdf["dst"].to_numpy()])
+    d = np.concatenate([wdf["dst"].to_numpy(), wdf["src"].to_numpy()])
+    w = np.concatenate([wdf["w"].to_numpy(), wdf["w"].to_numpy()]).astype(float)
+    strength = np.zeros(V)
+    np.add.at(strength, s, w)
+    r = np.full(V, 1.0 / V)
+    for _ in range(500):
+        contrib = np.where(strength > 0, r / np.maximum(strength, 1e-300), 0.0)
+        inc = np.zeros(V)
+        np.add.at(inc, d, contrib[s] * w)
+        dm = r[strength == 0].sum()
+        nr = 0.15 / V + 0.85 * (inc + dm / V)
+        if np.abs(nr - r).sum() < 1e-14:
+            r = nr
+            break
+        r = nr
+    urls = dataset_to_numpy(g.vertices.sort("vid"), "url")["url"]
+    ref = {str(u): r[i] for i, u in enumerate(urls)}
+    for u, rv in zip(out["url"], out["rank"]):
+        assert abs(ref[str(u)] - rv) < 1e-8
+
+
+def test_customers_without_orders_typed_empty():
+    from imtag_ray.relational import customers_without_orders
+
+    out = customers_without_orders("/root/testdata/sf0.001", year=1888)
+    # no orders at all in 1888 → every customer qualifies
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert list(df.columns) == ["c_custkey"]
+    assert len(df) == 150
+    out2 = customers_without_orders("/root/testdata/sf0.001", year=1995)
+    df2 = out2.to_pandas() if hasattr(out2, "to_pandas") else out2
+    assert len(df2) == 34
