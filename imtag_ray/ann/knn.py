@@ -446,28 +446,75 @@ def embedding_dup_pairs_lsh(
             }
         )
 
-    def bucket_pairs(group: pa.Table, _t=threshold) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64()),
-                 "cos_sim": pa.array([], pa.float64())}
-            )
-        ids = col_np(group, "vid")
-        m = _list_col_matrix(group, "emb")
-        sims = m @ m.T
-        rows, cols = np.nonzero(sims >= _t)
-        keep = ids[rows] < ids[cols]
+    _EMPTY = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "cos_sim": pa.array([], pa.float64())}
+    )
+
+    def bucket_block_pairs(g: pa.Table, _t=threshold) -> pa.Table:
+        # MANY (tbl, bucket) LSH buckets per coarse hash bucket: one
+        # lexsort + per-segment-size batched einsum (per-bucket
+        # map_groups paid Ray's per-group overhead once per occupied
+        # bucket, ~n_docs×tables times)
+        if g.num_rows < 2:
+            return _EMPTY
+        tbl = col_np(g, "tbl").astype(np.int64)
+        bkt = col_np(g, "bucket").astype(np.int64)
+        ids = col_np(g, "vid").astype(np.int64)
+        M = _list_col_matrix(g, "emb")
+        order = np.lexsort((ids, bkt, tbl))
+        tb, bk, dv = tbl[order], bkt[order], ids[order]
+        Mo = M[order]
+        n = len(tb)
+        bound = np.zeros(n, dtype=bool)
+        bound[0] = True
+        bound[1:] = (tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.flatnonzero(bound)
+        sizes = np.diff(np.append(starts, n))
+        pa_, pb_, ps_ = [], [], []
+        for sz in np.unique(sizes):
+            if sz < 2:
+                continue
+            idx = np.flatnonzero(sizes == sz)
+            npairs = int(sz * (sz - 1) // 2)
+            # budget peak memory on the (rows, sz, sz) sims tensor
+            rows_per = max(1, (1 << 21) // max(int(sz) * int(sz), 1))
+            cols = np.arange(int(sz))
+            ia, ib = np.triu_indices(int(sz), 1)
+            for lo in range(0, len(idx), rows_per):
+                sel = idx[lo : lo + rows_per]
+                rowsmat = starts[sel][:, None] + cols[None, :]
+                mids = dv[rowsmat]              # (m, sz) ids ascending
+                emb = Mo[rowsmat]               # (m, sz, d)
+                sims = np.einsum("msd,mtd->mst", emb, emb)
+                sv = sims[:, ia, ib]            # (m, npairs)
+                keep = sv >= _t
+                pa_.append(mids[:, ia][keep])
+                pb_.append(mids[:, ib][keep])
+                ps_.append(sv[keep])
+        if not pa_:
+            return _EMPTY
         return table_from_arrays(
-            id_a=ids[rows][keep], id_b=ids[cols][keep],
-            cos_sim=sims[rows, cols][keep],
+            id_a=np.concatenate(pa_), id_b=np.concatenate(pb_),
+            cos_sim=np.concatenate(ps_),
+        )
+
+    from ..util import _mix_to_bucket
+
+    def coarse(t: pa.Table) -> pa.Table:
+        keys = [col_np(t, "tbl").astype(np.int64),
+                col_np(t, "bucket").astype(np.int64)]
+        return t.append_column(
+            "__bucket", pa.array(_mix_to_bucket(keys, 256))
         )
 
     pair_ds = (
         ds.select_columns([id_col, emb_col])
         .map_batches(bucketize, batch_format="pyarrow", batch_size=2048)
-        .groupby(["tbl", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(coarse, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_block_pairs, batch_format="pyarrow")
     )
     # a pair can collide in several tables → distributed dedup
     # (bucketed: pair cardinality is data-sized — util.bucketed_aggregate)
