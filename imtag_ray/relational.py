@@ -112,55 +112,101 @@ def events_hourly_windows(sf_dir: str) -> "ray.data.Dataset":
     'Streaming-shaped workloads'): 1-hour event-time windows per user."""
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
 
+    from .util import bucketed_aggregate
+
     def add_window(t: pa.Table) -> pa.Table:
         ts = t["ts"].cast(pa.int64())  # µs since epoch
         hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
-        return t.append_column("window_start", hour.cast(pa.timestamp("us")))
+        return pa.table(
+            {"user_id": t["user_id"], "wstart_us": hour,
+             "value": t["value"]}
+        )
 
-    return (
-        ev.map_batches(add_window, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+    # bucketed: (user, window) cardinality is data-sized
+    agg = bucketed_aggregate(
+        ev.map_batches(add_window, batch_format="pyarrow"),
+        key_cols=["user_id", "wstart_us"],
+        aggs=[("user_id", "count", "n_events"),
+              ("value", "sum", "sum_value")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["wstart_us"].cast(pa.timestamp("us")),
+                "n_events": t["n_events"],
+                "sum_value": pc.round(t["sum_value"], 2),
+            }
         )
-        .map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("sum_value"),
-                "sum_value",
-                pc.round(t["sum_value"], 2),
-            ),
-            batch_format="pyarrow",
-        )
-        .sort(["user_id", "window_start"])
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["user_id", "window_start"]
+    )
+
+
+def _user_bucket(t: pa.Table, num_buckets: int = 256) -> pa.Table:
+    from .util import _mix_to_bucket
+
+    return t.append_column(
+        "__bucket",
+        pa.array(_mix_to_bucket([col_np(t, "user_id").astype(np.int64)],
+                                num_buckets)),
     )
 
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
-    """Session windows per user (gap-based): sort-within-group pandas
-    kernel inside map_groups — the per-key ordered-log pattern."""
+    """Session windows per user (gap-based) — the per-key ordered-log
+    pattern, VECTORIZED over every user in a coarse hash bucket: one
+    lexsort, session boundaries from within-user gaps, per-session
+    reduceat aggregates. (A per-user map_groups pays Ray's ~125µs
+    per-group overhead once per user — untenable at web-scale user
+    cardinality.)"""
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    gap_us = np.int64(gap_minutes) * 60_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum().fillna(0).astype("int64")
-        out = (
-            g.assign(session_id=sid)
-            .groupby("session_id")
-            .agg(
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_events=("event_id", "count"),
-            )
-            .reset_index()
+    def sessions_block(g: pa.Table, _gap=gap_us) -> pa.Table:
+        uid = col_np(g, "user_id").astype(np.int64)
+        eid = col_np(g, "event_id").astype(np.int64)
+        ts = g.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        u, t_us = uid[order], us[order]
+        n = len(u)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap_break = np.zeros(n, dtype=bool)
+        gap_break[1:] = (t_us[1:] - t_us[:-1]) > _gap
+        new_sess = new_user | gap_break
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.append(starts, n))
+        # session_id = 0-based session rank within its user: sessions
+        # are user-contiguous, so subtract the user's first session pos
+        sess_is_first = new_user[starts]
+        user_of_sess = np.cumsum(sess_is_first) - 1
+        first_pos = np.flatnonzero(sess_is_first)
+        sid = np.arange(len(starts)) - first_pos[user_of_sess]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_id": pa.array(sid.astype(np.int64), pa.int64()),
+                "session_start": pa.array(
+                    t_us[starts], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "session_end": pa.array(
+                    t_us[np.append(starts[1:], n) - 1], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "n_events": pa.array(sizes.astype(np.int64), pa.int64()),
+            }
         )
-        out["user_id"] = g["user_id"].iloc[0]
-        return out[["user_id", "session_id", "session_start", "session_end", "n_events"]]
 
     return (
-        ev.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        ev.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sessions_block, batch_format="pyarrow")
         .sort(["user_id", "session_id"])
     )
 
@@ -174,27 +220,46 @@ def events_window_funcs(sf_dir: str) -> "ray.data.Dataset":
     timestamps (no float rounding — the ts column is µs-resolution)."""
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        gap = np.empty(len(g), dtype=np.float64)
-        gap[0] = np.nan
-        gap[1:] = np.diff(us)
-        return pd.DataFrame(
+    def win_block(g: pa.Table) -> pa.Table:
+        # every user in one coarse hash bucket, one lexsort (per-user
+        # map_groups pays Ray's per-group overhead once per user)
+        uid = col_np(g, "user_id").astype(np.int64)
+        eid = col_np(g, "event_id").astype(np.int64)
+        ts = g.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        u, e, t_us = uid[order], eid[order], us[order]
+        n = len(u)
+        new_user = np.zeros(n, dtype=bool)
+        if n:
+            new_user[0] = True
+            new_user[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_user)
+        seq = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n))
+        ) + 1
+        gap = np.empty(n, dtype=np.int64)
+        if n:
+            gap[0] = 0
+            gap[1:] = t_us[1:] - t_us[:-1]
+        # first event per user gets NULL (the LAG convention) —
+        # explicit int64-with-mask, NOT float NaN (events_asof lesson)
+        return pa.table(
             {
-                "event_id": g["event_id"].astype("int64").to_numpy(),
-                "user_id": g["user_id"].astype("int64").to_numpy(),
-                "ts": g["ts"].to_numpy(),
-                "seq": np.arange(1, len(g) + 1, dtype=np.int64),
-                # nullable Int64, NOT float64 — the events_asof lesson:
-                # pandas NaN coercion must not leak into the output dtype
-                "gap_us": pd.array(gap, dtype="Int64"),
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts": pa.array(t_us, pa.int64()).cast(pa.timestamp("us")),
+                "seq": pa.array(seq, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64(), mask=new_user),
             }
         )
 
     return (
-        ev.groupby("user_id")
-        .map_groups(win, batch_format="pandas")
+        ev.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(win_block, batch_format="pyarrow")
         .sort(["user_id", "seq"])
     )
 
