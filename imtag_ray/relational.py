@@ -274,17 +274,38 @@ def events_asof_latest_order(sf_dir: str) -> "ray.data.Dataset":
     user's events WITH that user's orders, and merge_asof runs per
     group — no driver-side orders table, no per-group full-table scan.
     """
-    from ray.data.aggregate import Max
+    from .util import bucketed_aggregate
 
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     orders = _read(
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]
     )
     # latest-by-date wins on date ties → distributed max orderkey per
-    # (cust, date) — replaces the old driver-side pandas groupby
-    ord_agg = (
-        orders.groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+    # (cust, date); bucketed — (cust, date) cardinality is data-sized
+    ord_agg = bucketed_aggregate(
+        orders.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"].cast(pa.int64()),
+                    "o_date_us": t["o_orderdate"]
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64()),
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        key_cols=["o_custkey", "o_date_us"],
+        aggs=[("o_orderkey", "max", "o_orderkey")],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_date_us"].cast(pa.timestamp("us")),
+                "o_orderkey": t["o_orderkey"],
+            }
+        ),
+        batch_format="pyarrow",
     )
 
     def tag_events(t: pa.Table) -> pa.Table:
@@ -317,34 +338,79 @@ def events_asof_latest_order(sf_dir: str) -> "ray.data.Dataset":
         ord_agg.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].iloc[0]
-        mine = g[g["kind"] == 1].sort_values("ts")[["ts", "o_orderkey"]]
-        evs = g[g["kind"] == 0].sort_values("ts")[["event_id", "ts"]]
-        if len(evs) == 0:  # user has orders but no events
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                    "o_orderkey": pd.Series([], dtype="Int64"),
-                }
+    def asof_block(g: pa.Table) -> pa.Table:
+        """Backward as-of for EVERY user in one coarse hash bucket: one
+        lexsort (orders precede events at equal ts), then a single
+        segment-reset cumulative max — candidate = user_ord·(n+1) +
+        (row_pos+1 on order rows, 0 otherwise) is strictly increasing
+        across user boundaries, so np.maximum.accumulate carries the
+        latest order row forward WITHIN a user and can never leak one
+        across users. (The per-user pandas merge_asof paid Ray's
+        ~125µs-per-group overhead once per user.)"""
+        uid = col_np(g, "user_id").astype(np.int64)
+        kind = col_np(g, "kind").astype(np.int8)
+        ts = g.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id")
+        if isinstance(eid, pa.ChunkedArray):
+            eid = eid.combine_chunks()
+        eids = eid.to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey")
+        if isinstance(okey, pa.ChunkedArray):
+            okey = okey.combine_chunks()
+        okeys = okey.to_numpy(zero_copy_only=False)
+
+        order = np.lexsort((1 - kind, us, uid))  # orders first at ties
+        u, k, t_us = uid[order], kind[order], us[order]
+        e = eids[order]
+        ok = okeys[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "o_orderkey": pa.array([], pa.int64())}
             )
-        out = pd.merge_asof(
-            evs, mine.rename(columns={"ts": "o_ts"}),
-            left_on="ts", right_on="o_ts", direction="backward",
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        uord = np.cumsum(new_user).astype(np.int64) - 1
+        base = uord * np.int64(n + 1)
+        pos = np.arange(n, dtype=np.int64)
+        cand = base + np.where(k == 1, pos + 1, 0)
+        last = np.maximum.accumulate(cand)
+        is_ev = k == 0
+        valid = last[is_ev] > base[is_ev]
+        opos = last[is_ev] - base[is_ev] - 1
+        matched = np.where(valid, opos, 0)
+        out_ok = np.where(
+            valid, np.nan_to_num(
+                ok[matched].astype(np.float64), nan=0.0
+            ).astype(np.int64), 0
         )
-        out["o_orderkey"] = out["o_orderkey"].astype("Int64")  # null-safe int
-        # the tagged union holds nulls in event_id on order rows, so pandas
-        # coerces the column to float64 inside this group — cast back (events
-        # always carry a non-null id) or the driver's value hash mismatches
-        out["event_id"] = out["event_id"].astype("int64")
-        out["user_id"] = np.int64(uid)
-        return out[["event_id", "user_id", "ts", "o_orderkey"]]
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    np.nan_to_num(
+                        e[is_ev].astype(np.float64), nan=0.0
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "user_id": pa.array(u[is_ev], pa.int64()),
+                "ts": pa.array(t_us[is_ev], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderkey": pa.array(out_ok, pa.int64(), mask=~valid),
+            }
+        )
 
     return (
-        both.groupby("user_id")
-        .map_groups(asof, batch_format="pandas")
+        both.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(asof_block, batch_format="pyarrow")
         .sort("event_id")
     )
 
