@@ -223,9 +223,13 @@ def _bench_pass(cfg, pages_path) -> tuple:
 
     # --- training-data ops over sf tables ---------------------------------
     from imtag_ray.dedup.exact import dedup_exact_ids
+    from imtag_ray.util import read_parquet_clean
 
     t0 = time.perf_counter()
-    docs = ray.data.read_parquet(
+    # read_parquet_clean: the driver's pandas-written parquet carries
+    # unhashable schema metadata that makes every hash shuffle spam
+    # "Failed to hash the schemas" (see the verify skill)
+    docs = read_parquet_clean(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
     )
     dedup_exact_ids(docs, "text", "doc_id").count()
