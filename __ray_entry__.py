@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_adamic": q.copart_adamic_q,
         "copart_clustering": q.copart_clustering_q,
         "copart_ppr12": q.copart_ppr12_q,
+        "copart_stats": q.copart_stats_q,
         "copart_wpagerank8": q.copart_wpagerank8_q,
         "copart_edge_jaccard": q.copart_edge_jaccard_q,
         "copart_nbr_top3": q.copart_nbr_top3_q,
@@ -793,6 +794,42 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cnt ON cnt.p = v.p ORDER BY url
         """,
         "copart_ppr12": _ppr_unrolled_sql(12, 5),
+        "copart_stats": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            deg AS MATERIALIZED (SELECT s AS v,
+                    CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY s),
+            tri AS (
+                SELECT e1.pa_ AS a, e1.pb_ AS b, e2.pb_ AS c
+                FROM pairs e1
+                JOIN pairs e2 ON e2.pa_ = e1.pb_
+                JOIN pairs e3 ON e3.pa_ = e1.pa_ AND e3.pb_ = e2.pb_
+            ),
+            tcnt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tri),
+            wcnt AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS w
+                     FROM deg),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(da.dg) AS DOUBLE) AS sx,
+                       CAST(sum(db.dg) AS DOUBLE) AS sy,
+                       CAST(sum(da.dg * da.dg) AS DOUBLE) AS sxx,
+                       CAST(sum(db.dg * db.dg) AS DOUBLE) AS syy,
+                       CAST(sum(da.dg * db.dg) AS DOUBLE) AS sxy
+                FROM und
+                JOIN deg da ON da.v = und.s
+                JOIN deg db ON db.v = und.d
+            )
+            SELECT (SELECT count(*) FROM deg) AS n_vertices,
+                   (SELECT count(*) FROM pairs) AS n_edges,
+                   tcnt.t AS n_triangles,
+                   round((3.0 * tcnt.t) / wcnt.w, 9) AS transitivity,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx)
+                            * sqrt(n * syy - sy * sy)), 9)
+                       AS assortativity
+            FROM tcnt, wcnt, stats
+        """,
         "copart_wpagerank8": f"""
             WITH RECURSIVE pairs AS ({_COPART_PAIRS}),
             wund AS MATERIALIZED (

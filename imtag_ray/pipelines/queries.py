@@ -449,6 +449,73 @@ def copart_ppr12_q(sf_dir: str) -> "ray.data.Dataset":
     return pr.map_batches(roundr, batch_format="pyarrow").sort("url")
 
 
+def copart_stats_q(sf_dir: str) -> pa.Table:
+    """Whole-graph summary statistics in one row: vertex/edge/triangle
+    counts, global clustering coefficient (transitivity = 3T / wedges)
+    and degree assortativity (Pearson r of endpoint degrees over the
+    symmetrized edge list, computed from EXACT integer sufficient
+    statistics so the SQL oracle reproduces the identical doubles)."""
+    from ray.data.aggregate import Sum
+
+    from .triangles import triangle_counts
+
+    g = copart_graph(sf_dir)
+    deg = degrees(g, "undirected").astype(np.int64)
+    tri_sum = int(
+        triangle_counts(g, QCFG).aggregate(
+            Sum("triangles", alias_name="s")
+        )["s"]
+        or 0
+    )
+    T = tri_sum // 3  # per-vertex memberships triple-count each triangle
+    W = int((deg * (deg - 1) // 2).sum())
+    transitivity = (3.0 * T) / W if W else 0.0
+
+    # assortativity sufficient statistics over both edge directions —
+    # integer partials per batch, one scalar aggregation
+    dref = ray.put(deg)
+
+    def partial(t: pa.Table, _ref=dref) -> pa.Table:
+        dg = ray.get(_ref)
+        s = col_np(t, "src").astype(np.int64)
+        d = col_np(t, "dst").astype(np.int64)
+        x = np.concatenate([dg[s], dg[d]])
+        y = np.concatenate([dg[d], dg[s]])
+        return table_from_arrays(
+            n=np.array([len(x)], dtype=np.int64),
+            sx=np.array([int(x.sum())], dtype=np.int64),
+            sy=np.array([int(y.sum())], dtype=np.int64),
+            sxx=np.array([int((x * x).sum())], dtype=np.int64),
+            syy=np.array([int((y * y).sum())], dtype=np.int64),
+            sxy=np.array([int((x * y).sum())], dtype=np.int64),
+        )
+
+    agg = g.edges.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+    )
+    n = float(agg["n"] or 0)
+    sx, sy = float(agg["sx"] or 0), float(agg["sy"] or 0)
+    sxx, syy = float(agg["sxx"] or 0), float(agg["syy"] or 0)
+    sxy = float(agg["sxy"] or 0)
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    assort = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+    return pa.table(
+        {
+            "n_vertices": pa.array([g.num_vertices], pa.int64()),
+            "n_edges": pa.array([g.num_edges], pa.int64()),
+            "n_triangles": pa.array([T], pa.int64()),
+            "transitivity": pc.round(
+                pa.array([transitivity], pa.float64()), 9
+            ),
+            "assortativity": pc.round(
+                pa.array([assort], pa.float64()), 9
+            ),
+        }
+    )
+
+
 def copart_wpagerank8_q(sf_dir: str) -> "ray.data.Dataset":
     """Weighted PageRank (edge weight 1+(ka+kb)%7, strength-normalized
     contributions), fixed 8 iterations, 9dp — recursive-CTE oracle."""
