@@ -442,6 +442,11 @@ def connected_components(
 def component_sizes(cc: "ray.data.Dataset") -> "ray.data.Dataset":
     """(component_id, size) — the analogue of per-component npixels
     (include/imtag_statistics.hpp:59-66)."""
-    from ray.data.aggregate import Count
+    from ..util import bucketed_aggregate
 
-    return cc.groupby("component_id").aggregate(Count(alias_name="size"))
+    # bucketed: component cardinality is V in the worst case (all
+    # singletons) — see util.bucketed_aggregate
+    return bucketed_aggregate(
+        cc, key_cols=["component_id"],
+        aggs=[("component_id", "count", "size")],
+    )

@@ -158,18 +158,21 @@ def component_stats(cc: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    agg = (
-        cc.map_batches(partial, batch_format="pyarrow")
-        .groupby("component_id")
-        .aggregate(
-            Count(alias_name="npixels"),
-            Min("row", alias_name="top"),
-            Min("col", alias_name="left"),
-            Max("row", alias_name="bottom_incl"),
-            Max("col", alias_name="right_incl"),
-            Sum("row_sum", alias_name="row_sum"),
-            Sum("col_sum", alias_name="col_sum"),
-        )
+    from ..util import bucketed_aggregate
+
+    # bucketed: component cardinality is pixel-count-sized worst case
+    agg = bucketed_aggregate(
+        cc.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["component_id"],
+        aggs=[
+            ("component_id", "count", "npixels"),
+            ("row", "min", "top"),
+            ("col", "min", "left"),
+            ("row", "max", "bottom_incl"),
+            ("col", "max", "right_incl"),
+            ("row_sum", "sum", "row_sum"),
+            ("col_sum", "sum", "col_sum"),
+        ],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -299,8 +302,13 @@ def small_component_filter(
 ) -> "ray.data.Dataset":
     """The demo composition (test/imtag_test.cpp:129-136): find components
     with npixels < threshold, remove them, dense-relabel survivors."""
+    from ..util import bucketed_aggregate
+
     sizes = dataset_to_numpy(
-        cc.groupby("component_id").aggregate(Count(alias_name="n")),
+        bucketed_aggregate(
+            cc, key_cols=["component_id"],
+            aggs=[("component_id", "count", "n")],
+        ),
         "component_id", "n",
     )
     drop = sizes["component_id"][sizes["n"] < min_pixels]
