@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windows": r.events_window_funcs,
         "events_asof": r.events_asof_latest_order,
         "cust_no_orders": r.customers_without_orders,
+        "events_type_users": r.events_type_user_counts,
         "supplier_parts": r.supplier_part_counts,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
@@ -905,6 +906,11 @@ def oracle_sql() -> dict[str, str]:
                   AND year(o.o_orderdate) = 1995
             )
             ORDER BY c_custkey
+        """,
+        "events_type_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "doc_reciprocity": f"""
             WITH targets AS ({_DOC_TARGETS}),

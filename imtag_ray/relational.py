@@ -415,6 +415,27 @@ def events_asof_latest_order(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped EXACT count-distinct: distinct users per event type.
+    Stage 1 is a bucketed distinct of (event_type, user_id) —
+    data-sized key cardinality, so Ray's groupby must not see it
+    (util.bucketed_sum_aggregate); stage 2 counts per type (few
+    groups). The HLL sketch (pipelines.sketch) is the approximate
+    counterpart of this exact op."""
+    from ray.data.aggregate import Count
+    from .util import bucketed_sum_aggregate
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = bucketed_sum_aggregate(
+        ev, key_cols=["event_type", "user_id"], sum_cols=[]
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .sort("event_type")
+    )
+
+
 def customers_without_orders(sf_dir: str, year: int = 1995) -> "ray.data.Dataset":
     """Distributed ANTI-JOIN without a join operator: customers with no
     order in ``year`` (predicate pushed to the probe-side read). Both
