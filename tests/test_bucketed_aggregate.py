@@ -82,3 +82,12 @@ def test_float_sum_close_and_distinct_exact():
     dist = bucketed_sum_aggregate(ds, key_cols=["k"], sum_cols=[]).to_pandas()
     assert sorted(dist.columns) == ["k"]
     assert set(dist["k"]) == set(ref["k"])
+
+
+def test_empty_input_yields_empty_output():
+    t = pa.table(
+        {"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+    )
+    ds = ray.data.from_arrow(t)
+    out = bucketed_sum_aggregate(ds, key_cols=["k"], sum_cols=["v"])
+    assert out.count() == 0
