@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": d.simhash_pairs_q,
         "simhash_table": d.simhash_table_q,
         "ngram_pairs": d.ngram_pairs_q,
+        "lev_pairs": d.lev_pairs_q,
         "dedup_near_keep": s.dedup_near_keep_q,
         # --- corpus scoring / selection -------------------------------------
         "doc_bm25": s.doc_bm25_q,
@@ -906,6 +907,21 @@ def oracle_sql() -> dict[str, str]:
                   AND year(o.o_orderdate) = 1995
             )
             ORDER BY c_custkey
+        """,
+        "lev_pairs": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       substr(coalesce(text, ''), 1, 64) AS t,
+                       length(substr(coalesce(text, ''), 1, 64)) AS l
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+            FROM d a JOIN d b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE abs(a.l - b.l) <= 24
+              AND levenshtein(a.t, b.t) <= 40
+            ORDER BY id_a, id_b
         """,
         "events_type_users": """
             SELECT event_type,

@@ -121,6 +121,18 @@ def minhash_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     return _round_col(minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5), "jaccard")
 
 
+def lev_pairs_q(sf_dir: str) -> "ray.data.Dataset":
+    """Fuzzy dedup: same-source pairs whose 64-char text prefixes are
+    within 16 edits (exact unit-cost Levenshtein, batched DP)."""
+    from ..dedup.lev import levenshtein_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return levenshtein_pairs(
+        ds, "doc_id", "text", "source",
+        prefix=64, max_len_diff=24, max_dist=40,
+    )
+
+
 def simhash_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_dup_pairs(ds, "doc_id", "text", hamming_k=8)

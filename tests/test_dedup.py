@@ -231,3 +231,33 @@ def test_minhash_all_shingleless_corpus():
     pairs = set(zip(got["id_a"], got["id_b"]))
     assert pairs == {(0, 1), (0, 2), (1, 2)}
     assert (got["jaccard"] == 1.0).all()
+
+
+def test_batched_levenshtein_matches_scalar():
+    import itertools
+
+    from imtag_ray.dedup.lev import _encode_prefix, batched_levenshtein
+
+    def scalar_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    words = ["", "a", "kitten", "sitting", "flaw", "lawn",
+             "intention", "execution", "abcdefgh", "abcdefghx"]
+    pairs = list(itertools.combinations(range(len(words)), 2)) + [
+        (i, i) for i in range(len(words))
+    ]
+    ia = [p[0] for p in pairs]
+    ib = [p[1] for p in pairs]
+    M, lens = _encode_prefix(words, 16)
+    got = batched_levenshtein(
+        M[ia], lens[ia].astype("int64"), M[ib], lens[ib].astype("int64")
+    )
+    want = [scalar_lev(words[a], words[b]) for a, b in pairs]
+    assert list(got) == want
