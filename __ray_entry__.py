@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_clustering": q.copart_clustering_q,
         "copart_ppr12": q.copart_ppr12_q,
         "copart_stats": q.copart_stats_q,
+        "copart_ball2": q.copart_ball2_q,
         "copart_wpagerank8": q.copart_wpagerank8_q,
         "copart_edge_jaccard": q.copart_edge_jaccard_q,
         "copart_nbr_top3": q.copart_nbr_top3_q,
@@ -796,6 +797,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cnt ON cnt.p = v.p ORDER BY url
         """,
         "copart_ppr12": _ppr_unrolled_sql(12, 5),
+        "copart_ball2": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            ball AS (
+                SELECT s AS v, s AS w FROM und
+                UNION ALL SELECT s, d FROM und
+                UNION ALL SELECT e1.d, e2.d
+                FROM und e1 JOIN und e2 ON e1.s = e2.s
+            )
+            SELECT {_PURL.format(c='v')} AS url,
+                   CAST(count(DISTINCT w) AS BIGINT) AS ball2
+            FROM ball GROUP BY v ORDER BY url
+        """,
         "copart_stats": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

@@ -459,6 +459,97 @@ def clustering_coefficients(
     return joined.map_batches(lcc, batch_format="pyarrow")
 
 
+def ball2_sizes(graph, cfg: EngineConfig = DEFAULT_CONFIG):
+    """→ Dataset (url, ball2): number of DISTINCT vertices within ≤2
+    hops of each vertex (self included) — the local-neighborhood-size
+    statistic behind friend-of-friend reach and supernode detection.
+
+    Broadcast-CSR kernel (same gate as Adamic–Adar): per middle vertex
+    u, every ordered neighbor pair (a, b) is a 2-hop connection a→b;
+    keys a·V+b flow through ONE bucketed distinct, then a per-source
+    bucketed count. Volume is Σ deg(u)² — the wedge volume, with hub
+    middles chunked by the same wedge budget."""
+    from ..util import dataset_to_numpy
+
+    V = graph.num_vertices
+    if V == 0:
+        return ray.data.from_arrow(
+            pa.table({"url": pa.array([], pa.string()),
+                      "ball2": pa.array([], pa.int64())})
+        )
+    e = dataset_to_numpy(graph.edges, "src", "dst")
+    s = np.concatenate([e["src"], e["dst"]]).astype(np.int64)
+    d = np.concatenate([e["dst"], e["src"]]).astype(np.int64)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    indptr = np.cumsum(indptr)
+    state = ray.put((indptr, d))
+    MAX_PAIRS = 1 << 22
+
+    def step(batch: pa.Table, _ref=state, _V=V) -> pa.Table:
+        indptr, adj = ray.get(_ref)
+        w = col_np(batch, "vid").astype(np.int64)
+        cnt = (indptr[w + 1] - indptr[w]).astype(np.int64)
+        parts = [w * _V + w]  # self
+        nz = np.flatnonzero(cnt > 0)
+        if len(nz):
+            src_rep = np.repeat(w[nz], cnt[nz])
+            total = int(cnt[nz].sum())
+            starts = np.repeat(indptr[w[nz]], cnt[nz])
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt[nz])[:-1]]), cnt[nz]
+            )
+            parts.append(src_rep * _V + adj[starts + offs])  # 1-hop
+        for c in np.unique(cnt):
+            if c < 1:
+                continue
+            idx = np.flatnonzero(cnt == c)
+            npairs = int(c) * int(c)
+            rows = max(1, MAX_PAIRS // max(npairs, 1))
+            cols = np.arange(int(c))
+            for lo in range(0, len(idx), rows):
+                sel = idx[lo : lo + rows]
+                nb = adj[indptr[w[sel]][:, None] + cols[None, :]]
+                # all ordered pairs (a, b) of u's neighbors: 2-hop a→b
+                a = np.repeat(nb, int(c), axis=1).ravel()
+                b = np.tile(nb, (1, int(c))).ravel()
+                parts.append(a * _V + b)
+        keys = np.unique(np.concatenate(parts))
+        return table_from_arrays(key=keys)
+
+    dist = bucketed_sum_aggregate(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            step, batch_format="pyarrow", batch_size=1024
+        ),
+        key_cols=["key"], sum_cols=[],
+        num_buckets=max(cfg.num_partitions * 32, 256),
+    )
+
+    def to_src(t: pa.Table, _V=V) -> pa.Table:
+        k = col_np(t, "key").astype(np.int64)
+        return table_from_arrays(v=k // _V)
+
+    counts = bucketed_sum_aggregate(
+        dist.map_batches(to_src, batch_format="pyarrow"),
+        key_cols=["v"], sum_cols=[], count_col="ball2",
+    )
+    uref = _url_lookup_ref(graph)
+
+    def finish(t: pa.Table, _uref=uref) -> pa.Table:
+        urls = ray.get(_uref)
+        v = col_np(t, "v").astype(np.int64)
+        return pa.table(
+            {"url": pa.array(urls[v], pa.string()),
+             "ball2": pa.array(
+                 col_np(t, "ball2").astype(np.int64), pa.int64()
+             )}
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 def edge_reciprocity(
     edges: "ray.data.Dataset", src: str = "src_url", dst: str = "dst_url"
 ) -> pa.Table:

@@ -516,6 +516,13 @@ def copart_stats_q(sf_dir: str) -> pa.Table:
     )
 
 
+def copart_ball2_q(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct vertices within ≤2 hops per vertex (self included)."""
+    from .linkpred import ball2_sizes
+
+    return ball2_sizes(copart_graph(sf_dir), QCFG).sort("url")
+
+
 def copart_wpagerank8_q(sf_dir: str) -> "ray.data.Dataset":
     """Weighted PageRank (edge weight 1+(ka+kb)%7, strength-normalized
     contributions), fixed 8 iterations, 9dp — recursive-CTE oracle."""
