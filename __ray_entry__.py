@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": r.events_asof_latest_order,
         "cust_no_orders": r.customers_without_orders,
         "events_type_users": r.events_type_user_counts,
+        "events_trailing1h": r.events_trailing_counts,
         "supplier_parts": r.supplier_part_counts,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
@@ -937,6 +938,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(a.l - b.l) <= 24
               AND levenshtein(a.t, b.t) <= 40
             ORDER BY id_a, id_b
+        """,
+        "events_trailing1h": """
+            SELECT event_id, user_id, ts,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW
+                   ) AS BIGINT) AS n_trailing
+            FROM events
+            ORDER BY event_id
         """,
         "events_type_users": """
             SELECT event_type,

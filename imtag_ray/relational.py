@@ -415,6 +415,82 @@ def events_asof_latest_order(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_trailing_counts(
+    sf_dir: str, window_minutes: int = 60
+) -> "ray.data.Dataset":
+    """Per-event TRAILING sliding-window count: how many of the user's
+    events fall in [ts − window, ts] (RANGE frame semantics, frame
+    bounds inclusive). Vectorized over every user in a coarse hash
+    bucket: one lexsort, then a per-segment searchsorted — no per-row
+    or per-user Python."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def trail_block(g: pa.Table, _w=win_us) -> pa.Table:
+        uid = col_np(g, "user_id").astype(np.int64)
+        eid = col_np(g, "event_id").astype(np.int64)
+        ts = g.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        u, e, t_us = uid[order], eid[order], us[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "n_trailing": pa.array([], pa.int64())}
+            )
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_user)
+        seg = np.cumsum(new_user).astype(np.int64) - 1
+        base = starts[seg]
+        # t_us is sorted only WITHIN user segments — build a globally
+        # monotone surrogate: seg·B + (ts − segment start), B larger
+        # than any within-user time span + window, so one searchsorted
+        # answers every segment at once and can never cross users
+        rel = t_us - t_us[base]
+        B = np.int64(int(rel.max()) if n else 0) + _w + np.int64(2)
+        # hi uses side='right' on the CURRENT ts: SQL's RANGE frame
+        # includes the whole equal-ts peer group, not just prior rows
+        if int(seg[-1]) * int(B) < (1 << 62):
+            s2 = seg * B + rel
+            lo = np.searchsorted(s2, s2 - _w, side="left")
+            hi = np.searchsorted(s2, s2, side="right")
+        else:  # astronomically wide buckets: per-segment fallback
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            ends = np.append(starts[1:], n)
+            for a, b in zip(starts, ends):
+                lo[a:b] = a + np.searchsorted(
+                    t_us[a:b], t_us[a:b] - _w, side="left"
+                )
+                hi[a:b] = a + np.searchsorted(
+                    t_us[a:b], t_us[a:b], side="right"
+                )
+        lo = np.maximum(lo, base)
+        n_trail = hi - lo
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts": pa.array(t_us, pa.int64()).cast(pa.timestamp("us")),
+                "n_trailing": pa.array(n_trail, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(trail_block, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
 def events_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
     """Grouped EXACT count-distinct: distinct users per event type.
     Stage 1 is a bucketed distinct of (event_type, user_id) —
