@@ -307,19 +307,44 @@ _EMPTY_AA = pa.table(
 )
 
 
-def edge_jaccard(graph, cfg: EngineConfig = DEFAULT_CONFIG):
+# a·V+b pair keys need V² < 2^63; above this vertex count the
+# broadcast kernels' int64 key arithmetic would overflow, so the
+# two-column shuffle path runs regardless of edge count
+_PAIRKEY_MAX_V = 3_000_000_000
+
+
+def edge_jaccard(graph, cfg: EngineConfig = DEFAULT_CONFIG,
+                 mode: str | None = None):
     """Neighborhood Jaccard similarity per EDGE — networkx
     jaccard_coefficient semantics: |N(a)∩N(b)| / (deg(a)+deg(b)−cn)
     for adjacent pairs (a < b). → Dataset (url_a, url_b, cn, jac).
 
-    Same broadcast-CSR wedge enumeration as Adamic–Adar (cn only), one
-    bucketed aggregation, then ONE int-keyed left join from the edge
-    table so zero-common-neighbor edges survive with cn = 0."""
-    from ..util import dataset_to_numpy
-
+    Broadcast mode (E ≤ cfg.broadcast_max_edges AND V below the int64
+    pair-key bound — the same gate as Adamic–Adar): CSR wedge
+    enumeration (cn only), one bucketed aggregation, then ONE int-keyed
+    left join from the edge table so zero-common-neighbor edges survive
+    with cn = 0. Shuffle mode is the no-driver-state fallback: the same
+    wedge self-join in vid space with two-column (a, b) pair keys (no
+    a·V+b arithmetic, so no overflow at any V)."""
     V = graph.num_vertices
     if V == 0:
         return ray.data.from_arrow(_EMPTY_EJ)
+    if mode is None:
+        mode = (
+            "broadcast"
+            if graph.num_edges <= cfg.broadcast_max_edges
+            and V <= _PAIRKEY_MAX_V
+            else "shuffle"
+        )
+    if mode == "broadcast":
+        return _ej_broadcast(graph, cfg)
+    return _ej_shuffle(graph, cfg)
+
+
+def _ej_broadcast(graph, cfg: EngineConfig):
+    from ..util import dataset_to_numpy
+
+    V = graph.num_vertices
     e = dataset_to_numpy(graph.edges, "src", "dst")
     s = np.concatenate([e["src"], e["dst"]]).astype(np.int64)
     d = np.concatenate([e["dst"], e["src"]]).astype(np.int64)
@@ -423,6 +448,145 @@ def edge_jaccard(graph, cfg: EngineConfig = DEFAULT_CONFIG):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _ej_shuffle(graph, cfg: EngineConfig):
+    """No-driver-state edge Jaccard: vid-space wedge self-join for the
+    per-pair common-neighbor counts, two-column (a, b) keys throughout
+    (int64-overflow-safe at any V), degrees and urls attached by
+    vid-keyed hash joins. Strings never enter a shuffle key."""
+    from ..stages.graph_build import degree_dataset
+
+    P = cfg.num_partitions
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = col_np(t, "src").astype(np.int64)
+        b = col_np(t, "dst").astype(np.int64)
+        return table_from_arrays(a=np.minimum(a, b), b=np.maximum(a, b))
+
+    ekeys = compact_nonempty(
+        graph.edges.map_batches(canon, batch_format="pyarrow")
+    )
+    if ekeys is None:
+        return ray.data.from_arrow(_EMPTY_EJ)
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = col_np(t, "src"), col_np(t, "dst")
+        return table_from_arrays(
+            s=np.concatenate([a, b]).astype(np.int64),
+            d=np.concatenate([b, a]).astype(np.int64),
+        )
+
+    und = compact_nonempty(
+        graph.edges.map_batches(both, batch_format="pyarrow")
+    )
+    wedges = compact_nonempty(
+        und.join(
+            und.rename_columns({"s": "s2", "d": "d2"}),
+            join_type="inner", num_partitions=P,
+            on=("s",), right_on=("s2",),
+        )
+    )
+    cn_ds = None
+    if wedges is not None:
+
+        def orient(t: pa.Table) -> pa.Table:
+            a = col_np(t, "d").astype(np.int64)
+            b = col_np(t, "d2").astype(np.int64)
+            keep = a < b
+            return table_from_arrays(a=a[keep], b=b[keep])
+
+        cn_ds = compact_nonempty(
+            bucketed_sum_aggregate(
+                wedges.map_batches(orient, batch_format="pyarrow"),
+                key_cols=["a", "b"], sum_cols=[],
+                num_buckets=max(cfg.num_partitions * 32, 256),
+                count_col="cn",
+            )
+        )
+    joined = (
+        ekeys.join(
+            cn_ds.rename_columns({"a": "ka", "b": "kb"}),
+            join_type="left_outer", num_partitions=P,
+            on=("a", "b"), right_on=("ka", "kb"),
+        )
+        if cn_ds is not None
+        else ekeys
+    )
+
+    def fill_cn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # post-join empties can be schema-less
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cn": pa.array([], pa.int64())}
+            )
+        if "cn" in t.column_names:
+            cn = np.nan_to_num(
+                np.asarray(
+                    pc.fill_null(t.column("cn").combine_chunks(), 0)
+                ).astype(np.float64)
+            ).astype(np.int64)
+        else:
+            cn = np.zeros(t.num_rows, dtype=np.int64)
+        return table_from_arrays(
+            a=col_np(t, "a").astype(np.int64),
+            b=col_np(t, "b").astype(np.int64),
+            cn=cn,
+        )
+
+    with_cn = compact_nonempty(
+        joined.map_batches(fill_cn, batch_format="pyarrow")
+    )
+    if with_cn is None:
+        return ray.data.from_arrow(_EMPTY_EJ)
+    deg = compact_nonempty(degree_dataset(graph, "undirected"))
+    with_da = compact_nonempty(
+        with_cn.join(
+            deg.rename_columns({"vid": "va", "degree": "deg_a"}),
+            join_type="inner", num_partitions=P,
+            on=("a",), right_on=("va",),
+        )
+    )
+    with_db = compact_nonempty(
+        with_da.join(
+            deg.rename_columns({"vid": "vb", "degree": "deg_b"}),
+            join_type="inner", num_partitions=P,
+            on=("b",), right_on=("vb",),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cn = col_np(t, "cn").astype(np.int64)
+        union = (
+            col_np(t, "deg_a").astype(np.int64)
+            + col_np(t, "deg_b").astype(np.int64)
+            - cn
+        )
+        jac = np.where(union > 0, cn / np.maximum(union, 1), 0.0)
+        return table_from_arrays(
+            a=col_np(t, "a").astype(np.int64),
+            b=col_np(t, "b").astype(np.int64),
+            cn=cn,
+        ).append_column(
+            "jac", pc.round(pa.array(jac, pa.float64()), 9)
+        )
+
+    scored = compact_nonempty(
+        with_db.map_batches(score, batch_format="pyarrow")
+    )
+    verts = graph.vertices.select_columns(["vid", "url"])
+    wa = compact_nonempty(
+        scored.join(
+            verts.rename_columns({"vid": "va", "url": "url_a"}),
+            join_type="inner", num_partitions=P,
+            on=("a",), right_on=("va",),
+        )
+    )
+    return wa.join(
+        verts.rename_columns({"vid": "vb", "url": "url_b"}),
+        join_type="inner", num_partitions=P,
+        on=("b",), right_on=("vb",),
+    ).select_columns(["url_a", "url_b", "cn", "jac"])
+
+
 _EMPTY_EJ = pa.table(
     {"url_a": pa.array([], pa.string()), "url_b": pa.array([], pa.string()),
      "cn": pa.array([], pa.int64()), "jac": pa.array([], pa.float64())}
@@ -459,24 +623,47 @@ def clustering_coefficients(
     return joined.map_batches(lcc, batch_format="pyarrow")
 
 
-def ball2_sizes(graph, cfg: EngineConfig = DEFAULT_CONFIG):
+_EMPTY_BALL2 = pa.table(
+    {"url": pa.array([], pa.string()), "ball2": pa.array([], pa.int64())}
+)
+
+
+def ball2_sizes(graph, cfg: EngineConfig = DEFAULT_CONFIG,
+                mode: str | None = None):
     """→ Dataset (url, ball2): number of DISTINCT vertices within ≤2
     hops of each vertex (self included) — the local-neighborhood-size
     statistic behind friend-of-friend reach and supernode detection.
 
-    Broadcast-CSR kernel (same gate as Adamic–Adar): per middle vertex
-    u, every ordered neighbor pair (a, b) is a 2-hop connection a→b;
-    keys a·V+b flow through ONE bucketed distinct, then a per-source
-    bucketed count. Volume is Σ deg(u)² — the wedge volume, with hub
-    middles chunked by the same wedge budget."""
+    Broadcast mode (E ≤ cfg.broadcast_max_edges AND V below the int64
+    pair-key bound — the same gate as Adamic–Adar): CSR kernel where
+    per middle vertex u, every ordered neighbor pair (a, b) is a 2-hop
+    connection a→b; keys a·V+b flow through ONE bucketed distinct, then
+    a per-source bucketed count. Volume is Σ deg(u)² — the wedge
+    volume, with hub middles chunked by the wedge budget. Shuffle mode
+    is the no-driver fallback: the same pair stream as a vid-space
+    self-join with two-column (a, b) keys (overflow-safe at any V).
+    For power-law graphs where even the distributed Σ deg(u)² pair
+    stream is intractable, use ``ball2_sizes_approx`` (HLL sketches cap
+    the per-hub cost at the register count)."""
+    V = graph.num_vertices
+    if V == 0:
+        return ray.data.from_arrow(_EMPTY_BALL2)
+    if mode is None:
+        mode = (
+            "broadcast"
+            if graph.num_edges <= cfg.broadcast_max_edges
+            and V <= _PAIRKEY_MAX_V
+            else "shuffle"
+        )
+    if mode == "broadcast":
+        return _ball2_broadcast(graph, cfg)
+    return _ball2_shuffle(graph, cfg)
+
+
+def _ball2_broadcast(graph, cfg: EngineConfig):
     from ..util import dataset_to_numpy
 
     V = graph.num_vertices
-    if V == 0:
-        return ray.data.from_arrow(
-            pa.table({"url": pa.array([], pa.string()),
-                      "ball2": pa.array([], pa.int64())})
-        )
     e = dataset_to_numpy(graph.edges, "src", "dst")
     s = np.concatenate([e["src"], e["dst"]]).astype(np.int64)
     d = np.concatenate([e["dst"], e["src"]]).astype(np.int64)
@@ -550,14 +737,93 @@ def ball2_sizes(graph, cfg: EngineConfig = DEFAULT_CONFIG):
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
+def _ball2_shuffle(graph, cfg: EngineConfig):
+    """No-driver-state ball2: the ≤2-hop pair stream as a union of
+    (self, 1-hop, wedge-join 2-hop) Datasets in vid space, ONE
+    two-column bucketed distinct, a per-source bucketed count, and a
+    vid-keyed url join. No V-sized driver array, no a·V+b keys."""
+    P = cfg.num_partitions
+
+    def selfp(t: pa.Table) -> pa.Table:
+        v = col_np(t, "vid").astype(np.int64)
+        return table_from_arrays(a=v, b=v)
+
+    pairs = graph.vertices.select_columns(["vid"]).map_batches(
+        selfp, batch_format="pyarrow"
+    )
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = col_np(t, "src"), col_np(t, "dst")
+        return table_from_arrays(
+            s=np.concatenate([a, b]).astype(np.int64),
+            d=np.concatenate([b, a]).astype(np.int64),
+        )
+
+    und = compact_nonempty(
+        graph.edges.map_batches(both, batch_format="pyarrow")
+    )
+    if und is not None:
+        pairs = pairs.union(
+            und.map_batches(
+                lambda t: table_from_arrays(
+                    a=col_np(t, "s").astype(np.int64),
+                    b=col_np(t, "d").astype(np.int64),
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # wedge join: a ← mid → b gives every ordered 2-hop pair (a, b)
+        # (a == b included — it dedups against the self rows)
+        wedges = compact_nonempty(
+            und.rename_columns({"s": "mid", "d": "a"}).join(
+                und.rename_columns({"s": "mid2", "d": "b"}),
+                join_type="inner", num_partitions=P,
+                on=("mid",), right_on=("mid2",),
+            ).select_columns(["a", "b"])
+        )
+        if wedges is not None:
+            pairs = pairs.union(wedges)
+
+    dist = bucketed_sum_aggregate(
+        pairs, key_cols=["a", "b"], sum_cols=[],
+        num_buckets=max(cfg.num_partitions * 32, 256),
+    )
+    counts = compact_nonempty(
+        bucketed_sum_aggregate(
+            dist.select_columns(["a"]), key_cols=["a"], sum_cols=[],
+            count_col="ball2",
+        )
+    )
+    if counts is None:
+        return ray.data.from_arrow(_EMPTY_BALL2)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            a=col_np(t, "a").astype(np.int64),
+            ball2=col_np(t, "ball2").astype(np.int64),
+        )
+
+    return (
+        counts.map_batches(cast, batch_format="pyarrow")
+        .join(
+            graph.vertices.select_columns(["vid", "url"]),
+            join_type="inner", num_partitions=P,
+            on=("a",), right_on=("vid",),
+        )
+        .select_columns(["url", "ball2"])
+    )
+
+
 def edge_reciprocity(
     edges: "ray.data.Dataset", src: str = "src_url", dst: str = "dst_url"
 ) -> pa.Table:
     """Directed-graph reciprocity → one-row table
     (n_edges, n_reciprocal, reciprocity): n_reciprocal counts directed
-    edges whose reverse edge also exists. One canonical-pair groupby
-    (map-side key canonicalization), then a scalar aggregation —
-    distinct directed edges are assumed (dedup upstream)."""
+    edges whose reverse edge also exists. Map-side key
+    canonicalization, ONE bucketed pair count (E-cardinality string
+    pairs must not feed Ray's groupby raw — see
+    util.bucketed_aggregate), then a scalar aggregation — distinct
+    directed edges are assumed (dedup upstream)."""
 
     def canon(t: pa.Table) -> pa.Table:
         s = t.column(src).combine_chunks()
@@ -566,14 +832,13 @@ def edge_reciprocity(
         hi = pc.max_element_wise(s, d)
         return pa.table({"lo": lo, "hi": hi})
 
-    per_pair = (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .count()
+    per_pair = bucketed_sum_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        key_cols=["lo", "hi"], sum_cols=[], count_col="n",
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        c = col_np(t, "count()").astype(np.int64)
+        c = col_np(t, "n").astype(np.int64)
         return table_from_arrays(
             n_edges=np.array([int(c.sum())], dtype=np.int64),
             n_reciprocal=np.array(

@@ -74,7 +74,18 @@ def bucketed_aggregate(
 
     ``aggs``: (src_col, fn, out_name) with fn ∈ Arrow group_by
     aggregate functions ("sum" | "min" | "max" | "count" | "mean" ...).
-    Output: key_cols + one column per agg, dtypes Arrow-derived."""
+    Output: key_cols + one column per agg, dtypes Arrow-derived.
+
+    (src_col, fn) pairs must be unique: Arrow names its results
+    '<col>_<fn>', so two aggs sharing a pair would emit two
+    identically-named columns and the alias rename below would silently
+    keep only the last one."""
+    pairs = [(c, fn) for c, fn, _ in aggs]
+    if len(set(pairs)) != len(pairs):
+        raise ValueError(
+            f"bucketed_aggregate: duplicate (src_col, fn) pairs in aggs "
+            f"{pairs}; duplicate the source column under a new name first"
+        )
 
     def bucketize(t: pa.Table) -> pa.Table:
         return t.append_column(

@@ -183,6 +183,46 @@ def test_edge_jaccard_matches_networkx():
     assert len(ours) == nxg.number_of_edges()
 
 
+@pytest.mark.parametrize("name", ["two_cliques", "gnp", "powerlaw"])
+def test_edge_jaccard_modes_agree(name):
+    from imtag_ray.pipelines.linkpred import edge_jaccard
+
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+
+    def pairs(df):
+        return {
+            (r.url_a, r.url_b): (int(r.cn), round(float(r.jac), 9))
+            for r in df.itertuples()
+        }
+
+    bc = pairs(edge_jaccard(g, CFG, mode="broadcast").to_pandas())
+    sh = pairs(edge_jaccard(g, CFG, mode="shuffle").to_pandas())
+    assert bc == sh
+    # the gate itself: broadcast_max_edges=0 forces the no-driver path
+    tight = EngineConfig(num_partitions=4, broadcast_max_edges=0)
+    auto = pairs(edge_jaccard(g, tight).to_pandas())
+    assert auto == bc
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "gnp", "powerlaw"])
+def test_ball2_modes_agree(name):
+    from imtag_ray.pipelines.linkpred import ball2_sizes
+
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+
+    def sizes(df):
+        return {r.url: int(r.ball2) for r in df.itertuples()}
+
+    bc = sizes(ball2_sizes(g, CFG, mode="broadcast").to_pandas())
+    sh = sizes(ball2_sizes(g, CFG, mode="shuffle").to_pandas())
+    assert bc == sh
+    tight = EngineConfig(num_partitions=4, broadcast_max_edges=0)
+    auto = sizes(ball2_sizes(g, tight).to_pandas())
+    assert auto == bc
+
+
 def test_weighted_pagerank_matches_networkx():
     import networkx as nx
     from imtag_ray.pipelines.pagerank import pagerank_weighted
