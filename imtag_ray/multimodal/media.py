@@ -115,6 +115,23 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    """Encode (H, W, 3) uint8 by format name — the engine analogue of
+    the reference's by-extension image write dispatch
+    (test/deps/stb_image_library.cpp:48-73: .png/.bmp/... chosen from
+    the filename). fmt: 'png' | 'bmp' | 'ppm'."""
+    f = fmt.lower().lstrip(".")
+    if f == "png":
+        from ..sources.png import write_png_bytes
+
+        return write_png_bytes(img)
+    if f == "bmp":
+        return encode_bmp(img)
+    if f in ("ppm", "p6"):
+        return encode_ppm(img)
+    raise NotImplementedError(f"unsupported image write format {fmt!r}")
+
+
 def resize_nearest(img: np.ndarray, out_hw: tuple) -> np.ndarray:
     """Nearest-neighbor resize via integer index maps (vectorized)."""
     oh, ow = out_hw

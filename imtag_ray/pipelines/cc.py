@@ -71,16 +71,19 @@ def _cc_broadcast(
     edges = graph.edges
 
     start_round = 0
+    converged = False
     if ckpt is not None:
         m = ckpt.latest()
         if m is not None:
             labels = ckpt.load_arrays(m, "label")["label"]
             start_round = m["iteration"] + 1
-
-    # resumed past the final permitted round (e.g. the job converged and
-    # checkpointed on round max_iterations-1): the loaded labels are the
-    # result — an empty range() must not read as "did not converge"
-    converged = start_round >= cfg.max_iterations
+            # only a checkpoint that RECORDED convergence short-circuits;
+            # a run that previously raised 'did not converge' left its
+            # last periodic checkpoint without the flag, and resuming it
+            # must keep iterating (or raise again), never silently
+            # return possibly-wrong labels
+            if m.get("metrics", {}).get("converged"):
+                return labels
     for rnd in range(start_round, cfg.max_iterations):
         ref = ray.put(labels)
 
@@ -144,6 +147,11 @@ def _cc_broadcast(
             f"connected_components (broadcast) did not converge within "
             f"max_iterations={cfg.max_iterations}; raise cfg.max_iterations"
         )
+    if ckpt is not None and cfg.checkpoint_every:
+        # final checkpoint carries the converged flag — the only kind a
+        # resume may short-circuit on (the break above skips the
+        # periodic write, so without this the flag would never land)
+        ckpt.write_arrays(rnd, {"label": labels}, {"converged": True})
     return labels
 
 
@@ -267,16 +275,21 @@ def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None) -> "r
         .materialize()
     )
     start_round = 0
+    converged = False
     if ckpt is not None:
         m = ckpt.latest()
         if m is not None:
             labels = ray.data.read_parquet(m["path"], columns=["vid", "label"])
             labels = labels.materialize()
             start_round = m["iteration"] + 1
+            # short-circuit ONLY on a recorded converged flag (see
+            # _cc_broadcast — a periodic checkpoint from a run that
+            # later raised must resume iterating, not return)
+            if m.get("metrics", {}).get("converged"):
+                return labels
     prev_sum = _label_sum(labels)
     edges = graph.edges.select_columns(["src", "dst"])
 
-    converged = start_round >= cfg.max_iterations  # resumed-complete
     for rnd in range(start_round, cfg.max_iterations):
         by_src = (
             edges.join(
@@ -317,6 +330,10 @@ def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None) -> "r
         raise RuntimeError(
             f"connected_components (shuffle) did not converge within "
             f"max_iterations={cfg.max_iterations}; raise cfg.max_iterations"
+        )
+    if ckpt is not None and cfg.checkpoint_every:
+        ckpt.write_dataset(
+            rnd, labels, metrics={"label_sum": cur_sum, "converged": True}
         )
     return labels
 

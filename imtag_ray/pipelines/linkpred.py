@@ -32,6 +32,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..util import (
+    bucketed_aggregate,
     bucketed_sum_aggregate,
     col_np,
     compact_nonempty,
@@ -809,6 +810,169 @@ def _ball2_shuffle(graph, cfg: EngineConfig):
             graph.vertices.select_columns(["vid", "url"]),
             join_type="inner", num_partitions=P,
             on=("a",), right_on=("vid",),
+        )
+        .select_columns(["url", "ball2"])
+    )
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 → uint64 (the public
+    mix from Steele et al., 'Fast splittable pseudorandom number
+    generators', OOPSLA 2014 — a standard avalanche constant set)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _hll_parts(vids: np.ndarray, p: int):
+    """Per-vid HLL (register index, rho): j = low p hash bits,
+    rho = 1 + leading-zero count of the remaining 64-p bits."""
+    from .sketch import _bitlength_u64
+
+    h = _splitmix64(vids.astype(np.int64).view(np.uint64))
+    j = (h & np.uint64((1 << p) - 1)).astype(np.int64)
+    rem = h >> np.uint64(p)
+    maxrho = 64 - p + 1
+    rho = np.where(
+        rem == 0, maxrho, (64 - p) - _bitlength_u64(rem) + 1
+    ).astype(np.int64)
+    return j, rho
+
+
+def ball2_sizes_approx(
+    graph, cfg: EngineConfig = DEFAULT_CONFIG, p: int = 10
+) -> "ray.data.Dataset":
+    """→ Dataset (url, ball2): APPROXIMATE ≤2-hop neighborhood sizes
+    via per-vertex HyperLogLog sketches (2^p registers, standard
+    ~1.04/√2^p relative error; linear counting handles the small-ball
+    regime, where the estimate is near-exact).
+
+    This is the power-law-safe path: exact ball2's pair stream is
+    Σ deg(u)² — a 10^7-degree hub alone contributes 10^14 pairs — while
+    here every vertex's 1-hop sketch is capped at 2^p register rows, so
+    the 2-hop union join moves at most E·2^p rows no matter how skewed
+    the degrees are. Register union = elementwise max, which
+    distributes over the bucketed (vid, register) max-aggregation:
+      S1(v) = sketch({v} ∪ N(v));  S2(u) = max(S1(u), max_{w∈N(u)} S1(w))
+    covers exactly {u} ∪ N(u) ∪ N(N(u)). Fully Dataset-native: no
+    V-sized driver state, urls attached by a vid-keyed join."""
+    m = 1 << p
+    P = cfg.num_partitions
+    V = graph.num_vertices
+    if V == 0:
+        return ray.data.from_arrow(_EMPTY_BALL2)
+
+    def selfp(t: pa.Table) -> pa.Table:
+        v = col_np(t, "vid").astype(np.int64)
+        return table_from_arrays(a=v, b=v)
+
+    members = graph.vertices.select_columns(["vid"]).map_batches(
+        selfp, batch_format="pyarrow"
+    )
+
+    def both(t: pa.Table) -> pa.Table:
+        a, b = col_np(t, "src"), col_np(t, "dst")
+        return table_from_arrays(
+            a=np.concatenate([a, b]).astype(np.int64),
+            b=np.concatenate([b, a]).astype(np.int64),
+        )
+
+    und = compact_nonempty(
+        graph.edges.map_batches(both, batch_format="pyarrow")
+    )
+    if und is not None:
+        members = members.union(und.map_batches(
+            lambda t: table_from_arrays(
+                a=col_np(t, "a").astype(np.int64),
+                b=col_np(t, "b").astype(np.int64),
+            ),
+            batch_format="pyarrow",
+        ))
+
+    def to_regs(t: pa.Table, _p=p) -> pa.Table:
+        a = col_np(t, "a").astype(np.int64)
+        j, rho = _hll_parts(col_np(t, "b").astype(np.int64), _p)
+        # within-batch combiner: max per (a, j) before the shuffle
+        order = np.lexsort((j, a))
+        a, j, rho = a[order], j[order], rho[order]
+        bound = np.ones(len(a), dtype=bool)
+        if len(a):
+            bound[1:] = (a[1:] != a[:-1]) | (j[1:] != j[:-1])
+        starts = np.flatnonzero(bound)
+        return table_from_arrays(
+            v=a[starts], j=j[starts],
+            rho=np.maximum.reduceat(rho, starts) if len(starts) else rho[:0],
+        )
+
+    s1 = compact_nonempty(
+        bucketed_aggregate(
+            members.map_batches(to_regs, batch_format="pyarrow"),
+            key_cols=["v", "j"], aggs=[("rho", "max", "rho")],
+            num_buckets=max(cfg.num_partitions * 32, 256),
+        )
+    )
+
+    # 2-hop union: u receives S1(w) for every neighbor w, plus its own
+    msgs = s1
+    if und is not None:
+        relayed = compact_nonempty(
+            und.join(
+                s1.rename_columns({"v": "w"}),
+                join_type="inner", num_partitions=P,
+                on=("b",), right_on=("w",),
+            ).select_columns(["a", "j", "rho"])
+            .rename_columns({"a": "v"})
+        )
+        if relayed is not None:
+            msgs = msgs.union(relayed)
+    s2 = bucketed_aggregate(
+        msgs, key_cols=["v", "j"], aggs=[("rho", "max", "rho")],
+        num_buckets=max(cfg.num_partitions * 32, 256),
+    )
+
+    # per-vertex estimate from the sparse register rows: a missing
+    # register contributes 2^0 to Z; zeros = m - present-row count
+    def terms(t: pa.Table) -> pa.Table:
+        rho = col_np(t, "rho").astype(np.int64)
+        return table_from_arrays(
+            v=col_np(t, "v").astype(np.int64),
+            z=np.ldexp(1.0, -rho),
+            nreg=np.ones(len(rho), dtype=np.int64),
+        )
+
+    sums = compact_nonempty(
+        bucketed_sum_aggregate(
+            s2.map_batches(terms, batch_format="pyarrow"),
+            key_cols=["v"], sum_cols=["z", "nreg"],
+        )
+    )
+    if sums is None:
+        return ray.data.from_arrow(_EMPTY_BALL2)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def estimate(t: pa.Table, _m=m, _a=alpha) -> pa.Table:
+        z = col_np(t, "z").astype(np.float64)
+        nreg = col_np(t, "nreg").astype(np.int64)
+        zeros = _m - nreg
+        zfull = z + zeros.astype(np.float64)  # absent registers: 2^0
+        e_raw = _a * _m * _m / zfull
+        lin = np.where(
+            zeros > 0, _m * np.log(_m / np.maximum(zeros, 1)), e_raw
+        )
+        est = np.where((e_raw <= 2.5 * _m) & (zeros > 0), lin, e_raw)
+        return table_from_arrays(
+            v=col_np(t, "v").astype(np.int64),
+            ball2=np.rint(est).astype(np.int64),
+        )
+
+    return (
+        sums.map_batches(estimate, batch_format="pyarrow")
+        .join(
+            graph.vertices.select_columns(["vid", "url"]),
+            join_type="inner", num_partitions=P,
+            on=("v",), right_on=("vid",),
         )
         .select_columns(["url", "ball2"])
     )

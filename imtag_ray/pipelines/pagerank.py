@@ -119,31 +119,84 @@ def _pr_broadcast(
 
 
 def _pr_shuffle(
-    graph: Graph, cfg: EngineConfig, on_iter=None, ckpt=None
+    graph: Graph, cfg: EngineConfig, on_iter=None, ckpt=None,
+    restart_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
+    """Dataset-state power iteration (the 10^12-vertex path).
+
+    ``restart_ds`` personalizes: a (vid, p) Dataset carrying the
+    teleport distribution as a STATE COLUMN — teleport and dangling
+    mass land on p per vertex, and the rank vector, teleport vector
+    and outdeg all live in the shuffled state table (never on the
+    driver). The uniform path keeps its original scalar-base form
+    bit-for-bit so cross-mode exactness tests stay valid."""
     P = cfg.num_partitions
     V = graph.num_vertices
     d = cfg.pagerank_damping
+    personalized = restart_ds is not None
+    state_cols = ["vid", "rank", "outdeg"] + (["p"] if personalized else [])
 
     # Dataset-native outdeg init (no driver V-array); dangling vertices
     # keep outdeg 0 via degree_dataset's zero rows
     from ..stages.graph_build import degree_dataset
 
     deg_ds = degree_dataset(graph, "out", col="outdeg")
-    state = deg_ds.map_batches(
-        lambda t: table_from_arrays(
-            vid=col_np(t, "vid"),
-            rank=np.full(t.num_rows, 1.0 / V),
-            outdeg=col_np(t, "outdeg").astype(np.float64),
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    if personalized:
+        from ..util import compact_nonempty
+
+        # missing (vid, p) rows mean p = 0; rank starts at p
+        joined0 = compact_nonempty(deg_ds).join(
+            compact_nonempty(
+                restart_ds.map_batches(
+                    lambda t: table_from_arrays(
+                        pv=col_np(t, "vid").astype(np.int64),
+                        p=col_np(t, "p").astype(np.float64),
+                    ),
+                    batch_format="pyarrow",
+                )
+            ),
+            join_type="left_outer", num_partitions=P,
+            on=("vid",), right_on=("pv",),
+        )
+
+        def init_p(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"vid": pa.array([], pa.int64()),
+                     "rank": pa.array([], pa.float64()),
+                     "outdeg": pa.array([], pa.float64()),
+                     "p": pa.array([], pa.float64())}
+                )
+            import pyarrow.compute as pc
+
+            p = np.asarray(
+                pc.fill_null(t.column("p").combine_chunks(), 0.0)
+            ).astype(np.float64)
+            return table_from_arrays(
+                vid=col_np(t, "vid").astype(np.int64),
+                rank=p.copy(),
+                outdeg=col_np(t, "outdeg").astype(np.float64),
+                p=p,
+            )
+
+        state = joined0.map_batches(
+            init_p, batch_format="pyarrow"
+        ).materialize()
+    else:
+        state = deg_ds.map_batches(
+            lambda t: table_from_arrays(
+                vid=col_np(t, "vid"),
+                rank=np.full(t.num_rows, 1.0 / V),
+                outdeg=col_np(t, "outdeg").astype(np.float64),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
     start_iter = 0
     if ckpt is not None:
         m = ckpt.latest()
         if m is not None:
             state = ray.data.read_parquet(
-                m["path"], columns=["vid", "rank", "outdeg"]
+                m["path"], columns=state_cols
             ).materialize()
             start_iter = m["iteration"] + 1
     edges = graph.edges.select_columns(["src", "dst"])
@@ -162,7 +215,8 @@ def _pr_shuffle(
 
         contribs = (
             edges.join(
-                state, join_type="inner", num_partitions=P,
+                state.select_columns(["vid", "rank", "outdeg"]),
+                join_type="inner", num_partitions=P,
                 on=("src",), right_on=("vid",),
             )
             .map_batches(
@@ -193,18 +247,25 @@ def _pr_shuffle(
 
         base = (1.0 - d) / V + d * dangling_mass / V
 
-        def update(batch: pa.Table, _base=base, _d=d) -> pa.Table:
+        def update(batch: pa.Table, _base=base, _d=d, _dm=dangling_mass,
+                   _pers=personalized) -> pa.Table:
             old = col_np(batch, "rank")
             part = batch.column("part").to_numpy(zero_copy_only=False)
             part = np.nan_to_num(np.where(part == None, 0.0, part).astype(np.float64))  # noqa: E711
-            new = _base + _d * part
-            out = table_from_arrays(
+            if _pers:
+                p = col_np(batch, "p").astype(np.float64)
+                new = (1.0 - _d) * p + _d * (part + _dm * p)
+            else:
+                new = _base + _d * part
+            cols = dict(
                 vid=col_np(batch, "vid"),
                 rank=new,
                 outdeg=col_np(batch, "outdeg"),
-                delta=np.abs(new - old),
             )
-            return out
+            if _pers:
+                cols["p"] = p
+            cols["delta"] = np.abs(new - old)
+            return table_from_arrays(**cols)
 
         joined = state.join(
             contribs, join_type="left_outer", num_partitions=P,
@@ -483,28 +544,7 @@ def _pr_ranges(
     return ranks
 
 
-def pagerank_weighted(
-    graph: Graph,
-    wedges: "ray.data.Dataset",
-    cfg: EngineConfig = DEFAULT_CONFIG,
-    on_iter=None,
-) -> "ray.data.Dataset":
-    """Weighted PageRank (broadcast kernel): per-edge contribution
-    r[src]·w/strength[src] with strength = Σ outgoing weights; teleport
-    and dangling mass uniform. ``wedges`` is the CANONICAL undirected
-    weighted edge Dataset (src, dst, w; vid space) — symmetrized here.
-    → Dataset (vid, url, rank)."""
-    V = graph.num_vertices
-    if V == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {"vid": pa.array([], pa.int64()),
-                 "url": pa.array([], pa.string()),
-                 "rank": pa.array([], pa.float64())}
-            )
-        )
-    d = cfg.pagerank_damping
-
+def _symmetrize_weighted(wedges: "ray.data.Dataset") -> "ray.data.Dataset":
     def both(t: pa.Table) -> pa.Table:
         s, dd = col_np(t, "src"), col_np(t, "dst")
         w = col_np(t, "w").astype(np.float64)
@@ -514,13 +554,48 @@ def pagerank_weighted(
             w=np.concatenate([w, w]),
         )
 
-    edges = wedges.map_batches(both, batch_format="pyarrow").materialize()
+    return wedges.map_batches(both, batch_format="pyarrow").materialize()
 
-    # weighted out-strength (V-sized driver array — broadcast budget,
-    # same class as the broadcast rank vector)
+
+def _strength_dataset(
+    graph: Graph, edges: "ray.data.Dataset", cfg: EngineConfig
+) -> "ray.data.Dataset":
+    """(vid, strength) for ALL vertices (zero rows included) — the
+    weighted analogue of degree_dataset: per-block combiner partials,
+    one bucketed sum, no driver pass over the edge table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, s = sparse_sum_reduce(
+            col_np(t, "src").astype(np.int64),
+            col_np(t, "w").astype(np.float64),
+        )
+        return table_from_arrays(vid=k, strength=s)
+
+    zeros = graph.vertices.select_columns(["vid"]).map_batches(
+        lambda t: table_from_arrays(
+            vid=col_np(t, "vid").astype(np.int64),
+            strength=np.zeros(t.num_rows, dtype=np.float64),
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_sum_aggregate(
+        zeros.union(edges.map_batches(partial, batch_format="pyarrow")),
+        key_cols=["vid"], sum_cols=["strength"],
+    )
+
+
+def _wpr_broadcast(
+    graph: Graph, edges: "ray.data.Dataset", cfg: EngineConfig, on_iter=None
+) -> np.ndarray:
+    V = graph.num_vertices
+    d = cfg.pagerank_damping
+    # weighted out-strength: distributed bucketed sum, then ONE V-sized
+    # driver landing (broadcast budget — same class as the rank vector)
+    sres = dataset_to_numpy(
+        _strength_dataset(graph, edges, cfg), "vid", "strength"
+    )
     strength = np.zeros(V, dtype=np.float64)
-    for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        np.add.at(strength, col_np(b, "src"), col_np(b, "w"))
+    strength[sres["vid"].astype(np.int64)] = sres["strength"]
     dangling = strength == 0.0
 
     ranks = np.full(V, 1.0 / V, dtype=np.float64)
@@ -551,6 +626,148 @@ def pagerank_weighted(
             on_iter(it, ranks, delta)
         if delta < V * cfg.pagerank_tol:
             break
+    return ranks
+
+
+def _wpr_shuffle(
+    graph: Graph, edges: "ray.data.Dataset", cfg: EngineConfig, on_iter=None
+) -> "ray.data.Dataset":
+    """Dataset-state weighted power iteration (the scale path): state
+    is (vid, rank, strength), contributions are the edge-state join
+    scaled by w/strength — _pr_shuffle's scaffolding with strength in
+    place of outdeg."""
+    P = cfg.num_partitions
+    V = graph.num_vertices
+    d = cfg.pagerank_damping
+
+    state = _strength_dataset(graph, edges, cfg).map_batches(
+        lambda t: table_from_arrays(
+            vid=col_np(t, "vid").astype(np.int64),
+            rank=np.full(t.num_rows, 1.0 / V),
+            strength=col_np(t, "strength").astype(np.float64),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for it in range(cfg.max_iterations):
+        def dang(batch: pa.Table) -> pa.Table:
+            r = col_np(batch, "rank")
+            st = col_np(batch, "strength")
+            return table_from_arrays(m=np.array([r[st == 0.0].sum()]))
+
+        dm_tbl = state.map_batches(dang, batch_format="pyarrow").aggregate(
+            Sum("m", alias_name="m")
+        )
+        dangling_mass = float(dm_tbl["m"])
+
+        contribs = (
+            edges.join(
+                state, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .map_batches(
+                lambda t: table_from_arrays(
+                    vid=col_np(t, "dst"),
+                    part=col_np(t, "rank")
+                    * col_np(t, "w")
+                    / col_np(t, "strength"),
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                lambda t: table_from_arrays(
+                    *(),
+                    **dict(
+                        zip(
+                            ("vid", "part"),
+                            sparse_sum_reduce(
+                                col_np(t, "vid"), col_np(t, "part")
+                            ),
+                        )
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        contribs = bucketed_sum_aggregate(
+            contribs, key_cols=["vid"], sum_cols=["part"]
+        )
+
+        base = (1.0 - d) / V + d * dangling_mass / V
+
+        def update(batch: pa.Table, _base=base, _d=d) -> pa.Table:
+            old = col_np(batch, "rank")
+            part = batch.column("part").to_numpy(zero_copy_only=False)
+            part = np.nan_to_num(np.where(part == None, 0.0, part).astype(np.float64))  # noqa: E711
+            new = _base + _d * part
+            return table_from_arrays(
+                vid=col_np(batch, "vid"),
+                rank=new,
+                strength=col_np(batch, "strength"),
+                delta=np.abs(new - old),
+            )
+
+        joined = state.join(
+            contribs, join_type="left_outer", num_partitions=P,
+            on=("vid",), right_on=("vid",),
+        ).map_batches(update, batch_format="pyarrow").materialize()
+        delta = float(joined.aggregate(Sum("delta", alias_name="s"))["s"])
+        state = joined.drop_columns(["delta"]).materialize()
+        if on_iter is not None:
+            on_iter(it, state, delta)
+        if delta < V * cfg.pagerank_tol:
+            break
+    return state
+
+
+def pagerank_weighted(
+    graph: Graph,
+    wedges: "ray.data.Dataset",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    on_iter=None,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """Weighted PageRank: per-edge contribution r[src]·w/strength[src]
+    with strength = Σ outgoing weights; teleport and dangling mass
+    uniform. ``wedges`` is the CANONICAL undirected weighted edge
+    Dataset (src, dst, w; vid space) — symmetrized here.
+    → Dataset (vid, url, rank).
+
+    Modes (config.vertex_state semantics, like unweighted pagerank):
+    broadcast holds the rank/strength vectors as V-sized driver/plasma
+    arrays; shuffle keeps them as a Dataset joined to edges per round —
+    the no-driver scale path."""
+    V = graph.num_vertices
+    if V == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.float64())}
+            )
+        )
+    mode = mode or _pick_mode(graph, cfg)
+    edges = _symmetrize_weighted(wedges)
+
+    if mode == "shuffle":
+        state = _wpr_shuffle(graph, edges, cfg, on_iter=on_iter)
+        if V > cfg.broadcast_max_vertices:
+            # scale path end-to-end: vid-keyed url join, rank never
+            # lands on the driver
+            return (
+                graph.vertices.join(
+                    state.select_columns(["vid", "rank"]),
+                    join_type="inner", num_partitions=cfg.num_partitions,
+                    on=("vid",), right_on=("vid",),
+                )
+                .select_columns(["vid", "url", "rank"])
+                .materialize()
+            )
+        res = dataset_to_numpy(state, "vid", "rank")
+        ranks = np.empty(V, dtype=np.float64)
+        ranks[res["vid"].astype(np.int64)] = res["rank"]
+    else:
+        ranks = _wpr_broadcast(graph, edges, cfg, on_iter=on_iter)
 
     ref = ray.put(ranks)
 
@@ -567,14 +784,17 @@ def pagerank(
     cfg: EngineConfig = DEFAULT_CONFIG,
     mode: str | None = None,
     on_iter=None,
-    restart: "np.ndarray | None" = None,
+    restart: "np.ndarray | ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """→ Dataset (vid, url, rank), float64, Σrank ≈ 1.
 
-    ``restart`` personalizes: a V-length teleport distribution p
-    (personalized PageRank — teleport and dangling mass land on p
-    instead of uniform). Broadcast mode only; the vector is V-sized
-    driver state, same budget class as the broadcast rank vector."""
+    ``restart`` personalizes (personalized PageRank — teleport and
+    dangling mass land on p instead of uniform): either a V-length
+    numpy distribution (broadcast-budget driver state) or a (vid, p)
+    Dataset with p ≥ 0 rows (missing vids mean 0) — the no-driver
+    form the shuffle mode carries as a state column at scale. Either
+    form works with either mode; the blocks/ranges kernels are
+    uniform-teleport only."""
     if graph.num_vertices == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -583,22 +803,31 @@ def pagerank(
                  "rank": pa.array([], pa.float64())}
             )
         )
-    if restart is not None:
-        mode = mode or "broadcast"
-        if mode != "broadcast":
-            raise ValueError(
-                "personalized PageRank (restart=) is broadcast-mode only"
-            )
     mode = mode or _pick_mode(graph, cfg)
+    if restart is not None and mode in ("blocks", "ranges"):
+        raise ValueError(
+            "personalized PageRank (restart=) needs broadcast or "
+            "shuffle mode; the blocks/ranges kernels are uniform-only"
+        )
     ckpt = None
     if cfg.checkpoint_dir and cfg.checkpoint_every:
         from ..state.checkpoint import CheckpointManager, graph_fingerprint
 
+        # personalized runs checkpoint under their own algorithm name:
+        # a uniform-run checkpoint must never resume into a PPR run
+        # (different fixpoint, and the shuffle state schema differs)
         ckpt = CheckpointManager(
-            cfg.checkpoint_dir, "pagerank", graph_fingerprint(graph),
+            cfg.checkpoint_dir,
+            "pagerank" if restart is None else "ppr",
+            graph_fingerprint(graph),
             num_partitions=cfg.num_partitions,
         )
     if mode == "broadcast":
+        if restart is not None and not isinstance(restart, np.ndarray):
+            res = dataset_to_numpy(restart, "vid", "p")
+            rv = np.zeros(graph.num_vertices, dtype=np.float64)
+            rv[res["vid"].astype(np.int64)] = res["p"]
+            restart = rv
         ranks = _pr_broadcast(
             graph, cfg, on_iter=on_iter, ckpt=ckpt, restart=restart
         )
@@ -607,7 +836,23 @@ def pagerank(
     elif mode == "ranges":
         ranks = _pr_ranges(graph, cfg, on_iter=on_iter, ckpt=ckpt)
     elif mode == "shuffle":
-        state = _pr_shuffle(graph, cfg, on_iter=on_iter, ckpt=ckpt)
+        restart_ds = None
+        if restart is not None:
+            if isinstance(restart, np.ndarray):
+                nz = np.flatnonzero(restart)
+                restart_ds = ray.data.from_arrow(
+                    pa.table(
+                        {"vid": pa.array(nz.astype(np.int64), pa.int64()),
+                         "p": pa.array(
+                             restart[nz].astype(np.float64), pa.float64()
+                         )}
+                    )
+                )
+            else:
+                restart_ds = restart
+        state = _pr_shuffle(
+            graph, cfg, on_iter=on_iter, ckpt=ckpt, restart_ds=restart_ds
+        )
         if graph.num_vertices > cfg.broadcast_max_vertices:
             # scale path end-to-end: attach urls by a vid-unique hash
             # join — the rank vector never lands on the driver

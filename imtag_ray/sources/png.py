@@ -113,6 +113,48 @@ def _slow_filter(
     return np.frombuffer(bytes(cur), dtype=np.uint8)
 
 
+_CTYPE_OF = {1: 0, 3: 2, 4: 6}  # channels → PNG color type
+
+
+def write_png_bytes(img: np.ndarray, level: int = 6) -> bytes:
+    """(H, W) or (H, W, C) uint8 array → PNG bytes (8-bit, color type
+    grey/RGB/RGBA by channel count, non-interlaced, filter 0 per
+    scanline). Closes the reference's by-extension write round-trip
+    (test/deps/stb_image_library.cpp:48-73 writes PNG via
+    stbi_write_png); decode(write(x)) == x bit-exactly for any uint8
+    image this module's reader accepts."""
+    a = np.ascontiguousarray(img)
+    if a.dtype != np.uint8:
+        raise ValueError(f"write_png_bytes needs uint8, got {a.dtype}")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in _CTYPE_OF:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w, nch = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CTYPE_OF[nch], 0, 0, 0)
+    # filter byte 0 (None) per scanline — vectorized hstack, no row loop
+    rows = np.hstack(
+        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * nch)]
+    )
+    idat = zlib.compress(rows.tobytes(), level)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(">I", crc)
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, img: np.ndarray, level: int = 6) -> None:
+    with open(path, "wb") as f:
+        f.write(write_png_bytes(img, level))
+
+
 def stb_grey(img: np.ndarray) -> np.ndarray:
     """stb_image's RGB(A)→1-channel conversion, byte-exact
     (stb_image.h stbi__compute_y: (r*77 + g*150 + 29*b) >> 8); the

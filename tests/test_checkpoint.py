@@ -272,3 +272,43 @@ def test_labelprop_checkpoint_not_resumed_across_seeds(ckpt_dir):
     )
     assert out[gurl(1)] == "blue"
     assert out[gurl(6)] == "red"
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_cc_nonconverged_checkpoint_does_not_short_circuit(ckpt_dir, mode):
+    """A run that raised 'did not converge' leaves periodic checkpoints
+    WITHOUT the converged flag; resuming with the same too-small budget
+    must raise again (never silently return possibly-wrong labels), and
+    resuming with a bigger budget must finish and match a clean run."""
+    tbl = named_graph_edges("barbell")
+    g = build_graph(ray.data.from_arrow(tbl))
+    cfg_tiny = EngineConfig(
+        num_partitions=4, max_iterations=1,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(g, cfg_tiny, mode=mode)
+    # same exhausted budget on resume: must raise again, not return
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(g, cfg_tiny, mode=mode)
+    cfg_big = EngineConfig(
+        num_partitions=4, max_iterations=20,
+        checkpoint_dir=ckpt_dir, checkpoint_every=1,
+    )
+    resumed = dataset_to_numpy(
+        connected_components(g, cfg_big, mode=mode).sort("vid"),
+        "component_id",
+    )["component_id"]
+    clean = dataset_to_numpy(
+        connected_components(
+            g, EngineConfig(num_partitions=4, max_iterations=20), mode=mode
+        ).sort("vid"),
+        "component_id",
+    )["component_id"]
+    assert np.array_equal(resumed, clean)
+    # and the converged resume short-circuits to the same labels
+    again = dataset_to_numpy(
+        connected_components(g, cfg_big, mode=mode).sort("vid"),
+        "component_id",
+    )["component_id"]
+    assert np.array_equal(again, clean)

@@ -135,13 +135,71 @@ def test_ppr_seed_concentration_and_mass():
     assert int(out["vid"][np.argmax(out["rank"])]) == 0
 
 
-def test_ppr_rejects_non_broadcast_mode():
+def test_ppr_rejects_uniform_only_kernels():
     tbl = named_graph_edges("gnp")
     g = build_graph(ray.data.from_arrow(tbl), CFG)
-    with pytest.raises(ValueError):
-        pagerank(
-            g, CFG, mode="shuffle", restart=np.full(g.num_vertices, 0.1)
+    for m in ("blocks", "ranges"):
+        with pytest.raises(ValueError):
+            pagerank(g, CFG, mode=m, restart=np.full(g.num_vertices, 0.1))
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "gnp"])
+def test_ppr_shuffle_equals_broadcast(name):
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    cfg = EngineConfig(num_partitions=4, max_iterations=12, pagerank_tol=0)
+    p = np.zeros(g.num_vertices)
+    p[0] = 0.75
+    p[g.num_vertices - 1] = 0.25
+    bc = dataset_to_numpy(
+        pagerank(g, cfg, mode="broadcast", restart=p).sort("vid"), "rank"
+    )["rank"]
+    sh = dataset_to_numpy(
+        pagerank(g, cfg, mode="shuffle", restart=p).sort("vid"), "rank"
+    )["rank"]
+    np.testing.assert_allclose(sh, bc, rtol=0, atol=1e-12)
+    # Dataset-form restart (the no-driver input shape) agrees too
+    import pyarrow as _pa
+
+    nz = np.flatnonzero(p)
+    pds = ray.data.from_arrow(
+        _pa.table({"vid": _pa.array(nz, _pa.int64()),
+                   "p": _pa.array(p[nz], _pa.float64())})
+    )
+    shd = dataset_to_numpy(
+        pagerank(g, cfg, mode="shuffle", restart=pds).sort("vid"), "rank"
+    )["rank"]
+    np.testing.assert_allclose(shd, bc, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "gnp"])
+def test_weighted_pagerank_modes_agree(name):
+    from imtag_ray.pipelines.pagerank import pagerank_weighted
+    from imtag_ray.util import col_np as _cn
+
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+
+    def weigh(t):
+        s, d = _cn(t, "src"), _cn(t, "dst")
+        import pyarrow as _pa
+        return _pa.table(
+            {"src": _pa.array(s, _pa.int64()),
+             "dst": _pa.array(d, _pa.int64()),
+             "w": _pa.array(1 + (s + d) % 5, _pa.int64())}
         )
+
+    wedges = g.edges.map_batches(weigh, batch_format="pyarrow").materialize()
+    cfg = EngineConfig(num_partitions=4, max_iterations=10, pagerank_tol=0)
+    bc = dataset_to_numpy(
+        pagerank_weighted(g, wedges, cfg, mode="broadcast").sort("vid"),
+        "rank",
+    )["rank"]
+    sh = dataset_to_numpy(
+        pagerank_weighted(g, wedges, cfg, mode="shuffle").sort("vid"),
+        "rank",
+    )["rank"]
+    np.testing.assert_allclose(sh, bc, rtol=0, atol=1e-12)
 
 
 def test_events_windows_invariants():
@@ -282,3 +340,57 @@ def test_customers_without_orders_typed_empty():
     out2 = customers_without_orders("/root/testdata/sf0.001", year=1995)
     df2 = out2.to_pandas() if hasattr(out2, "to_pandas") else out2
     assert len(df2) == 34
+
+
+def test_ball2_approx_matches_scalar_hll_replay_and_accuracy():
+    """ball2_sizes_approx must equal a scalar per-vertex HLL replay
+    (same splitmix64 hash, same register math) EXACTLY, and sit within
+    HLL tolerance of the exact ball2 counts."""
+    from imtag_ray.pipelines.linkpred import (
+        _hll_parts,
+        ball2_sizes,
+        ball2_sizes_approx,
+    )
+
+    p, m = 10, 1 << 10
+    tbl = named_graph_edges("powerlaw")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    approx = {
+        r.url: int(r.ball2)
+        for r in ball2_sizes_approx(g, CFG, p=p).to_pandas().itertuples()
+    }
+    exact = {
+        r.url: int(r.ball2)
+        for r in ball2_sizes(g, CFG).to_pandas().itertuples()
+    }
+    # scalar replay: per-vertex ball membership -> registers -> estimate
+    vres = dataset_to_numpy(g.vertices, "vid", "url")
+    urls = dict(zip(vres["vid"].astype(int), vres["url"]))
+    eres = dataset_to_numpy(g.edges, "src", "dst")
+    adj: dict = {int(v): {int(v)} for v in vres["vid"]}
+    for s, d in zip(eres["src"].astype(int), eres["dst"].astype(int)):
+        adj[s].add(d)
+        adj[d].add(s)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    for v in adj:
+        ball = set()
+        for w in adj[v]:
+            ball |= adj[w]
+        members = np.array(sorted(ball), dtype=np.int64)
+        j, rho = _hll_parts(members, p)
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, j, rho)
+        zeros = int((reg == 0).sum())
+        z = float(np.ldexp(1.0, -reg).sum())
+        e_raw = alpha * m * m / z
+        if e_raw <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        else:
+            est = e_raw
+        u = str(urls[v])
+        assert approx[u] == int(np.rint(est)), u
+        assert len(ball) == exact[u]  # scalar exact agrees with engine
+        # HLL accuracy: small balls sit in the near-exact linear regime
+        assert abs(approx[u] - exact[u]) <= max(3, 0.15 * exact[u]), (
+            u, approx[u], exact[u]
+        )
