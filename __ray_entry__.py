@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_ppr12": q.copart_ppr12_q,
         "copart_stats": q.copart_stats_q,
         "copart_ball2": q.copart_ball2_q,
+        "copart_ball2_hll": q.copart_ball2_hll_q,
         "copart_wpagerank8": q.copart_wpagerank8_q,
         "copart_edge_jaccard": q.copart_edge_jaccard_q,
         "copart_nbr_top3": q.copart_nbr_top3_q,
@@ -592,6 +593,86 @@ def _ppr_unrolled_sql(iters: int = 12, n_seeds: int = 5) -> str:
     FROM p{iters} ORDER BY url"""
 
 
+def _ball2_hll_sql(p: int = 10) -> str:
+    """Exact SQL replay of ball2_sizes_approx's HyperLogLog estimate:
+    vids are the engine's own (dense rank of url), the per-member hash
+    is splitmix64 computed bit-exactly via HUGEINT limb mulmod (a
+    64-bit product overflows HUGEINT, so each multiply is split at
+    2^32), registers are max(rho) per (vertex, low-p hash bits), and
+    the estimate repeats imtag_ray.pipelines.linkpred.ball2_sizes_
+    approx's float formula with the same floor(est+0.5) rounding. The
+    register sum Z is computed EXACTLY as a HUGEINT (Σ 2^(W−rho),
+    missing registers contribute 2^W); the engine's distributed float
+    sum agrees to ~1e-13 relative, far inside the integer rounding."""
+    m = 1 << p
+    W = 64 - p + 1
+    maxrho = W
+    shift_bits = 64 - p
+    mul = (
+        "CAST(((CAST({x} AS HUGEINT) % 4294967296) * {c}"
+        " + (((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296)"
+        " * 4294967296) % 18446744073709551616 AS UBIGINT)"
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+    und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+            UNION ALL SELECT pb_, pa_ FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM und),
+    vid AS MATERIALIZED (
+        SELECT v, url,
+               CAST(row_number() OVER (ORDER BY url) - 1 AS UBIGINT) AS vid
+        FROM (SELECT v, {_PURL.format(c='v')} AS url FROM verts)
+    ),
+    ball AS (
+        SELECT s AS v, s AS w FROM und
+        UNION ALL SELECT s, d FROM und
+        UNION ALL SELECT e1.d, e2.d FROM und e1 JOIN und e2 ON e1.s = e2.s
+    ),
+    mem AS (SELECT DISTINCT b.v, wv.vid AS wvid
+            FROM ball b JOIN vid wv ON wv.v = b.w),
+    s0 AS (SELECT v, CAST((CAST(wvid AS HUGEINT) + 11400714819323198485)
+               % 18446744073709551616 AS UBIGINT) AS x FROM mem),
+    s1 AS (SELECT v, xor(x, x >> 30) AS x FROM s0),
+    s2 AS (SELECT v, {mul.format(x='x', c='13787848793156543929')} AS x FROM s1),
+    s3 AS (SELECT v, xor(x, x >> 27) AS x FROM s2),
+    s4 AS (SELECT v, {mul.format(x='x', c='10723151780598845931')} AS x FROM s3),
+    s5 AS (SELECT v, xor(x, x >> 31) AS x FROM s4),
+    regs AS (
+        SELECT v, CAST(x % {m} AS BIGINT) AS j,
+               max(CASE WHEN (x >> {p}) = 0 THEN {maxrho}
+                        ELSE {shift_bits} - length(bin(x >> {p})) + 1
+                   END) AS rho
+        FROM s5 GROUP BY v, CAST(x % {m} AS BIGINT)
+    ),
+    agg AS (
+        SELECT v,
+               sum(CAST(1 AS HUGEINT) << ({W} - rho)) AS znum,
+               count(*) AS nreg
+        FROM regs GROUP BY v
+    ),
+    est AS (
+        SELECT v,
+               CAST({m} - nreg AS BIGINT) AS zeros,
+               (CAST(znum + (CAST({m} AS HUGEINT) - nreg)
+                     * (CAST(1 AS HUGEINT) << {W}) AS DOUBLE)
+                / CAST(CAST(1 AS HUGEINT) << {W} AS DOUBLE)) AS zfull
+        FROM agg
+    ),
+    fin AS (
+        SELECT v,
+               (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / zfull AS e_raw,
+               zeros
+        FROM est
+    )
+    SELECT vd.url AS url,
+           CAST(floor(CASE WHEN fin.e_raw <= 2.5 * {m} AND fin.zeros > 0
+                THEN {m} * ln({m} / CAST(greatest(fin.zeros, 1) AS DOUBLE))
+                ELSE fin.e_raw END + 0.5) AS BIGINT) AS ball2
+    FROM fin JOIN vid vd ON vd.v = fin.v
+    ORDER BY url
+"""
+
+
 def _near_keep_sql(rounds: int = 6) -> str:
     """near-dedup keep-set oracle: the exact minhash-pairs replay as the
     pair graph, then `rounds` unrolled hash-min rounds (each vertex
@@ -812,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w) AS BIGINT) AS ball2
             FROM ball GROUP BY v ORDER BY url
         """,
+        "copart_ball2_hll": _ball2_hll_sql(10),
         "copart_stats": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

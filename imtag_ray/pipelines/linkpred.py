@@ -962,9 +962,11 @@ def ball2_sizes_approx(
             zeros > 0, _m * np.log(_m / np.maximum(zeros, 1)), e_raw
         )
         est = np.where((e_raw <= 2.5 * _m) & (zeros > 0), lin, e_raw)
+        # round-half-up (floor(x+.5)), NOT np.rint's half-to-even: the
+        # DuckDB oracle replays the estimate with floor(est + 0.5)
         return table_from_arrays(
             v=col_np(t, "v").astype(np.int64),
-            ball2=np.rint(est).astype(np.int64),
+            ball2=np.floor(est + 0.5).astype(np.int64),
         )
 
     return (

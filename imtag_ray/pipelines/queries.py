@@ -523,6 +523,18 @@ def copart_ball2_q(sf_dir: str) -> "ray.data.Dataset":
     return ball2_sizes(copart_graph(sf_dir), QCFG).sort("url")
 
 
+
+def copart_ball2_hll_q(sf_dir: str) -> "ray.data.Dataset":
+    """APPROXIMATE ball2 via per-vertex HyperLogLog sketches (p=10) —
+    the power-law-safe path whose per-hub cost is capped at 2^p
+    register rows (exact ball2's pair stream is Σ deg²). No SQL oracle:
+    the estimate is deterministic but not SQL-expressible; accuracy is
+    pinned by tests/test_linkpred.py's scalar HLL replay + error-bound
+    tests against the exact operator."""
+    from .linkpred import ball2_sizes_approx
+
+    return ball2_sizes_approx(copart_graph(sf_dir), QCFG).sort("url")
+
 def copart_wpagerank8_q(sf_dir: str) -> "ray.data.Dataset":
     """Weighted PageRank (edge weight 1+(ka+kb)%7, strength-normalized
     contributions), fixed 8 iterations, 9dp — recursive-CTE oracle."""

@@ -121,3 +121,55 @@ def draw_bounding_box(
         if right < w:
             image[y, right] = 0xFF
     return image
+
+
+def draw_crosshair(
+    image: np.ndarray, x: int, y: int, half_length: int = 4,
+    color: tuple = (0, 0, 0),
+) -> np.ndarray:
+    """In-place crosshair centered at (x, y) on an (H, W, C) uint8
+    image — test/deps/stb_image_library.cpp:120-134 semantics exactly:
+    off-image centers are a no-op, arms are half-open
+    [lo, min(dim-1, center+half_length+1)) spans (the reference clamps
+    the EXCLUSIVE end to dim-1, so an arm reaching the image edge stops
+    one pixel short — quirk preserved), and only the first C channels
+    of ``color`` are written."""
+    h, w = image.shape[:2]
+    nch = 1 if image.ndim == 2 else image.shape[2]
+    if x >= w or y >= h or x < 0 or y < 0:
+        return image
+    c = np.asarray(color[:nch] if nch > 1 else color[:1], dtype=np.uint8)
+    y0 = 0 if half_length > y else y - half_length
+    y1 = min(h - 1, y + half_length + 1)
+    x0 = 0 if half_length > x else x - half_length
+    x1 = min(w - 1, x + half_length + 1)
+    if image.ndim == 2:
+        image[y0:y1, x] = c[0]
+        image[y, x0:x1] = c[0]
+    else:
+        image[y0:y1, x, :nch] = c
+        image[y, x0:x1, :nch] = c
+    return image
+
+
+def draw_component(
+    image: np.ndarray, segments, color: tuple = (0, 0, 0),
+) -> np.ndarray:
+    """In-place component rasterizer — include/imtag_statistics.hpp:
+    88-105 ``draw(component, ...)`` semantics: every scanline segment
+    (row, column_begin, column_end) is filled half-open with ``color``
+    (first C channels). ``segments`` is an iterable of (row, col_begin,
+    col_end) triples or a dict of equal-length arrays with those
+    keys."""
+    nch = 1 if image.ndim == 2 else image.shape[2]
+    c = np.asarray(color[:nch] if nch > 1 else color[:1], dtype=np.uint8)
+    if isinstance(segments, dict):
+        segments = zip(
+            segments["row"], segments["col_begin"], segments["col_end"]
+        )
+    for row, cb, ce in segments:
+        if image.ndim == 2:
+            image[int(row), int(cb):int(ce)] = c[0]
+        else:
+            image[int(row), int(cb):int(ce), :nch] = c
+    return image

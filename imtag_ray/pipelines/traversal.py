@@ -696,10 +696,12 @@ def kcore(
         deg = _kcore_shuffle(graph, cfg, k, rounds)
         if deg.count() == 0:  # empty core: skip the empty-side join
             return ray.data.from_arrow(empty)
-        # NOTE: shuffle mode loses survived-but-isolated vertices (no
-        # edge rows). Broadcast mode keeps them with core_degree 0;
-        # with rounds=None (fixpoint) the modes agree because an
-        # isolated survivor is impossible at a fixpoint with k >= 1.
+        # Survived-but-isolated vertices (possible under fixed-round
+        # semantics: a vertex passes the last peel, then loses every
+        # neighbor to it) are KEPT with core_degree 0 in both modes:
+        # _kcore_shuffle's final alive ⟕ degrees join zero-fills them,
+        # matching broadcast's post-peel degree recompute (pinned by
+        # tests/test_traversal.py::test_kcore_fixed_round_modes_agree).
         return (
             compact_nonempty(graph.vertices).join(
                 compact_nonempty(deg), join_type="inner",

@@ -110,3 +110,51 @@ def test_draw_bounding_box():
     img2 = np.zeros((4, 4, 1), dtype=np.uint8)
     draw_bounding_box(img2, 0, 3, 2, 2)  # right <= left
     assert img2.sum() == 0
+
+
+def test_draw_crosshair_reference_semantics():
+    from imtag_ray.pipelines.render import draw_crosshair
+
+    # center mid-image: arms span [c-hl, c+hl+1) in both axes
+    img = np.zeros((20, 20, 3), dtype=np.uint8)
+    draw_crosshair(img, 10, 10, 4, (255, 7, 9))
+    assert (img[6:15, 10] == [255, 7, 9]).all()
+    assert (img[10, 6:15] == [255, 7, 9]).all()
+    assert img[5, 10].sum() == 0 and img[15, 10].sum() == 0
+    # the reference clamps the EXCLUSIVE end to dim-1: an arm reaching
+    # the image edge stops one pixel short (quirk preserved)
+    img = np.zeros((10, 10), dtype=np.uint8)
+    draw_crosshair(img, 9, 9, 4, (255,))
+    assert img[8, 9] == 255 and img[9, 8] == 255
+    # y1 = min(h-1, 9+5) = 9 → vertical arm covers [5, 9) and the
+    # horizontal arm [5, 9), so the corner CENTER pixel itself stays
+    # unpainted — the reference's exclusive-end clamp quirk, preserved
+    assert img[9, 9] == 0
+    assert img[4, 9] == 0
+    # top-left clamp: half_length > center → arm starts at 0
+    img = np.zeros((10, 10), dtype=np.uint8)
+    draw_crosshair(img, 1, 1, 4, (255,))
+    assert img[0, 1] == 255 and img[1, 0] == 255
+    # off-image center: no-op
+    img = np.zeros((10, 10), dtype=np.uint8)
+    draw_crosshair(img, 50, 3, 4, (255,))
+    assert img.sum() == 0
+
+
+def test_draw_component_segments():
+    from imtag_ray.pipelines.render import draw_component
+
+    img = np.full((5, 8, 3), 9, dtype=np.uint8)
+    draw_component(img, [(1, 2, 5), (2, 0, 8)], (1, 2, 3))
+    assert (img[1, 2:5] == [1, 2, 3]).all()
+    assert (img[1, :2] == 9).all() and (img[1, 5:] == 9).all()
+    assert (img[2, :] == [1, 2, 3]).all()
+    # dict-of-arrays form
+    img2 = np.zeros((4, 4), dtype=np.uint8)
+    draw_component(
+        img2,
+        {"row": np.array([0]), "col_begin": np.array([1]),
+         "col_end": np.array([3])},
+        (7,),
+    )
+    assert list(img2[0]) == [0, 7, 7, 0]

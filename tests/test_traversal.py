@@ -285,3 +285,41 @@ def test_sssp_fixed_rounds_truncates(cfg):
     )
     got = dict(zip([str(u) for u in out["url"]], out["dist"]))
     assert got == want
+
+
+def test_kcore_fixed_round_modes_agree():
+    """Broadcast and shuffle k-core must agree row-for-row under
+    FIXED-ROUND semantics, including survived-but-isolated vertices
+    (kept with core_degree 0 by both: broadcast's post-peel degree
+    recompute ≡ shuffle's alive ⟕ degrees zero-fill)."""
+    import pyarrow as pa
+
+    cases = [
+        # two hubs joined: both survive one k=2 peel, both isolated
+        ([("c", "l1"), ("c", "l2"), ("c", "d"), ("d", "m1"), ("d", "m2")],
+         2, 1),
+        # star + triangle: hub survives isolated, triangle is the core
+        ([("c", "l1"), ("c", "l2"), ("c", "l3"),
+          ("x", "y"), ("y", "z"), ("x", "z")], 2, 1),
+        ([("c", "l1"), ("c", "l2"), ("c", "l3"),
+          ("x", "y"), ("y", "z"), ("x", "z")], 2, 2),
+        ([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], 2, 1),
+    ]
+    for edges, k, rounds in cases:
+        tbl = pa.table(
+            {"src_url": [a for a, _ in edges],
+             "dst_url": [b for _, b in edges]}
+        )
+        g = build_graph(ray.data.from_arrow(tbl), CFG)
+        b = dataset_to_numpy(
+            kcore(g, k, CFG, rounds=rounds, mode="broadcast"),
+            "url", "core_degree",
+        )
+        s = dataset_to_numpy(
+            kcore(g, k, CFG, rounds=rounds, mode="shuffle"),
+            "url", "core_degree",
+        )
+        assert dict(zip([str(u) for u in b["url"]], b["core_degree"])) == \
+            dict(zip([str(u) for u in s["url"]], s["core_degree"])), (
+            edges, k, rounds
+        )
