@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_component_sizes": q.geo_component_sizes_q,
         "geo_labelprop": q.geo_labelprop_q,
         "doc_hits8": q.doc_hits8_q,
+        "doc_scc": q.doc_scc_q,
         "copart_bfs12": q.copart_bfs12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
@@ -797,6 +798,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geo_labelprop": _lp_unrolled_sql(6),
         "doc_hits8": _hits_unrolled_sql(8),
+        # strongly connected components: closure oracle — mutual
+        # reachability pairs, SCC id = lexicographically smallest url
+        # (≡ the engine's min-vid member: vids are url-sorted)
+        "doc_scc": f"""
+            WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT doc_id AS s, tgt AS d FROM targets
+                WHERE tgt != doc_id AND (doc_id + tgt) % 3 != 0
+            ),
+            verts(v) AS (SELECT s FROM e UNION SELECT d FROM e),
+            reach(a, b) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS w
+                FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+            )
+            SELECT {_DURL.format(c='v')} AS url,
+                   min({_DURL.format(c='w')}) AS scc_url
+            FROM mutual GROUP BY v ORDER BY url
+        """,
         "copart_bfs12": f"""
             WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

@@ -353,6 +353,45 @@ def doc_graph(sf_dir: str) -> Graph:
     return _GRAPH_CACHE[key]
 
 
+
+def doc_bowtie_graph(sf_dir: str) -> Graph:
+    """Directed doc graph FILTERED to (src_id + dst_id) % 3 != 0 —
+    breaks the synthetic link formula's single giant cycle into a
+    bowtie (one big SCC + small SCCs + singleton tendrils), the shape
+    strongly-connected-components analysis exists for."""
+    key = (sf_dir, "doc_bowtie")
+    if key not in _GRAPH_CACHE:
+        import pyarrow.compute as _pc
+
+        def keep(t: pa.Table) -> pa.Table:
+            pre = len("https://docs.example/d")
+            s = _pc.cast(
+                _pc.utf8_slice_codeunits(
+                    t.column("src_url").combine_chunks(), pre, 1 << 30
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            d = _pc.cast(
+                _pc.utf8_slice_codeunits(
+                    t.column("dst_url").combine_chunks(), pre, 1 << 30
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((s + d) % 3 != 0))
+
+        edges = doc_edges_q(sf_dir).map_batches(keep, batch_format="pyarrow")
+        _GRAPH_CACHE[key] = build_graph(edges, QCFG)
+    return _GRAPH_CACHE[key]
+
+
+def doc_scc_q(sf_dir: str) -> "ray.data.Dataset":
+    """Strongly connected components of the bowtie doc graph; canonical
+    min-url SCC ids (closure SQL oracle over mutual reachability)."""
+    from .scc import strongly_connected_components
+
+    out = strongly_connected_components(doc_bowtie_graph(sf_dir), QCFG)
+    return out.select_columns(["url", "scc_url"]).sort("url")
+
 def doc_hits8_q(sf_dir: str) -> "ray.data.Dataset":
     """HITS hub/authority, fixed 8 iterations with a single final sum
     normalization (a per-iteration normalization is a scalar factor, so
