@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_labelprop": q.geo_labelprop_q,
         "doc_hits8": q.doc_hits8_q,
         "doc_scc": q.doc_scc_q,
+        "doc_bowtie": q.doc_bowtie_q,
+        "doc_scc_cond": q.doc_scc_cond_q,
+        "doc_walks4": q.doc_walks4_q,
+        "doc_hyperanf3": q.doc_hyperanf3_q,
         "copart_bfs12": q.copart_bfs12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
@@ -702,6 +706,251 @@ def _near_keep_sql(rounds: int = 6) -> str:
     WHERE dropped.v IS NULL ORDER BY d.doc_id"""
 
 
+_BOWTIE_SCC_PREFIX = """
+    e AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS s, tgt AS d FROM targets
+        WHERE tgt != doc_id AND (doc_id + tgt) % 3 != 0
+    ),
+    verts AS MATERIALIZED (
+        -- NOT "UNION": under WITH RECURSIVE DuckDB runs a named-column
+        -- CTE's top-level UNION with UNION ALL semantics
+        SELECT DISTINCT v FROM (
+            SELECT s AS v FROM e UNION ALL SELECT d FROM e
+        )
+    ),
+    reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b
+    ),
+    reachm AS MATERIALIZED (SELECT a, b FROM reach),
+    scc AS MATERIALIZED (
+        SELECT r1.a AS v, min({root_url}) AS comp
+        FROM reachm r1 JOIN reachm r2 ON r2.a = r1.b AND r2.b = r1.a
+        GROUP BY r1.a
+    )
+"""
+
+
+def _bowtie_sql() -> str:
+    """Bowtie-decomposition oracle: mutual-reachability SCCs with
+    min-URL canonical ids, CORE = largest SCC (url-lex tie-break ≡ the
+    engine's min-vid rule), then the four reachability sets read
+    straight off the materialized closure."""
+    prefix = _BOWTIE_SCC_PREFIX.format(root_url=_DURL.format(c="r1.b"))
+    return f"""
+    WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+    {prefix},
+    core_id AS (
+        SELECT comp FROM (
+            SELECT comp, count(*) AS n FROM scc GROUP BY comp
+        ) ORDER BY n DESC, comp LIMIT 1
+    ),
+    core AS MATERIALIZED (
+        SELECT v FROM scc WHERE comp = (SELECT comp FROM core_id)
+    ),
+    inn AS MATERIALIZED (
+        SELECT DISTINCT r.a AS v FROM reachm r
+        WHERE r.b IN (SELECT v FROM core)
+          AND r.a NOT IN (SELECT v FROM core)
+    ),
+    outt AS MATERIALIZED (
+        SELECT DISTINCT r.b AS v FROM reachm r
+        WHERE r.a IN (SELECT v FROM core)
+          AND r.b NOT IN (SELECT v FROM core)
+    ),
+    fin_ AS MATERIALIZED (
+        SELECT DISTINCT r.b AS v FROM reachm r
+        WHERE r.a IN (SELECT v FROM inn)
+    ),
+    bout AS MATERIALIZED (
+        SELECT DISTINCT r.a AS v FROM reachm r
+        WHERE r.b IN (SELECT v FROM outt)
+    )
+    SELECT {_DURL.format(c='verts.v')} AS url,
+      CASE WHEN verts.v IN (SELECT v FROM core) THEN 'CORE'
+           WHEN verts.v IN (SELECT v FROM inn) THEN 'IN'
+           WHEN verts.v IN (SELECT v FROM outt) THEN 'OUT'
+           WHEN verts.v IN (SELECT v FROM fin_)
+                AND verts.v IN (SELECT v FROM bout) THEN 'TUBE'
+           WHEN verts.v IN (SELECT v FROM fin_) THEN 'TENDRIL_IN'
+           WHEN verts.v IN (SELECT v FROM bout) THEN 'TENDRIL_OUT'
+           ELSE 'DISCONNECTED' END AS region
+    FROM verts ORDER BY url
+    """
+
+
+def _scc_cond_sql() -> str:
+    """Condensation oracle: distinct inter-SCC edges, endpoints named
+    by the min-URL canonical SCC id."""
+    prefix = _BOWTIE_SCC_PREFIX.format(root_url=_DURL.format(c="r1.b"))
+    return f"""
+    WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+    {prefix}
+    SELECT DISTINCT s1.comp AS src_scc_url, s2.comp AS dst_scc_url
+    FROM e JOIN scc s1 ON s1.v = e.s JOIN scc s2 ON s2.v = e.d
+    WHERE s1.comp != s2.comp
+    ORDER BY src_scc_url, dst_scc_url
+    """
+
+
+def _sm64_sql(x0: str) -> str:
+    """Inline splitmix64 over the UBIGINT SQL expression ``x0`` — the
+    same bit-exact HUGEINT limb-mulmod replay as _ball2_hll_sql, but
+    expanded into one nested expression so it can live inside a
+    recursive CTE's join condition."""
+    mul = (
+        "CAST(((CAST({x} AS HUGEINT) % 4294967296) * {c}"
+        " + (((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296)"
+        " * 4294967296) % 18446744073709551616 AS UBIGINT)"
+    )
+    x = x0
+    x = f"xor({x}, ({x}) >> 30)"
+    x = mul.format(x=x, c="13787848793156543929")
+    x = f"xor({x}, ({x}) >> 27)"
+    x = mul.format(x=x, c="10723151780598845931")
+    x = f"xor({x}, ({x}) >> 31)"
+    return x
+
+
+def _walks_sql(length: int = 4) -> str:
+    """Deterministic-random-walk oracle: adjacency ranked by dst vid
+    (row_number over the engine's url-sorted vid space), next hop =
+    splitmix64(cur + step·K) mod out-degree replayed bit-exactly in a
+    recursive CTE. K is the splitmix64 increment constant, so the
+    hash input folds to cur + (step+1)·K."""
+    x0 = (
+        "CAST((CAST(w.cur AS HUGEINT)"
+        " + (w.step + 1) * CAST(11400714819323198485 AS HUGEINT))"
+        " % 18446744073709551616 AS UBIGINT)"
+    )
+    h = _sm64_sql(x0)
+    return f"""
+    WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+    e AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS s, tgt AS d FROM targets
+        WHERE tgt != doc_id
+    ),
+    verts AS MATERIALIZED (
+        -- DISTINCT subquery, not UNION: see _BOWTIE_SCC_PREFIX note
+        SELECT DISTINCT v FROM (
+            SELECT s AS v FROM e UNION ALL SELECT d FROM e
+        )
+    ),
+    vid AS MATERIALIZED (
+        SELECT v, url,
+               CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS vid
+        FROM (SELECT v, {_DURL.format(c='v')} AS url FROM verts)
+    ),
+    adj AS MATERIALIZED (
+        SELECT sv.vid AS s, dv.vid AS d,
+               row_number() OVER (PARTITION BY sv.vid ORDER BY dv.vid)
+                   - 1 AS idx,
+               count(*) OVER (PARTITION BY sv.vid) AS deg
+        FROM e JOIN vid sv ON sv.v = e.s JOIN vid dv ON dv.v = e.d
+    ),
+    walk(wid, step, cur) AS (
+        SELECT vid, 0, vid FROM vid
+        UNION ALL
+        SELECT w.wid, w.step + 1, a.d
+        FROM walk w JOIN adj a ON a.s = w.cur
+         AND a.idx = CAST({h} % CAST(a.deg AS UBIGINT) AS BIGINT)
+        WHERE w.step < {length}
+    )
+    SELECT sv.url AS start_url, w.step AS step, tv.url AS url
+    FROM walk w JOIN vid sv ON sv.vid = w.wid
+                JOIN vid tv ON tv.vid = w.cur
+    ORDER BY start_url, step, url
+    """
+
+
+def _hyperanf_sql(radius: int = 3, p: int = 8) -> str:
+    """HyperANF oracle: true radius-hop forward ball membership by
+    unrolled closure joins over the engine's vid space, then the SAME
+    bit-exact HLL replay as _ball2_hll_sql (splitmix64 via HUGEINT
+    limb mulmod, max-rho registers, exact HUGEINT Z, floor(est+0.5)).
+    Register content is identical to the engine's max-merge rounds
+    because register union distributes over set union."""
+    m = 1 << p
+    W = 64 - p + 1
+    maxrho = W
+    shift_bits = 64 - p
+    mul = (
+        "CAST(((CAST({x} AS HUGEINT) % 4294967296) * {c}"
+        " + (((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296)"
+        " * 4294967296) % 18446744073709551616 AS UBIGINT)"
+    )
+    balls = ["b0 AS MATERIALIZED (SELECT vid AS v, vid AS w FROM vid)"]
+    for k in range(1, radius + 1):
+        balls.append(
+            f"b{k} AS MATERIALIZED (SELECT v, w FROM b{k-1} UNION "
+            f"SELECT e2.s, b.w FROM e2 JOIN b{k-1} b ON b.v = e2.d)"
+        )
+    ball_ctes = ",\n    ".join(balls)
+    return f"""
+    WITH targets AS ({_DOC_TARGETS}),
+    e AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS s, tgt AS d FROM targets
+        WHERE tgt != doc_id
+    ),
+    verts AS MATERIALIZED (
+        SELECT DISTINCT v FROM (
+            SELECT s AS v FROM e UNION ALL SELECT d FROM e
+        )
+    ),
+    vid AS MATERIALIZED (
+        SELECT v, url,
+               CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS vid
+        FROM (SELECT v, {_DURL.format(c='v')} AS url FROM verts)
+    ),
+    e2 AS MATERIALIZED (
+        SELECT sv.vid AS s, dv.vid AS d
+        FROM e JOIN vid sv ON sv.v = e.s JOIN vid dv ON dv.v = e.d
+    ),
+    {ball_ctes},
+    s0 AS (SELECT v, CAST((CAST(w AS HUGEINT) + 11400714819323198485)
+               % 18446744073709551616 AS UBIGINT) AS x FROM b{radius}),
+    s1 AS (SELECT v, xor(x, x >> 30) AS x FROM s0),
+    s2 AS (SELECT v, {mul.format(x='x', c='13787848793156543929')} AS x FROM s1),
+    s3 AS (SELECT v, xor(x, x >> 27) AS x FROM s2),
+    s4 AS (SELECT v, {mul.format(x='x', c='10723151780598845931')} AS x FROM s3),
+    s5 AS (SELECT v, xor(x, x >> 31) AS x FROM s4),
+    regs AS (
+        SELECT v, CAST(x % {m} AS BIGINT) AS j,
+               max(CASE WHEN (x >> {p}) = 0 THEN {maxrho}
+                        ELSE {shift_bits} - length(bin(x >> {p})) + 1
+                   END) AS rho
+        FROM s5 GROUP BY v, CAST(x % {m} AS BIGINT)
+    ),
+    agg AS (
+        SELECT v,
+               sum(CAST(1 AS HUGEINT) << ({W} - rho)) AS znum,
+               count(*) AS nreg
+        FROM regs GROUP BY v
+    ),
+    est AS (
+        SELECT v,
+               CAST({m} - nreg AS BIGINT) AS zeros,
+               (CAST(znum + (CAST({m} AS HUGEINT) - nreg)
+                     * (CAST(1 AS HUGEINT) << {W}) AS DOUBLE)
+                / CAST(CAST(1 AS HUGEINT) << {W} AS DOUBLE)) AS zfull
+        FROM agg
+    ),
+    fin AS (
+        SELECT v,
+               (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / zfull AS e_raw,
+               zeros
+        FROM est
+    )
+    SELECT vd.url AS url,
+           CAST(floor(CASE WHEN fin.e_raw <= 2.5 * {m} AND fin.zeros > 0
+                THEN {m} * ln({m} / CAST(greatest(fin.zeros, 1) AS DOUBLE))
+                ELSE fin.e_raw END + 0.5) AS BIGINT) AS ball
+    FROM fin JOIN vid vd ON vd.vid = fin.v
+    ORDER BY url
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     purl_a = _PURL.format(c="pa_")
     purl_b = _PURL.format(c="pb_")
@@ -821,6 +1070,10 @@ def oracle_sql() -> dict[str, str]:
                    min({_DURL.format(c='w')}) AS scc_url
             FROM mutual GROUP BY v ORDER BY url
         """,
+        "doc_bowtie": _bowtie_sql(),
+        "doc_scc_cond": _scc_cond_sql(),
+        "doc_walks4": _walks_sql(4),
+        "doc_hyperanf3": _hyperanf_sql(3, 8),
         "copart_bfs12": f"""
             WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

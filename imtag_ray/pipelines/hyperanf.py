@@ -1,0 +1,240 @@
+"""HyperANF — approximate r-hop neighborhood sizes for EVERY vertex
+(Boldi, Rosa & Vigna, "HyperANF: approximating the neighbourhood
+function of very large graphs on a budget", WWW 2011): each vertex
+carries a HyperLogLog sketch of the set it can reach within r forward
+hops, and one round max-merges every vertex's sketch with its
+out-neighbors' sketches. This is THE scale path for reach/centrality
+analysis of a trillion-edge web graph — exact ball sizes stream
+Σ deg^r rows (a single 10^7-degree hub is intractable at r=2 already),
+while HyperANF moves at most E·2^p register rows per round no matter
+how skewed the degree distribution is.
+
+It is the radius-r generalization of linkpred.ball2_sizes_approx (the
+undirected r=2 special case) and shares its register hash (splitmix64
+of the vid) and estimator (alpha_m·m²/Z with the linear-counting
+small-ball branch, floor(est+0.5) rounding) so the DuckDB oracle's
+bit-exact HUGEINT replay covers both.
+
+Modes follow the engine convention (imtag's cached run-table state,
+ref include/imtag.hpp:87, re-expressed for a cluster):
+
+- ``broadcast``: the V×2^p uint8 register matrix lives on the driver
+  and each round is a chunked ``np.maximum.at`` gather along the edge
+  array — the in-memory HyperANF of the paper. Gated on BOTH
+  ``broadcast_max_vertices`` (scaled by the m-byte-per-vertex register
+  cost) and ``broadcast_max_edges``.
+- ``shuffle``: registers are a (v, j, rho) Dataset; one round = one
+  vid-keyed relay join + one bucketed (v, j) max-aggregation — no
+  driver state at any point, the 10^12-vertex path.
+
+Synchronous rounds (round k reads only round k-1's registers) make the
+two modes bit-identical in register content; the float estimate sums
+registers in different orders, which the oracle's exact HUGEINT Z
+bounds to ~1e-13 relative — far inside the integer rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..stages.graph_build import Graph
+from ..util import (
+    bucketed_aggregate,
+    bucketed_sum_aggregate,
+    col_np,
+    compact_nonempty,
+    dataset_to_numpy,
+    table_from_arrays,
+)
+from .linkpred import _hll_parts
+
+_EMPTY = pa.table(
+    {"url": pa.array([], pa.string()), "ball": pa.array([], pa.int64())}
+)
+
+
+def _estimate_balls(z: np.ndarray, nreg: np.ndarray, m: int) -> np.ndarray:
+    """Shared estimator: z = Σ 2^-rho over PRESENT registers, nreg =
+    number of present (nonzero) registers. Absent registers contribute
+    2^0. Same float formula + floor(est+0.5) as ball2_sizes_approx —
+    the oracle replays it bit-exactly."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    zeros = (m - nreg).astype(np.int64)
+    zfull = z.astype(np.float64) + zeros.astype(np.float64)
+    e_raw = alpha * m * m / zfull
+    lin = np.where(zeros > 0, m * np.log(m / np.maximum(zeros, 1)), e_raw)
+    est = np.where((e_raw <= 2.5 * m) & (zeros > 0), lin, e_raw)
+    return np.floor(est + 0.5).astype(np.int64)
+
+
+def _pick_mode(graph: Graph, cfg: EngineConfig, m: int) -> str:
+    # the register matrix costs m bytes/vertex (vs 8 for a rank
+    # vector), so scale the vertex gate accordingly
+    v_budget = max(1, cfg.broadcast_max_vertices // max(1, m // 8))
+    if (
+        graph.num_vertices <= v_budget
+        and graph.num_edges <= cfg.broadcast_max_edges
+    ):
+        return "broadcast"
+    return "shuffle"
+
+
+def hyperanf(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    radius: int = 3,
+    p: int = 8,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (url, ball): approximate |{w : dist(v→w) ≤ radius}|
+    (including v itself) along FORWARD edges, per vertex."""
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(_EMPTY)
+    mode = mode or _pick_mode(graph, cfg, 1 << p)
+    if mode == "broadcast":
+        return _hyperanf_broadcast(graph, cfg, radius, p)
+    return _hyperanf_shuffle(graph, cfg, radius, p)
+
+
+def _hyperanf_broadcast(
+    graph: Graph, cfg: EngineConfig, radius: int, p: int
+) -> "ray.data.Dataset":
+    m = 1 << p
+    V = graph.num_vertices
+    j, rho = _hll_parts(np.arange(V, dtype=np.int64), p)
+    reg = np.zeros((V, m), dtype=np.uint8)
+    reg[np.arange(V), j] = rho.astype(np.uint8)
+
+    e = dataset_to_numpy(graph.edges, "src", "dst")
+    src = e["src"].astype(np.int64)
+    dst = e["dst"].astype(np.int64)
+
+    chunk = max(1, (64 << 20) // m)  # ≤64 MiB of gathered registers
+    for _ in range(radius):
+        new = reg.copy()
+        for lo in range(0, len(src), chunk):
+            s = src[lo : lo + chunk]
+            d = dst[lo : lo + chunk]
+            np.maximum.at(new, s, reg[d])
+        if np.array_equal(new, reg):  # balls converged early
+            break
+        reg = new
+
+    nz = reg != 0
+    nreg = nz.sum(axis=1).astype(np.int64)
+    z = np.where(nz, np.ldexp(1.0, -reg.astype(np.int64)), 0.0).sum(axis=1)
+    ball = _estimate_balls(z, nreg, m)
+    bref = ray.put(ball)
+
+    def attach(t: pa.Table, _b=bref) -> pa.Table:
+        b = ray.get(_b)
+        return pa.table(
+            {"url": t.column("url"),
+             "ball": pa.array(b[col_np(t, "vid")], pa.int64())}
+        )
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
+def _hyperanf_shuffle(
+    graph: Graph, cfg: EngineConfig, radius: int, p: int
+) -> "ray.data.Dataset":
+    m = 1 << p
+    P = cfg.num_partitions
+    n_buckets = max(P * 32, 256)
+
+    def selfregs(t: pa.Table, _p=p) -> pa.Table:
+        v = col_np(t, "vid").astype(np.int64)
+        j, rho = _hll_parts(v, _p)
+        return table_from_arrays(v=v, j=j, rho=rho)
+
+    s = compact_nonempty(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            selfregs, batch_format="pyarrow"
+        )
+    ).materialize()
+
+    edges = compact_nonempty(
+        graph.edges.select_columns(["src", "dst"]).map_batches(
+            lambda t: table_from_arrays(
+                src=col_np(t, "src").astype(np.int64),
+                dst=col_np(t, "dst").astype(np.int64),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    for _ in range(radius):
+        if edges is None:
+            break
+        relayed = compact_nonempty(
+            edges.join(
+                s.rename_columns({"v": "w"}),
+                join_type="inner", num_partitions=P,
+                on=("dst",), right_on=("w",),
+            ).map_batches(
+                lambda t: (
+                    pa.table(
+                        {"v": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "rho": pa.array([], pa.int64())}
+                    )
+                    if t.num_rows == 0  # post-join empties: schema-less
+                    else table_from_arrays(
+                        v=col_np(t, "src").astype(np.int64),
+                        j=col_np(t, "j").astype(np.int64),
+                        rho=col_np(t, "rho").astype(np.int64),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if relayed is None:
+            break
+        s = compact_nonempty(
+            bucketed_aggregate(
+                s.union(relayed),
+                key_cols=["v", "j"], aggs=[("rho", "max", "rho")],
+                num_buckets=n_buckets,
+            )
+        ).materialize()
+
+    def terms(t: pa.Table) -> pa.Table:
+        rho = col_np(t, "rho").astype(np.int64)
+        return table_from_arrays(
+            v=col_np(t, "v").astype(np.int64),
+            z=np.ldexp(1.0, -rho),
+            nreg=np.ones(len(rho), dtype=np.int64),
+        )
+
+    sums = compact_nonempty(
+        bucketed_sum_aggregate(
+            s.map_batches(terms, batch_format="pyarrow"),
+            key_cols=["v"], sum_cols=["z", "nreg"],
+        )
+    )
+    if sums is None:
+        return ray.data.from_arrow(_EMPTY)
+
+    def estimate(t: pa.Table, _m=m) -> pa.Table:
+        return table_from_arrays(
+            v=col_np(t, "v").astype(np.int64),
+            ball=_estimate_balls(
+                col_np(t, "z").astype(np.float64),
+                col_np(t, "nreg").astype(np.int64),
+                _m,
+            ),
+        )
+
+    return (
+        sums.map_batches(estimate, batch_format="pyarrow")
+        .join(
+            graph.vertices.select_columns(["vid", "url"]),
+            join_type="inner", num_partitions=P,
+            on=("v",), right_on=("vid",),
+        )
+        .select_columns(["url", "ball"])
+    )

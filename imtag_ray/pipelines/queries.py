@@ -392,6 +392,44 @@ def doc_scc_q(sf_dir: str) -> "ray.data.Dataset":
     out = strongly_connected_components(doc_bowtie_graph(sf_dir), QCFG)
     return out.select_columns(["url", "scc_url"]).sort("url")
 
+def doc_bowtie_q(sf_dir: str) -> "ray.data.Dataset":
+    """Broder bowtie decomposition (CORE/IN/OUT/TUBE/TENDRIL_*/
+    DISCONNECTED) of the bowtie doc graph; closure SQL oracle."""
+    from .bowtie import bowtie_decomposition
+
+    out = bowtie_decomposition(doc_bowtie_graph(sf_dir), QCFG)
+    return out.select_columns(["url", "region"]).sort("url")
+
+
+def doc_scc_cond_q(sf_dir: str) -> "ray.data.Dataset":
+    """Condensation DAG of the bowtie doc graph: distinct inter-SCC
+    edges named by canonical min-url SCC ids."""
+    from .bowtie import scc_condensation
+
+    out = scc_condensation(doc_bowtie_graph(sf_dir), QCFG)
+    return out.sort(["src_scc_url", "dst_scc_url"])
+
+
+def doc_hyperanf3_q(sf_dir: str) -> "ray.data.Dataset":
+    """HyperANF 3-hop neighborhood sizes over the directed doc link
+    graph (per-vertex HLL max-merge rounds, p=8); the oracle replays
+    the register hash + estimator bit-exactly over the true 3-ball."""
+    from .hyperanf import hyperanf
+
+    out = hyperanf(doc_graph(sf_dir), QCFG, radius=3, p=8)
+    return out.select_columns(["url", "ball"]).sort("url")
+
+
+def doc_walks4_q(sf_dir: str) -> "ray.data.Dataset":
+    """4-step deterministic random walks from every doc vertex
+    (splitmix64 next-hop choice, replayed bit-exactly by the oracle's
+    HUGEINT limb-mulmod recursive CTE)."""
+    from .walks import random_walks
+
+    out = random_walks(doc_graph(sf_dir), QCFG, length=4)
+    return out.sort(["start_url", "step", "url"])
+
+
 def doc_hits8_q(sf_dir: str) -> "ray.data.Dataset":
     """HITS hub/authority, fixed 8 iterations with a single final sum
     normalization (a per-iteration normalization is a scalar factor, so
