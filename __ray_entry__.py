@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scc_cond": q.doc_scc_cond_q,
         "doc_walks4": q.doc_walks4_q,
         "doc_hyperanf3": q.doc_hyperanf3_q,
+        "doc_harmonic3": q.doc_harmonic3_q,
         "copart_bfs12": q.copart_bfs12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
@@ -864,31 +865,7 @@ def _walks_sql(length: int = 4) -> str:
     """
 
 
-def _hyperanf_sql(radius: int = 3, p: int = 8) -> str:
-    """HyperANF oracle: true radius-hop forward ball membership by
-    unrolled closure joins over the engine's vid space, then the SAME
-    bit-exact HLL replay as _ball2_hll_sql (splitmix64 via HUGEINT
-    limb mulmod, max-rho registers, exact HUGEINT Z, floor(est+0.5)).
-    Register content is identical to the engine's max-merge rounds
-    because register union distributes over set union."""
-    m = 1 << p
-    W = 64 - p + 1
-    maxrho = W
-    shift_bits = 64 - p
-    mul = (
-        "CAST(((CAST({x} AS HUGEINT) % 4294967296) * {c}"
-        " + (((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296)"
-        " * 4294967296) % 18446744073709551616 AS UBIGINT)"
-    )
-    balls = ["b0 AS MATERIALIZED (SELECT vid AS v, vid AS w FROM vid)"]
-    for k in range(1, radius + 1):
-        balls.append(
-            f"b{k} AS MATERIALIZED (SELECT v, w FROM b{k-1} UNION "
-            f"SELECT e2.s, b.w FROM e2 JOIN b{k-1} b ON b.v = e2.d)"
-        )
-    ball_ctes = ",\n    ".join(balls)
-    return f"""
-    WITH targets AS ({_DOC_TARGETS}),
+_HYPERANF_PREFIX = """
     e AS MATERIALIZED (
         SELECT DISTINCT doc_id AS s, tgt AS d FROM targets
         WHERE tgt != doc_id
@@ -901,52 +878,133 @@ def _hyperanf_sql(radius: int = 3, p: int = 8) -> str:
     vid AS MATERIALIZED (
         SELECT v, url,
                CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS vid
-        FROM (SELECT v, {_DURL.format(c='v')} AS url FROM verts)
+        FROM (SELECT v, {durl} AS url FROM verts)
     ),
     e2 AS MATERIALIZED (
         SELECT sv.vid AS s, dv.vid AS d
         FROM e JOIN vid sv ON sv.v = e.s JOIN vid dv ON dv.v = e.d
-    ),
-    {ball_ctes},
-    s0 AS (SELECT v, CAST((CAST(w AS HUGEINT) + 11400714819323198485)
-               % 18446744073709551616 AS UBIGINT) AS x FROM b{radius}),
-    s1 AS (SELECT v, xor(x, x >> 30) AS x FROM s0),
-    s2 AS (SELECT v, {mul.format(x='x', c='13787848793156543929')} AS x FROM s1),
-    s3 AS (SELECT v, xor(x, x >> 27) AS x FROM s2),
-    s4 AS (SELECT v, {mul.format(x='x', c='10723151780598845931')} AS x FROM s3),
-    s5 AS (SELECT v, xor(x, x >> 31) AS x FROM s4),
-    regs AS (
+    )
+"""
+
+
+def _ball_ctes(radius: int) -> str:
+    """b0..b{radius}: (v, w) forward-ball membership, b_k = vertices
+    within k hops (unrolled closure joins over the vid space)."""
+    balls = ["b0 AS MATERIALIZED (SELECT vid AS v, vid AS w FROM vid)"]
+    for k in range(1, radius + 1):
+        balls.append(
+            f"b{k} AS MATERIALIZED (SELECT v, w FROM b{k-1} UNION "
+            f"SELECT e2.s, b.w FROM e2 JOIN b{k-1} b ON b.v = e2.d)"
+        )
+    return ",\n    ".join(balls)
+
+
+def _hll_est_ctes(src: str, sfx: str, p: int) -> str:
+    """CTE chain turning a (v, w) membership table ``src`` into
+    ``ballv{sfx}`` (v, ball): the bit-exact HLL replay of
+    linkpred/hyperanf's register hash + estimator (splitmix64 via
+    HUGEINT limb mulmod, max-rho registers, exact HUGEINT Z,
+    floor(est+0.5))."""
+    m = 1 << p
+    W = 64 - p + 1
+    maxrho = W
+    shift_bits = 64 - p
+    mul = (
+        "CAST(((CAST({x} AS HUGEINT) % 4294967296) * {c}"
+        " + (((CAST({x} AS HUGEINT) // 4294967296) * {c}) % 4294967296)"
+        " * 4294967296) % 18446744073709551616 AS UBIGINT)"
+    )
+    s = sfx
+    return f"""
+    h0{s} AS (SELECT v, CAST((CAST(w AS HUGEINT) + 11400714819323198485)
+               % 18446744073709551616 AS UBIGINT) AS x FROM {src}),
+    h1{s} AS (SELECT v, xor(x, x >> 30) AS x FROM h0{s}),
+    h2{s} AS (SELECT v, {mul.format(x='x', c='13787848793156543929')} AS x FROM h1{s}),
+    h3{s} AS (SELECT v, xor(x, x >> 27) AS x FROM h2{s}),
+    h4{s} AS (SELECT v, {mul.format(x='x', c='10723151780598845931')} AS x FROM h3{s}),
+    h5{s} AS (SELECT v, xor(x, x >> 31) AS x FROM h4{s}),
+    regs{s} AS (
         SELECT v, CAST(x % {m} AS BIGINT) AS j,
                max(CASE WHEN (x >> {p}) = 0 THEN {maxrho}
                         ELSE {shift_bits} - length(bin(x >> {p})) + 1
                    END) AS rho
-        FROM s5 GROUP BY v, CAST(x % {m} AS BIGINT)
+        FROM h5{s} GROUP BY v, CAST(x % {m} AS BIGINT)
     ),
-    agg AS (
+    agg{s} AS (
         SELECT v,
                sum(CAST(1 AS HUGEINT) << ({W} - rho)) AS znum,
                count(*) AS nreg
-        FROM regs GROUP BY v
+        FROM regs{s} GROUP BY v
     ),
-    est AS (
+    est{s} AS (
         SELECT v,
                CAST({m} - nreg AS BIGINT) AS zeros,
                (CAST(znum + (CAST({m} AS HUGEINT) - nreg)
                      * (CAST(1 AS HUGEINT) << {W}) AS DOUBLE)
                 / CAST(CAST(1 AS HUGEINT) << {W} AS DOUBLE)) AS zfull
-        FROM agg
+        FROM agg{s}
     ),
-    fin AS (
+    fin{s} AS (
         SELECT v,
                (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / zfull AS e_raw,
                zeros
-        FROM est
+        FROM est{s}
+    ),
+    ballv{s} AS MATERIALIZED (
+        SELECT v,
+               CAST(floor(CASE WHEN e_raw <= 2.5 * {m} AND zeros > 0
+                    THEN {m} * ln({m} / CAST(greatest(zeros, 1) AS DOUBLE))
+                    ELSE e_raw END + 0.5) AS BIGINT) AS ball
+        FROM fin{s}
+    )"""
+
+
+def _hyperanf_sql(radius: int = 3, p: int = 8) -> str:
+    """HyperANF oracle: true radius-hop forward ball membership by
+    unrolled closure joins over the engine's vid space, then the
+    bit-exact HLL replay (_hll_est_ctes). Register content is
+    identical to the engine's max-merge rounds because register union
+    distributes over set union."""
+    prefix = _HYPERANF_PREFIX.format(durl=_DURL.format(c="v"))
+    return f"""
+    WITH targets AS ({_DOC_TARGETS}),
+    {prefix},
+    {_ball_ctes(radius)},
+    {_hll_est_ctes(f'b{radius}', '', p)}
+    SELECT vd.url AS url, bv.ball AS ball
+    FROM ballv bv JOIN vid vd ON vd.vid = bv.v
+    ORDER BY url
+"""
+
+
+def _harmonic_sql(radius: int = 3, p: int = 8) -> str:
+    """HyperBall truncated harmonic centrality oracle: per-round
+    integer ball estimates b_0..b_r from the bit-exact HLL replay,
+    combined with the telescoped weights of
+    imtag_ray.pipelines.hyperanf._ball_coefs (H = Σ coef_k · b_k)."""
+    coefs = [-1.0]
+    for k in range(1, radius):
+        coefs.append(1.0 / k - 1.0 / (k + 1))
+    coefs.append(1.0 / radius)
+    prefix = _HYPERANF_PREFIX.format(durl=_DURL.format(c="v"))
+    est_blocks = ",\n    ".join(
+        _hll_est_ctes(f"b{k}", str(k), p).lstrip() for k in range(radius + 1)
     )
-    SELECT vd.url AS url,
-           CAST(floor(CASE WHEN fin.e_raw <= 2.5 * {m} AND fin.zeros > 0
-                THEN {m} * ln({m} / CAST(greatest(fin.zeros, 1) AS DOUBLE))
-                ELSE fin.e_raw END + 0.5) AS BIGINT) AS ball
-    FROM fin JOIN vid vd ON vd.vid = fin.v
+    terms = " + ".join(
+        f"({coefs[k]!r}) * bv{k}.ball" for k in range(radius + 1)
+    )
+    joins = " ".join(
+        f"JOIN ballv{k} bv{k} ON bv{k}.v = bv0.v"
+        for k in range(1, radius + 1)
+    )
+    return f"""
+    WITH targets AS ({_DOC_TARGETS}),
+    {prefix},
+    {_ball_ctes(radius)},
+    {est_blocks}
+    SELECT vd.url AS url, round({terms}, 9) AS harmonic
+    FROM ballv0 bv0 {joins}
+    JOIN vid vd ON vd.vid = bv0.v
     ORDER BY url
 """
 
@@ -1074,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_scc_cond": _scc_cond_sql(),
         "doc_walks4": _walks_sql(4),
         "doc_hyperanf3": _hyperanf_sql(3, 8),
+        "doc_harmonic3": _harmonic_sql(3, 8),
         "copart_bfs12": f"""
             WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

@@ -71,6 +71,19 @@ def _estimate_balls(z: np.ndarray, nreg: np.ndarray, m: int) -> np.ndarray:
     return np.floor(est + 0.5).astype(np.int64)
 
 
+def _ball_coefs(radius: int) -> list[float]:
+    """Telescoped harmonic weights: H(v) = Σ_{k=1..r} (b_k − b_{k−1})/k
+    = Σ_k coef_k · b_k with coef_0 = −1, coef_k = 1/k − 1/(k+1) for
+    k < r, coef_r = 1/r — so per-round ball estimates can be summed
+    with ONE bucketed aggregation instead of r successive joins."""
+    coefs = [-1.0]
+    for k in range(1, radius):
+        coefs.append(1.0 / k - 1.0 / (k + 1))
+    if radius >= 1:
+        coefs.append(1.0 / radius)
+    return coefs
+
+
 def _pick_mode(graph: Graph, cfg: EngineConfig, m: int) -> str:
     # the register matrix costs m bytes/vertex (vs 8 for a rank
     # vector), so scale the vertex gate accordingly
@@ -98,6 +111,204 @@ def hyperanf(
     if mode == "broadcast":
         return _hyperanf_broadcast(graph, cfg, radius, p)
     return _hyperanf_shuffle(graph, cfg, radius, p)
+
+
+def harmonic_centrality_approx(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    radius: int = 3,
+    p: int = 8,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (url, harmonic): approximate truncated harmonic
+    centrality H(v) = Σ_{1≤d(v→w)≤radius} 1/d(v→w), computed from the
+    HyperANF per-round INTEGER ball estimates via the telescoped sum
+    Σ coef_k·b_k(v) (see _ball_coefs) — the HyperBall centrality of
+    Boldi & Vigna ("In-core computation of geometric centralities with
+    HyperBall", ICDMW 2013). Using the rounded integer ball estimates
+    makes the value exactly replayable by the SQL oracle; output is
+    rounded to 9 decimals (the engine's float-column convention)."""
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "harmonic": pa.array([], pa.float64())}
+    )
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(empty)
+    if radius < 1:
+        return graph.vertices.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("url"),
+                 "harmonic": pa.array(
+                     np.zeros(t.num_rows), pa.float64()
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+    mode = mode or _pick_mode(graph, cfg, 1 << p)
+    coefs = _ball_coefs(radius)
+    if mode == "broadcast":
+        return _harmonic_broadcast(graph, cfg, radius, p, coefs)
+    return _harmonic_shuffle(graph, cfg, radius, p, coefs)
+
+
+def _harmonic_broadcast(
+    graph: Graph, cfg: EngineConfig, radius: int, p: int, coefs: list
+) -> "ray.data.Dataset":
+    m = 1 << p
+    V = graph.num_vertices
+    j, rho = _hll_parts(np.arange(V, dtype=np.int64), p)
+    reg = np.zeros((V, m), dtype=np.uint8)
+    reg[np.arange(V), j] = rho.astype(np.uint8)
+
+    def balls_of(r: np.ndarray) -> np.ndarray:
+        nz = r != 0
+        nreg = nz.sum(axis=1).astype(np.int64)
+        z = np.where(nz, np.ldexp(1.0, -r.astype(np.int64)), 0.0).sum(axis=1)
+        return _estimate_balls(z, nreg, m)
+
+    e = dataset_to_numpy(graph.edges, "src", "dst")
+    src = e["src"].astype(np.int64)
+    dst = e["dst"].astype(np.int64)
+    chunk = max(1, (64 << 20) // m)
+    h = coefs[0] * balls_of(reg).astype(np.float64)
+    for k in range(1, radius + 1):
+        new = reg.copy()
+        for lo in range(0, len(src), chunk):
+            s = src[lo : lo + chunk]
+            d = dst[lo : lo + chunk]
+            np.maximum.at(new, s, reg[d])
+        reg = new
+        h = h + coefs[k] * balls_of(reg).astype(np.float64)
+    h = np.round(h, 9)
+    href = ray.put(h)
+
+    def attach(t: pa.Table, _h=href) -> pa.Table:
+        hv = ray.get(_h)
+        return pa.table(
+            {"url": t.column("url"),
+             "harmonic": pa.array(hv[col_np(t, "vid")], pa.float64())}
+        )
+
+    return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
+def _harmonic_shuffle(
+    graph: Graph, cfg: EngineConfig, radius: int, p: int, coefs: list
+) -> "ray.data.Dataset":
+    m = 1 << p
+    P = cfg.num_partitions
+    n_buckets = max(P * 32, 256)
+
+    def selfregs(t: pa.Table, _p=p) -> pa.Table:
+        v = col_np(t, "vid").astype(np.int64)
+        jj, rr = _hll_parts(v, _p)
+        return table_from_arrays(v=v, j=jj, rho=rr)
+
+    s = compact_nonempty(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            selfregs, batch_format="pyarrow"
+        )
+    ).materialize()
+    edges = compact_nonempty(
+        graph.edges.select_columns(["src", "dst"]).map_batches(
+            lambda t: table_from_arrays(
+                src=col_np(t, "src").astype(np.int64),
+                dst=col_np(t, "dst").astype(np.int64),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def est_terms(regs: "ray.data.Dataset", coef: float):
+        """(v, part = coef · integer-ball-estimate) from a register
+        Dataset: per-(v) sums then the shared estimator."""
+
+        def terms(t: pa.Table) -> pa.Table:
+            r = col_np(t, "rho").astype(np.int64)
+            return table_from_arrays(
+                v=col_np(t, "v").astype(np.int64),
+                z=np.ldexp(1.0, -r),
+                nreg=np.ones(len(r), dtype=np.int64),
+            )
+
+        sums = compact_nonempty(
+            bucketed_sum_aggregate(
+                regs.map_batches(terms, batch_format="pyarrow"),
+                key_cols=["v"], sum_cols=["z", "nreg"],
+            )
+        )
+
+        def part(t: pa.Table, _m=m, _c=coef) -> pa.Table:
+            b = _estimate_balls(
+                col_np(t, "z").astype(np.float64),
+                col_np(t, "nreg").astype(np.int64),
+                _m,
+            )
+            return table_from_arrays(
+                v=col_np(t, "v").astype(np.int64),
+                part=_c * b.astype(np.float64),
+            )
+
+        return sums.map_batches(part, batch_format="pyarrow")
+
+    contribs = [est_terms(s, coefs[0])]
+    cur = s
+    for k in range(1, radius + 1):
+        if edges is not None:
+            relayed = compact_nonempty(
+                edges.join(
+                    cur.rename_columns({"v": "w"}),
+                    join_type="inner", num_partitions=P,
+                    on=("dst",), right_on=("w",),
+                ).map_batches(
+                    lambda t: (
+                        pa.table(
+                            {"v": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())}
+                        )
+                        if t.num_rows == 0
+                        else table_from_arrays(
+                            v=col_np(t, "src").astype(np.int64),
+                            j=col_np(t, "j").astype(np.int64),
+                            rho=col_np(t, "rho").astype(np.int64),
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            if relayed is not None:
+                cur = compact_nonempty(
+                    bucketed_aggregate(
+                        cur.union(relayed),
+                        key_cols=["v", "j"], aggs=[("rho", "max", "rho")],
+                        num_buckets=n_buckets,
+                    )
+                ).materialize()
+        contribs.append(est_terms(cur, coefs[k]))
+
+    union = contribs[0]
+    for c in contribs[1:]:
+        union = union.union(c)
+    total = compact_nonempty(
+        bucketed_sum_aggregate(union, key_cols=["v"], sum_cols=["part"])
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            v=col_np(t, "v").astype(np.int64),
+            harmonic=np.round(col_np(t, "part").astype(np.float64), 9),
+        )
+
+    return (
+        total.map_batches(fin, batch_format="pyarrow")
+        .join(
+            graph.vertices.select_columns(["vid", "url"]),
+            join_type="inner", num_partitions=P,
+            on=("v",), right_on=("vid",),
+        )
+        .select_columns(["url", "harmonic"])
+    )
 
 
 def _hyperanf_broadcast(

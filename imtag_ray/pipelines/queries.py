@@ -420,6 +420,16 @@ def doc_hyperanf3_q(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["url", "ball"]).sort("url")
 
 
+def doc_harmonic3_q(sf_dir: str) -> "ray.data.Dataset":
+    """Truncated harmonic centrality (HyperBall, radius 3, p=8) over
+    the directed doc link graph; telescoped per-round integer ball
+    estimates make the float exactly oracle-replayable."""
+    from .hyperanf import harmonic_centrality_approx
+
+    out = harmonic_centrality_approx(doc_graph(sf_dir), QCFG, radius=3, p=8)
+    return out.select_columns(["url", "harmonic"]).sort("url")
+
+
 def doc_walks4_q(sf_dir: str) -> "ray.data.Dataset":
     """4-step deterministic random walks from every doc vertex
     (splitmix64 next-hop choice, replayed bit-exactly by the oracle's

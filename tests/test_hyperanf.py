@@ -9,7 +9,12 @@ import pytest
 import ray.data
 
 from imtag_ray.config import EngineConfig
-from imtag_ray.pipelines.hyperanf import _estimate_balls, hyperanf
+from imtag_ray.pipelines.hyperanf import (
+    _ball_coefs,
+    _estimate_balls,
+    harmonic_centrality_approx,
+    hyperanf,
+)
 from imtag_ray.pipelines.linkpred import _hll_parts
 from imtag_ray.stages.graph_build import build_graph
 
@@ -105,6 +110,82 @@ def test_hyperanf_modes_agree_random():
 def test_hyperanf_radius_zero_is_one():
     g, _ = digraph(CASES["chain"])
     assert set(engine(g, "broadcast", 0).values()) == {1}
+
+
+def _ball_est(members: np.ndarray, p: int) -> int:
+    m = 1 << p
+    j, rho = _hll_parts(members, p)
+    reg = np.zeros(m, dtype=np.int64)
+    np.maximum.at(reg, j, rho)
+    nz = reg != 0
+    z = np.ldexp(1.0, -reg[nz]).sum()
+    return int(_estimate_balls(np.array([z]), np.array([int(nz.sum())]), m)[0])
+
+
+def harmonic_reference(edges, radius, p=P_BITS):
+    """Telescoped sum of the per-round integer ball estimates from true
+    BFS ball membership — the exact value both modes must produce."""
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges}, key=u)
+    vid = {v: i for i, v in enumerate(verts)}
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+    coefs = _ball_coefs(radius)
+    out = {}
+    for v in verts:
+        ball, frontier = {v}, {v}
+        balls_by_round = []
+        for _ in range(radius + 1):
+            members = np.array(sorted(vid[w] for w in ball), dtype=np.int64)
+            balls_by_round.append(_ball_est(members, p))
+            nxt = set().union(*(adj[w] for w in frontier)) - ball
+            ball |= nxt
+            frontier = nxt
+        h = 0.0
+        for k in range(radius + 1):
+            h = h + coefs[k] * balls_by_round[k]
+        out[u(v)] = round(h, 9)
+    return out
+
+
+def engine_harmonic(graph, mode, radius):
+    df = harmonic_centrality_approx(
+        graph, CFG, radius=radius, p=P_BITS, mode=mode
+    ).to_pandas()
+    return dict(zip(df["url"], df["harmonic"]))
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_harmonic_broadcast_exact_replay(name):
+    g, edges = digraph(CASES[name])
+    got = engine_harmonic(g, "broadcast", 3)
+    ref = harmonic_reference(edges, 3)
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=2e-9), k
+
+
+def test_harmonic_modes_agree_random():
+    rng = np.random.default_rng(13)
+    edges = list(
+        {(int(a), int(b)) for a, b in rng.integers(0, 40, size=(160, 2))
+         if a != b}
+    )
+    g, _ = digraph(edges)
+    b = engine_harmonic(g, "broadcast", 3)
+    s = engine_harmonic(g, "shuffle", 3)
+    assert b.keys() == s.keys()
+    for k in b:
+        assert b[k] == pytest.approx(s[k], abs=2e-9), k
+
+
+def test_harmonic_chain_values():
+    """On the 9-vertex directed chain, balls are exact at p=8 (tiny
+    sets hit linear counting): H(v0, r=3) = 1 + 1/2 + 1/3."""
+    g, _ = digraph(CASES["chain"])
+    got = engine_harmonic(g, "broadcast", 3)
+    assert got[u(0)] == pytest.approx(1 + 0.5 + 1 / 3, abs=1e-6)
+    assert got[u(8)] == 0.0  # sink: empty forward ball
 
 
 def test_hyperanf_error_bound_vs_true_balls():
