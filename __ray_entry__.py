@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_users": r.events_type_user_counts,
         "events_trailing1h": r.events_trailing_counts,
         "supplier_parts": r.supplier_part_counts,
+        "cust_order_stats": r.customer_order_stats,
+        "orders_rollup": r.orders_rollup,
+        "events_funnel": r.events_funnel,
+        "copart_deg_hist": q.copart_deg_hist_q,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
         "events_cms_types": sk.events_cms_types_q,
@@ -1554,6 +1558,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey,
                    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        "cust_order_stats": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+                   round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment ORDER BY c.c_custkey
+        """,
+        "orders_rollup": """
+            SELECT coalesce(o_year, -1) AS o_year,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   round(sum_price, 2) AS sum_price, n_orders
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       o_orderpriority,
+                       sum(o_totalprice) AS sum_price,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY ROLLUP(o_year, o_orderpriority)
+            ) ORDER BY o_year, o_orderpriority
+        """,
+        "events_funnel": """
+            WITH f AS (
+              SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+                min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+              FROM events GROUP BY user_id)
+            SELECT
+              CAST(count(*) FILTER (t1 IS NOT NULL) AS BIGINT) AS n_signup,
+              CAST(count(*) FILTER (t1 IS NOT NULL AND t2 > t1) AS BIGINT)
+                  AS n_signup_click,
+              CAST(count(*) FILTER (t1 IS NOT NULL AND t2 > t1 AND t3 > t2)
+                  AS BIGINT) AS n_funnel
+            FROM f
+        """,
+        "copart_deg_hist": f"""
+            WITH pairs AS ({_COPART_PAIRS}),
+            und AS (SELECT pa_ AS u FROM pairs UNION ALL SELECT pb_ FROM pairs),
+            deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree
+                    FROM und GROUP BY u)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+            FROM deg GROUP BY degree ORDER BY degree
         """,
         # hash-scheme pipelines: exact SQL replays (md5-based hashes via
         # hex-cast, minhash permutations in HUGEINT mod-prime arithmetic,

@@ -742,3 +742,33 @@ def copart_sssp16_q(sf_dir: str) -> "ray.data.Dataset":
     wedges = copart_weighted_edges(sf_dir)
     seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
     return sssp_distances(g, [seed], wedges, QCFG, rounds=16).sort("url")
+
+
+def copart_deg_hist_q(sf_dir: str) -> "ray.data.Dataset":
+    """Degree DISTRIBUTION of the co-purchase graph → (degree,
+    n_vertices). Two-level collapse: per-vertex degrees come from the
+    Dataset-native degree kernel (no driver state), then the histogram
+    itself is a per-batch sparse partial count over degree values —
+    the only shuffle carries ≤ |distinct degrees| × blocks rows, the
+    standard scale-free-graph histogram shape (power-law tail: few
+    distinct degrees, heavy counts)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.graph_build import degree_dataset
+    from ..util import sparse_sum_reduce
+
+    g = copart_graph(sf_dir)
+    deg = degree_dataset(g, "undirected")
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, s = sparse_sum_reduce(
+            col_np(t, "degree"), np.ones(t.num_rows, dtype=np.int64)
+        )
+        return table_from_arrays(degree=k, n_vertices=s)
+
+    return (
+        deg.map_batches(partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_vertices", alias_name="n_vertices"))
+        .sort("degree")
+    )

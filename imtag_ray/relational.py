@@ -591,3 +591,165 @@ def supplier_part_counts(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(Count(alias_name="n_parts"))
         .sort("l_suppkey")
     )
+
+
+def customer_order_stats(sf_dir: str) -> "ray.data.Dataset":
+    """LEFT OUTER join aggregate: every customer with order count and
+    total spend, zero-filled for customers with no orders (the outer
+    counterpart of customers_without_orders' anti-join). Build side is
+    pre-aggregated per custkey with ONE bucketed aggregation (orders is
+    data-sized; Ray's groupby must not see raw keys), so the join's
+    right side is ≤ |customers| rows — shuffle volume ∝ distinct keys,
+    not ∝ |orders|. → (c_custkey, c_mktsegment, n_orders, total_spent)."""
+    from .util import bucketed_aggregate
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = bucketed_aggregate(
+        orders, key_cols=["o_custkey"],
+        aggs=[("o_totalprice", "sum", "total_spent"),
+              ("o_totalprice", "count", "n_orders")],
+    )
+    joined = cust.join(
+        per_cust, join_type="left_outer", num_partitions=16,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t.column("n_orders"), pa.scalar(0, pa.int64()))
+        s = pc.round(
+            pc.coalesce(t.column("total_spent"), pa.scalar(0.0)), 2
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_orders": pc.cast(n, pa.int64()),
+                "total_spent": s,
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow").sort("c_custkey")
+
+
+def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """ROLLUP aggregate (GROUP BY ROLLUP(year, priority)): order count
+    and revenue at three grains — (year, priority), (year, ALL) and the
+    grand total (-1, ALL). The finest grain is a distributed
+    partial-then-final aggregation (≤ |years|·|priorities| groups); the
+    coarser grains re-aggregate THAT tiny result inside one map_batches
+    on a single block — never a second pass over orders. Sentinels
+    (-1 / 'ALL') instead of SQL NULLs keep the hash compare
+    null-ordering-free."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_totalprice": t.column("o_totalprice"),
+            }
+        )
+
+    fine = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderpriority"])
+        .aggregate(
+            Sum("o_totalprice", alias_name="sum_price"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+    def roll(t: pa.Table) -> pa.Table:
+        lvl1 = t.group_by("o_year").aggregate(
+            [("sum_price", "sum"), ("n_orders", "sum")]
+        )
+        lvl1 = pa.table(
+            {
+                "o_year": lvl1.column("o_year"),
+                "o_orderpriority": pa.array(["ALL"] * len(lvl1)),
+                "sum_price": lvl1.column("sum_price_sum"),
+                "n_orders": lvl1.column("n_orders_sum"),
+            }
+        )
+        total = pa.table(
+            {
+                "o_year": pa.array([-1], pa.int64()),
+                "o_orderpriority": pa.array(["ALL"]),
+                "sum_price": pa.array(
+                    [pc.sum(t.column("sum_price")).as_py() or 0.0]
+                ),
+                "n_orders": pa.array(
+                    [pc.sum(t.column("n_orders")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+        out = pa.concat_tables(
+            [t.select(["o_year", "o_orderpriority", "sum_price", "n_orders"]),
+             lvl1, total]
+        )
+        return out.set_column(
+            out.schema.get_field_index("sum_price"), "sum_price",
+            pc.round(out.column("sum_price"), 2),
+        )
+
+    return (
+        fine.repartition(1)
+        .map_batches(roll, batch_format="pyarrow")
+        .sort(["o_year", "o_orderpriority"])
+    )
+
+
+def events_funnel(sf_dir: str) -> pa.Table:
+    """Ordered-funnel analysis (signup → click → purchase): counts
+    users whose FIRST events occur in strict temporal order. One
+    bucketed min-aggregation over (user, 3 conditional timestamps) —
+    per-batch CASE projection keeps nulls out of the min — then a
+    one-row scalar reduction. → (n_signup, n_signup_click, n_funnel)."""
+    from .util import bucketed_aggregate
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        et = t.column("event_type")
+        cols = {"user_id": t.column("user_id")}
+        for name, typ in (
+            ("t_signup", "signup"), ("t_click", "click"), ("t_purchase", "purchase")
+        ):
+            cols[name] = pc.if_else(pc.equal(et, typ), ts, pa.scalar(None, ts.type))
+        return pa.table(cols)
+
+    firsts = bucketed_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["user_id"],
+        aggs=[("t_signup", "min", "t1"), ("t_click", "min", "t2"),
+              ("t_purchase", "min", "t3")],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t1 = t.column("t1")
+        s1 = pc.is_valid(t1)
+        s2 = pc.and_kleene(s1, pc.greater(t.column("t2"), t1))
+        s2 = pc.coalesce(s2, pa.scalar(False))
+        s3 = pc.and_kleene(s2, pc.greater(t.column("t3"), t.column("t2")))
+        s3 = pc.coalesce(s3, pa.scalar(False))
+        def cnt(m):
+            return np.array([pc.sum(pc.cast(m, pa.int64())).as_py() or 0], dtype=np.int64)
+        return table_from_arrays(
+            n_signup=cnt(s1), n_signup_click=cnt(s2), n_funnel=cnt(s3)
+        )
+
+    agg = firsts.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_signup", alias_name="n_signup"),
+        Sum("n_signup_click", alias_name="n_signup_click"),
+        Sum("n_funnel", alias_name="n_funnel"),
+    )
+    return pa.table(
+        {
+            "n_signup": pa.array([int(agg["n_signup"] or 0)], pa.int64()),
+            "n_signup_click": pa.array([int(agg["n_signup_click"] or 0)], pa.int64()),
+            "n_funnel": pa.array([int(agg["n_funnel"] or 0)], pa.int64()),
+        }
+    )
