@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_components": q.geo_components_q,
         "geo_component_sizes": q.geo_component_sizes_q,
         "geo_labelprop": q.geo_labelprop_q,
+        "geo_modularity": q.geo_modularity_q,
         "doc_hits8": q.doc_hits8_q,
         "doc_scc": q.doc_scc_q,
         "doc_bowtie": q.doc_bowtie_q,
@@ -497,6 +498,31 @@ def _lp_unrolled_sql(rounds: int = 6) -> str:
     return (body + f"""
     SELECT v AS url, coalesce(lab, '') AS label
     FROM state{rounds} ORDER BY url""")
+
+
+def _geo_modularity_sql(rounds: int = 6) -> str:
+    """Modularity oracle: the labelprop CTE chain (same trajectory as
+    _lp_unrolled_sql) + Newman's per-community decomposition. m is the
+    distinct directed-star edge count (the engine's deduped edge
+    table); degree = undirected neighbor count from `und`."""
+    lp = _lp_unrolled_sql(rounds)
+    head = lp[: lp.rindex("SELECT v AS url")].rstrip()
+    return head + f""",
+    labs AS (SELECT v, coalesce(lab, '') AS lab FROM state{rounds}),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+    intra AS (
+        SELECT ls.lab, CAST(count(*) AS BIGINT) AS n_intra
+        FROM e JOIN labs ls ON ls.v = e.s JOIN labs ld ON ld.v = e.d
+        WHERE ls.lab = ld.lab GROUP BY ls.lab),
+    degs AS (SELECT u.s AS v, count(*) AS dg FROM und u GROUP BY u.s),
+    dsum AS (
+        SELECT l.lab, CAST(sum(d.dg) AS BIGINT) AS deg_sum
+        FROM degs d JOIN labs l ON l.v = d.v GROUP BY l.lab)
+    SELECT ds.lab AS label, coalesce(i.n_intra, 0) AS n_intra, ds.deg_sum,
+           round(coalesce(i.n_intra, 0) / m.m
+                 - pow(ds.deg_sum / (2 * m.m), 2), 9) AS q_c
+    FROM dsum ds LEFT JOIN intra i ON i.lab = ds.lab CROSS JOIN m
+    ORDER BY label"""
 
 
 def _hits_unrolled_sql(iters: int = 8) -> str:
@@ -1108,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
             FROM minl ORDER BY url
         """,
         "geo_labelprop": _lp_unrolled_sql(6),
+        "geo_modularity": _geo_modularity_sql(6),
         "doc_hits8": _hits_unrolled_sql(8),
         # strongly connected components: closure oracle — mutual
         # reachability pairs, SCC id = lexicographically smallest url

@@ -772,3 +772,83 @@ def copart_deg_hist_q(sf_dir: str) -> "ray.data.Dataset":
         .aggregate(Sum("n_vertices", alias_name="n_vertices"))
         .sort("degree")
     )
+
+
+def geo_modularity_q(sf_dir: str) -> "ray.data.Dataset":
+    """Per-community MODULARITY decomposition of the labelprop
+    communities on the geo star graph → (label, n_intra, deg_sum, q_c)
+    with q_c = n_intra/m − (deg_sum/2m)²; Σ q_c is Newman's Q. Intra
+    counts come from two hash joins of the (vid, label) Dataset onto
+    the edge table; degree mass per community is the Dataset-native
+    degree kernel joined to labels — community cardinality is tiny
+    (one per region), so the final groupby is cheap by construction
+    while every E/V-sized step stays distributed."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.graph_build import degree_dataset
+    from ..util import compact_nonempty
+    from .labelprop import label_propagation
+
+    g = build_graph(geo_edge_urls(sf_dir), QCFG)
+    regions = _read(sf_dir, "region", columns=["r_regionkey"]).to_pandas()
+    seeds = {
+        f"r://{int(k):04d}": f"region_{int(k):04d}"
+        for k in regions["r_regionkey"]
+    }
+    labels = compact_nonempty(
+        label_propagation(g, seeds, QCFG).select_columns(["vid", "label"])
+    )
+    m = float(g.num_edges)
+
+    intra = (
+        compact_nonempty(
+            compact_nonempty(
+                g.edges.join(
+                    labels.rename_columns({"vid": "sv", "label": "lab_s"}),
+                    join_type="inner", num_partitions=QCFG.num_partitions,
+                    on=("src",), right_on=("sv",),
+                )
+            ).join(
+                labels.rename_columns({"vid": "dv", "label": "lab_d"}),
+                join_type="inner", num_partitions=QCFG.num_partitions,
+                on=("dst",), right_on=("dv",),
+            )
+        )
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("lab_s"), t.column("lab_d"))),
+            batch_format="pyarrow",
+        )
+        .groupby("lab_s")
+        .aggregate(Count(alias_name="n_intra"))
+    )
+    degmass = (
+        compact_nonempty(
+            degree_dataset(g, "undirected").join(
+                labels, join_type="inner",
+                num_partitions=QCFG.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+        )
+        .groupby("label")
+        .aggregate(Sum("degree", alias_name="deg_sum"))
+    )
+    joined = compact_nonempty(degmass).join(
+        compact_nonempty(intra), join_type="left_outer", num_partitions=4,
+        on=("label",), right_on=("lab_s",),
+    )
+
+    def fin(t: pa.Table, _m=m) -> pa.Table:
+        ni = pc.coalesce(t.column("n_intra"), pa.scalar(0, pa.int64()))
+        dsum = col_np(t, "deg_sum").astype(np.float64)
+        niv = np.asarray(pc.cast(ni, pa.int64()))
+        q_c = niv / _m - (dsum / (2.0 * _m)) ** 2
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "n_intra": pc.cast(ni, pa.int64()),
+                "deg_sum": pc.cast(t.column("deg_sum"), pa.int64()),
+                "q_c": pc.round(pa.array(q_c, pa.float64()), 9),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow").sort("label")
