@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": d.doc_bpe_tokens_q,
         "doc_langid": d.doc_langid_q,
         "doc_fingerprint": d.doc_fingerprint_q,
+        "doc_tfidf": d.doc_tfidf_q,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
         "minhash_pairs": d.minhash_pairs_q,
@@ -1749,6 +1750,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, round(coalesce(sc.s, 0.0), 6) AS bm25
             FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "doc_tfidf": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                         AS term
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            agg AS (SELECT term, CAST(count(*) AS BIGINT) AS tf,
+                           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tk GROUP BY term)
+            SELECT term, tf, df,
+                   round(ln(n.n / df) * tf, 9) AS tfidf_mass
+            FROM agg CROSS JOIN n
+            ORDER BY tfidf_mass DESC, term LIMIT 30
         """,
         "doc_top3_source": """
             SELECT source, doc_id, n_chars, rnk FROM (

@@ -260,3 +260,54 @@ def embed_dup_pairs_lsh_q(sf_dir: str) -> "ray.data.Dataset":
         ds, "vec_id", "embedding", dim=EMB_DIM, threshold=0.35
     )
     return _round_col(out, "cos_sim")
+
+
+def doc_tfidf_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
+    """Corpus TF-IDF term table → top-k terms by tf·idf mass
+    (term, tf, df, tfidf_mass). Per-batch partials emit ONE row per
+    (term, batch) — tf from the exploded token stream, df from the
+    batch-local (doc, term) dedup — so the only shuffle carries
+    |vocab|·|blocks| rows, never the token stream itself; the vocab-
+    cardinality reduction goes through bucketed Arrow aggregation
+    (Ray's groupby never sees raw term keys). idf = ln(N/df), plain
+    form; tie-broken deterministic top-k."""
+    from ..util import bucketed_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("")
+        toks = texts.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        df_ = pd.DataFrame({"d": ex.index.to_numpy(), "t": ex.to_numpy()})
+        if not len(df_):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        tf = df_["t"].value_counts().sort_index()
+        dfc = df_.drop_duplicates()["t"].value_counts().sort_index()
+        return pa.table(
+            {"term": pa.array(tf.index.astype(str), pa.string()),
+             "tf": pa.array(tf.to_numpy(np.int64)),
+             "df": pa.array(dfc.reindex(tf.index).fillna(0).to_numpy(np.int64))}
+        )
+
+    agg = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["term"],
+        aggs=[("tf", "sum", "tf"), ("df", "sum", "df")],
+    )
+
+    def score(t: pa.Table, _n=n_docs) -> pa.Table:
+        tf = np.asarray(t.column("tf"), dtype=np.float64)
+        df = np.asarray(t.column("df"), dtype=np.float64)
+        mass = np.round(np.log(_n / df) * tf, 9)
+        return t.append_column("tfidf_mass", pa.array(mass, pa.float64()))
+
+    out = (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["tfidf_mass", "term"], descending=[True, False])
+        .limit(k)
+    )
+    return out
