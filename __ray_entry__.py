@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": d.embed_dup_pairs_q,
         "embed_dup_pairs_lsh": d.embed_dup_pairs_lsh_q,
         "embed_centroids": s.embed_centroids_q,
+        "embed_kmeans": d.embed_kmeans_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "top_customers": r.top_customers_by_revenue,
@@ -1632,6 +1633,39 @@ def oracle_sql() -> dict[str, str]:
         # hash-scheme pipelines: exact SQL replays (md5-based hashes via
         # hex-cast, minhash permutations in HUGEINT mod-prime arithmetic,
         # deterministic seed-vector IVF codebook) — no approximation gap.
+        "embed_kmeans": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
+            c0 AS (SELECT vec_id AS c, e FROM emb WHERE vec_id < 8),
+            d1 AS (SELECT v.vec_id, c0.c,
+                          list_inner_product(v.e, v.e)
+                          - 2 * list_inner_product(v.e, c0.e)
+                          + list_inner_product(c0.e, c0.e) AS d
+                   FROM emb v CROSS JOIN c0),
+            a1 AS (SELECT vec_id, c AS cluster FROM (
+                     SELECT vec_id, c, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d1)
+                   WHERE rn = 1),
+            ex AS (SELECT a1.cluster AS c, unnest(e) AS val,
+                          unnest(range(1, len(e) + 1)) AS i
+                   FROM emb JOIN a1 USING (vec_id)),
+            cm AS (SELECT c, list(m ORDER BY i) AS e FROM
+                     (SELECT c, i, avg(val) AS m FROM ex GROUP BY c, i)
+                   GROUP BY c),
+            c1 AS (SELECT c0.c, coalesce(cm.e, c0.e) AS e
+                   FROM c0 LEFT JOIN cm ON cm.c = c0.c),
+            d2 AS (SELECT v.vec_id, c1.c,
+                          list_inner_product(v.e, v.e)
+                          - 2 * list_inner_product(v.e, c1.e)
+                          + list_inner_product(c1.e, c1.e) AS d
+                   FROM emb v CROSS JOIN c1),
+            a2 AS (SELECT vec_id, c AS cluster FROM (
+                     SELECT vec_id, c, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d2)
+                   WHERE rn = 1)
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+            FROM a2 ORDER BY vec_id
+        """,
         "ngram_pairs": _NGRAM_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "simhash_table": _SIMHASH_TABLE_SQL,

@@ -311,3 +311,17 @@ def doc_tfidf_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
         .limit(k)
     )
     return out
+
+
+def embed_kmeans_q(sf_dir: str) -> "ray.data.Dataset":
+    """Fixed-trajectory Lloyd k-means (k=8, two assignment rounds, init
+    = vectors of vec_id 0..7) → (vec_id, cluster). The oracle unrolls
+    the identical trajectory in SQL (same squared-distance formula,
+    same lowest-cluster tie-break, empty clusters keep their previous
+    centroid)."""
+    from .kmeans import kmeans_assignments
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assignments(
+        ds, "vec_id", "embedding", k=8, assign_rounds=2
+    ).sort("vec_id")
