@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_bfs12": q.copart_bfs12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
+        "copart_truss4": q.copart_truss4_q,
         "copart_adamic": q.copart_adamic_q,
         "copart_clustering": q.copart_clustering_q,
         "copart_ppr12": q.copart_ppr12_q,
@@ -560,6 +561,50 @@ def _hits_unrolled_sql(iters: int = 8) -> str:
            round(fin.hr / nullif((SELECT th FROM tot), 0), 9) AS hub,
            round(fin.ar / nullif((SELECT ta FROM tot), 0), 9) AS auth
     FROM fin ORDER BY url"""
+
+
+
+
+def _ktruss_unrolled_sql(k: int = 4, rounds: int = 3) -> str:
+    """k-truss oracle: R peel rounds unrolled (each round: per-edge
+    support = common-neighbor count within the alive subgraph via a
+    wedge self-join, drop support < k-2), then a final support
+    recompute on the surviving edge set - exactly
+    pipelines.truss.ktruss_edges' fixed-round trajectory."""
+    m = k - 2
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference; alive/und
+    # appear 3x per round, which explodes the unrolled plan (3^rounds
+    # wedge recomputations) without it
+    parts = [f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+             "alive0 AS MATERIALIZED (SELECT pa_ AS a, pb_ AS b FROM pairs),"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    und{r} AS MATERIALIZED (SELECT a AS s, b AS d FROM alive{p}
+               UNION ALL SELECT b, a FROM alive{p}),
+    cn{r} AS MATERIALIZED (SELECT u1.d AS a, u2.d AS b, count(*) AS cn
+              FROM und{r} u1 JOIN und{r} u2
+                ON u1.s = u2.s AND u1.d < u2.d
+              GROUP BY u1.d, u2.d),
+    alive{r} AS MATERIALIZED (SELECT al.a, al.b FROM alive{p} al
+                 JOIN cn{r} c ON c.a = al.a AND c.b = al.b
+                 WHERE c.cn >= {m}),""")
+    R = rounds
+    parts.append(f"""
+    undF AS MATERIALIZED (SELECT a AS s, b AS d FROM alive{R}
+             UNION ALL SELECT b, a FROM alive{R}),
+    cnF AS (SELECT u1.d AS a, u2.d AS b, count(*) AS cn
+            FROM undF u1 JOIN undF u2 ON u1.s = u2.s AND u1.d < u2.d
+            GROUP BY u1.d, u2.d)
+    SELECT {_PURL.format(c='al.a')} AS url_a,
+           {_PURL.format(c='al.b')} AS url_b,
+           CAST(coalesce(c.cn, 0) AS BIGINT) AS support
+    FROM alive{R} al LEFT JOIN cnF c ON c.a = al.a AND c.b = al.b
+    ORDER BY url_a, url_b""")
+    return "\n".join(parts)
+
+
+
 
 
 def _kcore_unrolled_sql(k: int = 3, rounds: int = 8) -> str:
@@ -1205,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY v ORDER BY url
         """,
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
+        "copart_truss4": _ktruss_unrolled_sql(4, 3),
         "copart_adamic": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

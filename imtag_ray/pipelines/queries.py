@@ -852,3 +852,16 @@ def geo_modularity_q(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return joined.map_batches(fin, batch_format="pyarrow").sort("label")
+
+
+def copart_truss4_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
+    """4-truss of the co-purchase graph after 3 fixed peel rounds →
+    (url_a, url_b, support) with support recomputed in the final
+    subgraph (exact unrolled-CTE oracle trajectory)."""
+    from .truss import ktruss_edges
+
+    g = copart_graph(sf_dir)
+    out = ktruss_edges(g, k=4, rounds=3, cfg=QCFG)
+    if isinstance(out, pa.Table):
+        return out
+    return out.sort(["url_a", "url_b"])
