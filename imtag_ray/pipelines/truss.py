@@ -115,17 +115,108 @@ def _attach_support(alive, cn_ds, P: int):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def _wedge_cn_numpy(a: np.ndarray, b: np.ndarray, V: int):
+    """Per-pair common-neighbor counts of the subgraph (a, b) — sorted
+    unique a·V+b wedge keys + counts (V² < 2^63 guarded by the caller's
+    broadcast gate)."""
+    s = np.concatenate([a, b])
+    d = np.concatenate([b, a])
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    indptr = np.cumsum(indptr)
+    cnt = np.diff(indptr)
+    MAX_WEDGES = 1 << 24
+    parts: list = []
+    for c in np.unique(cnt):
+        if c < 2:
+            continue
+        ws = np.flatnonzero(cnt == c)
+        npairs = int(c * (c - 1) // 2)
+        rows = max(1, MAX_WEDGES // npairs)
+        ia, ib = np.triu_indices(int(c), 1)
+        for lo in range(0, len(ws), rows):
+            sel = ws[lo : lo + rows]
+            nb = d[indptr[sel][:, None] + np.arange(int(c))[None, :]]
+            parts.append(nb[:, ia].ravel() * V + nb[:, ib].ravel())
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    keys, counts = np.unique(np.concatenate(parts), return_counts=True)
+    return keys, counts.astype(np.int64)
+
+
+def _truss_broadcast(graph, k: int, rounds: int, cfg: EngineConfig):
+    """Driver-kernel mode for gated-small graphs (E ≤
+    cfg.broadcast_max_edges AND V under the int64 pair-key bound, the
+    same gate family as linkpred._ej_broadcast): the whole peel loop is
+    vectorized numpy — one wedge bincount per round, zero exchanges."""
+    from ..util import dataset_to_numpy
+    from .linkpred import _url_lookup_ref
+
+    V = graph.num_vertices
+    e = dataset_to_numpy(graph.edges, "src", "dst")
+    a = np.minimum(e["src"], e["dst"]).astype(np.int64)
+    b = np.maximum(e["src"], e["dst"]).astype(np.int64)
+
+    def support_of(a, b):
+        keys, counts = _wedge_cn_numpy(a, b, V)
+        ek = a * V + b
+        pos = np.searchsorted(keys, ek)
+        sup = np.zeros(len(ek), dtype=np.int64)
+        if len(keys):
+            pos = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos] == ek
+            sup[hit] = counts[pos[hit]]
+        return sup
+
+    for _ in range(rounds):
+        if len(a) == 0:
+            return _EMPTY_TRUSS
+        keep = support_of(a, b) >= k - 2
+        a, b = a[keep], b[keep]
+    if len(a) == 0:
+        return _EMPTY_TRUSS
+    sup = support_of(a, b)
+    urls = ray.get(_url_lookup_ref(graph))
+    order = np.lexsort((b, a))
+    a, b, sup = a[order], b[order], sup[order]
+    return pa.table(
+        {
+            "url_a": pa.array(urls[a], pa.string()),
+            "url_b": pa.array(urls[b], pa.string()),
+            "support": pa.array(sup, pa.int64()),
+        }
+    )
+
+
 def ktruss_edges(
     graph,
     k: int = 4,
     rounds: int = 3,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    mode: str | None = None,
 ) -> "ray.data.Dataset | pa.Table":
     """→ (url_a, url_b, support): edges surviving ``rounds`` peels of
     support < k−2, with support recomputed within the FINAL surviving
-    subgraph (so the row set and values are closed under the output)."""
+    subgraph (so the row set and values are closed under the output).
+
+    Size-gated like the other wedge kernels: broadcast (driver numpy
+    peel loop) below cfg.broadcast_max_edges with V² < 2^63, else the
+    Dataset-native shuffle rounds."""
     if k < 3:
         raise ValueError("k-truss needs k >= 3 (k-2 >= 1)")
+    if mode is None:
+        mode = (
+            "broadcast"
+            if (
+                graph.num_edges <= cfg.broadcast_max_edges
+                and graph.num_vertices < (1 << 31)
+            )
+            else "shuffle"
+        )
+    if mode == "broadcast":
+        return _truss_broadcast(graph, k, rounds, cfg)
     P = cfg.num_partitions
     NB = max(P * 32, 256)
 

@@ -36,15 +36,31 @@ def _rows(out):
     )
 
 
-def test_k4_clique_survives_pendant_removed():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_k4_clique_survives_pendant_removed(mode):
     # K4 on a..d (every edge has support 2 = k-2 for k=4) + pendant
     # triangle edges through e that peel away
     k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
           ("c", "d")]
     extra = [("d", "e"), ("e", "a")]  # triangle a-d-e: support 1 < 2
-    out = ktruss_edges(_graph(k4 + extra), k=4, rounds=3, cfg=CFG)
+    out = ktruss_edges(_graph(k4 + extra), k=4, rounds=3, cfg=CFG, mode=mode)
     rows = _rows(out)
     assert rows == sorted((min(a, b), max(a, b), 2) for a, b in k4)
+
+
+@_pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_modes_agree_on_random_graph(mode):
+    rng = __import__("numpy").random.RandomState(5)
+    names = [f"v{i:02d}" for i in range(24)]
+    edges = sorted({(names[min(i, j)], names[max(i, j)])
+                    for i, j in rng.randint(0, 24, size=(160, 2)) if i != j})
+    out = ktruss_edges(_graph(edges), k=4, rounds=2, cfg=CFG, mode=mode)
+    expect = ktruss_edges(_graph(edges), k=4, rounds=2, cfg=CFG,
+                          mode="broadcast")
+    assert _rows(out) == _rows(expect)
 
 
 def test_triangle_gone_at_k4_survives_k3():
