@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": d.doc_langid_q,
         "doc_fingerprint": d.doc_fingerprint_q,
         "doc_tfidf": d.doc_tfidf_q,
+        "doc_cooccur": d.doc_cooccur_q,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
         "minhash_pairs": d.minhash_pairs_q,
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_stats": r.customer_order_stats,
         "orders_rollup": r.orders_rollup,
         "events_funnel": r.events_funnel,
+        "events_retention": r.events_retention,
         "copart_deg_hist": q.copart_deg_hist_q,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
@@ -1668,6 +1670,20 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT) AS n_funnel
             FROM f
         """,
+        "events_retention": """
+            WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+            first AS (SELECT user_id, min(day) AS cohort_date
+                      FROM d GROUP BY user_id),
+            tri AS (SELECT DISTINCT f.cohort_date,
+                           CAST(d.day - f.cohort_date AS BIGINT) AS day_offset,
+                           d.user_id
+                    FROM d JOIN first f USING (user_id)
+                    WHERE d.day - f.cohort_date <= 7)
+            SELECT cohort_date, day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM tri GROUP BY cohort_date, day_offset
+            ORDER BY cohort_date, day_offset
+        """,
         "copart_deg_hist": f"""
             WITH pairs AS ({_COPART_PAIRS}),
             und AS (SELECT pa_ AS u FROM pairs UNION ALL SELECT pb_ FROM pairs),
@@ -1845,6 +1861,33 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(n.n / df) * tf, 9) AS tfidf_mass
             FROM agg CROSS JOIN n
             ORDER BY tfidf_mass DESC, term LIMIT 30
+        """,
+        "doc_cooccur": """
+            WITH tk AS (
+              SELECT doc_id, unnest(l) AS tok,
+                     unnest(range(1, len(l) + 1)) AS pos
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS l
+                    FROM documents
+                    WHERE trim(coalesce(text, '')) != '')),
+            uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM tk GROUP BY tok),
+            tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+            pairs AS (
+              SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+                   AND b.pos - a.pos BETWEEN 1 AND 2
+              GROUP BY 1, 2),
+            w AS (SELECT CAST(sum(n_pairs) AS DOUBLE) AS w FROM pairs),
+            sc AS (SELECT ta AS term_a, tb AS term_b, n_pairs,
+                          round(ln(n_pairs * tt.t * tt.t
+                                   / (w.w * ua.c * ub.c)), 9) AS pmi
+                   FROM pairs JOIN uni ua ON ua.tok = ta
+                        JOIN uni ub ON ub.tok = tb
+                   CROSS JOIN tt CROSS JOIN w)
+            SELECT term_a, term_b, n_pairs, pmi FROM sc
+            ORDER BY pmi DESC, term_a, term_b LIMIT 30
         """,
         "doc_top3_source": """
             SELECT source, doc_id, n_chars, rnk FROM (

@@ -325,3 +325,125 @@ def embed_kmeans_q(sf_dir: str) -> "ray.data.Dataset":
     return kmeans_assignments(
         ds, "vec_id", "embedding", k=8, assign_rounds=2
     ).sort("vec_id")
+
+
+def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
+    """Word2vec-style co-occurrence PMI: token pairs within a ±2
+    forward window, scored ln(c_ab·T² / (W·c_a·c_b)) → top-k by
+    (pmi DESC, term_a, term_b) as (term_a, term_b, n_pairs, pmi).
+
+    Two streaming passes over documents (the BM25 shape): pass 1 emits
+    per-batch unigram partials, pass 2 per-batch window-pair partials —
+    both collapse batch-side via value_counts so the shuffles carry
+    |vocab|·blocks / |pair-vocab|·blocks rows, never token streams.
+    Pair and unigram tables meet in two string-keyed hash joins; T and
+    W are scalar aggregates of the (already tiny) aggregated tables."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_aggregate, compact_nonempty
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flat_tokens(t: pa.Table):
+        texts = _texts(t).fillna("")
+        toks = texts.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        return ex.index.to_numpy(), ex.to_numpy()
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        _, tok = flat_tokens(t)
+        vc = pd.Series(tok).value_counts()
+        return pa.table(
+            {"term": pa.array(vc.index.astype(str), pa.string()),
+             "c": pa.array(vc.to_numpy(np.int64))}
+        )
+
+    uni = compact_nonempty(
+        bucketed_aggregate(
+            docs.map_batches(uni_partial, batch_format="pyarrow"),
+            key_cols=["term"], aggs=[("c", "sum", "c")],
+        )
+    )
+    total_t = float(uni.aggregate(Sum("c", alias_name="s"))["s"] or 0)
+
+    SEP = "\x1f"
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        did, tok = flat_tokens(t)
+        keys = []
+        for s_ in (1, 2):
+            if len(tok) <= s_:
+                continue
+            a, b = tok[:-s_], tok[s_:]
+            valid = did[:-s_] == did[s_:]
+            a, b = a[valid], b[valid]
+            lo = np.where(a <= b, a, b)
+            hi = np.where(a <= b, b, a)
+            keys.append(pd.Series(lo) + SEP + pd.Series(hi))
+        if not keys:
+            return pa.table(
+                {"pair": pa.array([], pa.string()),
+                 "n_pairs": pa.array([], pa.int64())}
+            )
+        vc = pd.concat(keys).value_counts()
+        return pa.table(
+            {"pair": pa.array(vc.index.astype(str), pa.string()),
+             "n_pairs": pa.array(vc.to_numpy(np.int64))}
+        )
+
+    pairs = compact_nonempty(
+        bucketed_aggregate(
+            docs.map_batches(pair_partial, batch_format="pyarrow"),
+            key_cols=["pair"], aggs=[("n_pairs", "sum", "n_pairs")],
+        )
+    )
+    total_w = float(pairs.aggregate(Sum("n_pairs", alias_name="s"))["s"] or 0)
+
+    def split_pair(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("pair"), SEP)
+        return pa.table(
+            {
+                "term_a": pc.list_element(parts, 0),
+                "term_b": pc.list_element(parts, 1),
+                "n_pairs": t.column("n_pairs"),
+            }
+        )
+
+    split = compact_nonempty(
+        pairs.map_batches(split_pair, batch_format="pyarrow")
+    )
+    wa = compact_nonempty(
+        split.join(
+            uni.rename_columns({"term": "ka", "c": "c_a"}),
+            join_type="inner", num_partitions=8,
+            on=("term_a",), right_on=("ka",),
+        )
+    )
+    wb = compact_nonempty(
+        wa.join(
+            uni.rename_columns({"term": "kb", "c": "c_b"}),
+            join_type="inner", num_partitions=8,
+            on=("term_b",), right_on=("kb",),
+        )
+    )
+
+    def score(t: pa.Table, _t=total_t, _w=total_w) -> pa.Table:
+        n = col_np(t, "n_pairs").astype(np.float64)
+        ca = col_np(t, "c_a").astype(np.float64)
+        cb = col_np(t, "c_b").astype(np.float64)
+        pmi = np.round(np.log(n * _t * _t / (_w * ca * cb)), 9)
+        return pa.table(
+            {
+                "term_a": t.column("term_a"),
+                "term_b": t.column("term_b"),
+                "n_pairs": t.column("n_pairs"),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return (
+        wb.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "term_a", "term_b"], descending=[True, False, False])
+        .limit(k)
+    )

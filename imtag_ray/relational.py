@@ -753,3 +753,74 @@ def events_funnel(sf_dir: str) -> pa.Table:
             "n_funnel": pa.array([int(agg["n_funnel"] or 0)], pa.int64()),
         }
     )
+
+
+def events_retention(sf_dir: str, max_offset: int = 7) -> "ray.data.Dataset":
+    """Cohort retention: users grouped by FIRST-activity date; for each
+    (cohort_date, day_offset ≤ max_offset) the distinct users active on
+    cohort_date + offset. Two bucketed user-keyed aggregations (first
+    date, then per-(cohort, offset, user) distinct) and one small final
+    count — the classic retention matrix without ever grouping raw
+    events by a data-sized key in Ray's groupby.
+    → (cohort_date, day_offset, n_users)."""
+    from ray.data.aggregate import Count
+    from .util import bucketed_aggregate, bucketed_sum_aggregate, compact_nonempty
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        # day number as int64 — hashable by the bucketed shuffle
+        # (date32 is not); converted to a real date only at the end
+        day32 = pc.cast(
+            pc.cast(pc.floor_temporal(t.column("ts"), unit="day"), pa.date32()),
+            pa.int32(),  # date32 casts to int32 only; widen after
+        )
+        day = pc.cast(day32, pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "day": day})
+
+    days = ev.map_batches(to_day, batch_format="pyarrow")
+    first = bucketed_aggregate(
+        days, key_cols=["user_id"], aggs=[("day", "min", "cohort")]
+    )
+    joined = compact_nonempty(days).join(
+        compact_nonempty(first.rename_columns({"user_id": "u2"})),
+        join_type="inner", num_partitions=16,
+        on=("user_id",), right_on=("u2",),
+    )
+
+    def offset(t: pa.Table, _m=max_offset) -> pa.Table:
+        off = pc.subtract(t.column("day"), t.column("cohort"))
+        out = pa.table(
+            {
+                "cohort": t.column("cohort"),
+                "day_offset": off,
+                "user_id": t.column("user_id"),
+            }
+        )
+        return out.filter(pc.less_equal(out.column("day_offset"), _m))
+
+    triples = bucketed_sum_aggregate(
+        joined.map_batches(offset, batch_format="pyarrow"),
+        key_cols=["cohort", "day_offset", "user_id"], sum_cols=[],
+    )
+    counted = (
+        triples.groupby(["cohort", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+    def to_date(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_date": pc.cast(
+                    pc.cast(pc.cast(t.column("cohort"), pa.int32()), pa.date32()),
+                    pa.timestamp("us"),  # DuckDB DATE → pandas datetime64
+                ),
+                "day_offset": t.column("day_offset"),
+                "n_users": t.column("n_users"),
+            }
+        )
+
+    return (
+        counted.map_batches(to_date, batch_format="pyarrow")
+        .sort(["cohort_date", "day_offset"])
+    )
