@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_pairs": d.ngram_pairs_q,
         "lev_pairs": d.lev_pairs_q,
         "dedup_near_keep": s.dedup_near_keep_q,
+        "doc_curate": s.doc_curate_q,
         # --- corpus scoring / selection -------------------------------------
         "doc_bm25": s.doc_bm25_q,
         "doc_top3_source": s.doc_top3_source_q,
@@ -1093,7 +1094,7 @@ def oracle_sql() -> dict[str, str]:
     purl_b = _PURL.format(c="pb_")
     purl_wa = _PURL.format(c="a")
     purl_wb = _PURL.format(c="b")
-    return {
+    o = {
         "doc_edges": f"""
             WITH targets AS ({_DOC_TARGETS}),
             fil AS (SELECT DISTINCT doc_id, tgt FROM targets WHERE tgt != doc_id)
@@ -1940,3 +1941,35 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY lang ORDER BY lang
         """,
     }
+    # end-to-end corpus curation: composes the near-dup keep set, the
+    # corpus token-length band and the langid agreement filter — the
+    # sub-oracles are embedded verbatim as subqueries so the composed
+    # oracle replays the engine's exact pipeline
+    o["doc_curate"] = rf"""
+        WITH keepq AS MATERIALIZED (
+            SELECT doc_id FROM ({o['dedup_near_keep']})),
+        langp AS MATERIALIZED (
+            SELECT doc_id, lang_pred FROM ({o['doc_langid']})),
+        tok AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS nt
+            FROM documents),
+        h AS (SELECT nt, count(*) AS c FROM tok GROUP BY nt),
+        w AS (SELECT nt, sum(c) OVER (ORDER BY nt) AS cum,
+                     sum(c) OVER () AS n FROM h),
+        thr AS (SELECT
+            CAST(min(CASE WHEN 100 * cum >= 10 * n THEN nt END) AS BIGINT) AS p10,
+            CAST(min(CASE WHEN 100 * cum >= 90 * n THEN nt END) AS BIGINT) AS p90
+            FROM w)
+        SELECT d.doc_id FROM documents d
+        JOIN keepq k ON k.doc_id = d.doc_id
+        JOIN tok ON tok.doc_id = d.doc_id
+        JOIN langp ON langp.doc_id = d.doc_id
+        CROSS JOIN thr
+        WHERE tok.nt BETWEEN thr.p10 AND thr.p90
+          AND langp.lang_pred = d.lang
+        ORDER BY d.doc_id
+    """
+    return o

@@ -34,6 +34,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -443,3 +444,97 @@ def embed_centroids_q(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     ).sort(["label", "dim"])
+
+
+def doc_curate_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
+    """END-TO-END corpus curation: the composition a training-data user
+    actually runs — near-dup removal ∩ token-length band ∩ language
+    agreement → kept doc_ids.
+
+    1. keep set: MinHash near-dedup hash-min clustering (the
+       dedup_near_keep pipeline verbatim);
+    2. quality band: corpus-wide type-1 p10..p90 token-count band —
+       per-batch sparse histogram partials collapse BEFORE the only
+       shuffle, thresholds from the tiny aggregated histogram;
+    3. language: n-gram langid prediction must agree with the declared
+       lang column.
+    All three are the engine's own distributed operators; one final
+    doc_id hash join intersects them. The SQL oracle embeds the same
+    three sub-oracles as subqueries."""
+    from ray.data.aggregate import Sum
+
+    from ..dedup.cluster import near_dedup_keep
+    from ..functions.textfn import langid, token_count
+    from ..util import (
+        col_np,
+        compact_nonempty,
+        read_parquet_clean,
+        sparse_sum_reduce,
+        table_from_arrays,
+    )
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    keep = near_dedup_keep(
+        docs.select_columns(["doc_id", "text"]), "doc_id", "text",
+        threshold=0.5, rounds=6,
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        texts = _texts(t, "text")
+        nt = token_count(texts).astype(np.int64)
+        lp = np.asarray(langid(texts), dtype=object)
+        declared = t.column("lang").to_numpy(zero_copy_only=False)
+        return table_from_arrays(
+            doc_id=col_np(t, "doc_id").astype(np.int64), nt=nt
+        ).append_column("lang_ok", pa.array(lp == declared))
+
+    feats_ds = docs.map_batches(feats, batch_format="pyarrow").materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        k, c = sparse_sum_reduce(
+            col_np(t, "nt"), np.ones(t.num_rows, dtype=np.int64)
+        )
+        return table_from_arrays(nt=k, c=c)
+
+    hist = (
+        feats_ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("nt")
+        .aggregate(Sum("c", alias_name="c"))
+        .sort("nt")
+        .to_pandas()
+    )
+    cum = hist["c"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    nts = hist["nt"].to_numpy()
+
+    def thr(pct: int) -> int:  # type-1: min nt with 100*cum >= pct*n
+        idx = np.flatnonzero(100 * cum >= pct * n)
+        return int(nts[idx[0]]) if len(idx) else 0
+
+    p10, p90 = thr(10), thr(90)
+
+    def band(t: pa.Table, _lo=p10, _hi=p90) -> pa.Table:
+        nt = t.column("nt")
+        m = pc.and_(
+            pc.and_(pc.greater_equal(nt, _lo), pc.less_equal(nt, _hi)),
+            t.column("lang_ok"),
+        )
+        return t.filter(m).select(["doc_id"])
+
+    passed = compact_nonempty(
+        feats_ds.map_batches(band, batch_format="pyarrow")
+    )
+    kept = compact_nonempty(keep)
+    if passed is None or kept is None:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return (
+        passed.join(
+            kept.rename_columns({"doc_id": "k_"}),
+            join_type="inner", num_partitions=8,
+            on=("doc_id",), right_on=("k_",),
+        )
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
