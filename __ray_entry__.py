@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": s.doc_bm25_q,
         "doc_top3_source": s.doc_top3_source_q,
         "doc_sample": s.doc_sample_q,
+        "doc_sample_weighted": s.doc_sample_weighted_q,
         "doc_len_quantiles": s.doc_len_quantiles_q,
         # --- similarity search --------------------------------------------
         "embed_knn": d.embed_knn_q,
@@ -1909,6 +1910,17 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'es' THEN 200 WHEN 'fr' THEN 100
                                 ELSE 250 END
             ORDER BY doc_id
+        """,
+        "doc_sample_weighted": """
+            SELECT doc_id, n_chars, k_score FROM (
+              SELECT doc_id, n_chars,
+                     round(pow((CAST(CAST('0x' || substring(
+                                md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 16
+                            ) AS UBIGINT) AS DOUBLE) + 1)
+                            / 18446744073709551616.0,
+                            1.0 / greatest(n_chars, 1)), 9) AS k_score
+              FROM documents)
+            ORDER BY k_score DESC, doc_id LIMIT 20
         """,
         "embed_centroids": """
             WITH ex AS (

@@ -538,3 +538,56 @@ def doc_curate_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
         .select_columns(["doc_id"])
         .sort("doc_id")
     )
+
+
+def weighted_sample_top_k(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int = 20,
+    prefix: str = "wsmp:",
+) -> "ray.data.Dataset":
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis–Spirakis A-ES): key = u^(1/w) with u derived from the
+    md5 hash of the id (replayable — no RNG state, identical sample on
+    every run / resume), top-k keys win. Per-batch partial top-k bounds
+    the final sort's input at k·num_blocks rows.
+    → (id_col, weight_col, k_score) ordered by (k_score DESC, id)."""
+
+    def score(t: pa.Table, _k=k) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = np.array(
+            [
+                int(hashlib.md5(f"{prefix}{i}".encode()).hexdigest()[:16], 16)
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = np.maximum(
+            t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64),
+            1.0,
+        )
+        key = np.round(np.power(u, 1.0 / w), 9)
+        out = t.append_column("k_score", pa.array(key, pa.float64()))
+        # batch-local prune: only the top k rows can reach the global top k
+        order = np.lexsort((ids, -key))[:_k]
+        return out.take(pa.array(np.sort(order)))
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["k_score", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_sample_weighted_q(sf_dir: str) -> "ray.data.Dataset":
+    """Length-weighted corpus sample: 20 docs drawn A-ES-weighted by
+    n_chars (longer docs proportionally likelier), bit-replayable via
+    the md5 hash scheme shared with sample_stratified."""
+    from ..util import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample_top_k(docs, "doc_id", "n_chars", k=20)
