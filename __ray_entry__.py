@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_walks4": q.doc_walks4_q,
         "doc_hyperanf3": q.doc_hyperanf3_q,
         "doc_harmonic3": q.doc_harmonic3_q,
+        "doc_nf4": q.doc_nf4_q,
+        "doc_effdiam4": q.doc_effdiam4_q,
         "copart_bfs12": q.copart_bfs12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
@@ -1090,6 +1092,64 @@ def _harmonic_sql(radius: int = 3, p: int = 8) -> str:
 """
 
 
+def _nf_ctes(radius: int, p: int) -> str:
+    """Shared CTE block for the neighbourhood-function oracles: ball
+    closures b0..bR plus per-round bit-exact HLL estimates, ending in
+    nf (k, nf) = Σ_v integer ball_k estimate."""
+    est_blocks = ",\n    ".join(
+        _hll_est_ctes(f"b{k}", str(k), p).lstrip() for k in range(radius + 1)
+    )
+    nf_rows = "\n        UNION ALL ".join(
+        f"SELECT {k} AS k, sum(ball) AS nf FROM ballv{k}"
+        for k in range(radius + 1)
+    )
+    prefix = _HYPERANF_PREFIX.format(durl=_DURL.format(c="v"))
+    return f"""
+    WITH targets AS ({_DOC_TARGETS}),
+    {prefix},
+    {_ball_ctes(radius)},
+    {est_blocks},
+    nf AS MATERIALIZED ({nf_rows})"""
+
+
+def _nf_sql(radius: int = 4, p: int = 8) -> str:
+    """Neighbourhood-function oracle: true k-hop ball membership per
+    round by unrolled closure joins, bit-exact HLL replay, summed."""
+    return f"""
+    {_nf_ctes(radius, p)}
+    SELECT k, CAST(nf AS BIGINT) AS nf FROM nf ORDER BY k
+"""
+
+
+def _effdiam_sql(radius: int = 4, p: int = 8, q: float = 0.9) -> str:
+    """Interpolated q-effective diameter from the SAME integer N(k)
+    values the engine computes: k0 = min k with N(k) ≥ q·N(R), then
+    (k0−1) + (q·N(R) − N(k0−1)) / (N(k0) − N(k0−1)) in plain DOUBLE
+    arithmetic, identical operation order to
+    imtag_ray.pipelines.hyperanf.effective_diameter."""
+    return f"""
+    {_nf_ctes(radius, p)},
+    tgt AS (
+        SELECT {q!r} * CAST(nf AS DOUBLE) AS t FROM nf WHERE k = {radius}
+    ),
+    hit AS (
+        SELECT (SELECT min(k) FROM nf, tgt
+                WHERE CAST(nf.nf AS DOUBLE) >= tgt.t) AS k0,
+               (SELECT t FROM tgt) AS t
+    )
+    SELECT round(
+        CASE WHEN k0 = 0 THEN 0.0
+             ELSE (k0 - 1)
+                  + (t - (SELECT CAST(nf AS DOUBLE) FROM nf
+                          WHERE k = hit.k0 - 1))
+                    / ((SELECT CAST(nf AS DOUBLE) FROM nf WHERE k = hit.k0)
+                       - (SELECT CAST(nf AS DOUBLE) FROM nf
+                          WHERE k = hit.k0 - 1))
+        END, 9) AS eff_diam
+    FROM hit
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     purl_a = _PURL.format(c="pa_")
     purl_b = _PURL.format(c="pb_")
@@ -1215,6 +1275,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_walks4": _walks_sql(4),
         "doc_hyperanf3": _hyperanf_sql(3, 8),
         "doc_harmonic3": _harmonic_sql(3, 8),
+        "doc_nf4": _nf_sql(4, 8),
+        "doc_effdiam4": _effdiam_sql(4, 8),
         "copart_bfs12": f"""
             WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

@@ -430,6 +430,25 @@ def doc_harmonic3_q(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["url", "harmonic"]).sort("url")
 
 
+def doc_nf4_q(sf_dir: str) -> "ray.data.Dataset":
+    """Neighbourhood function N(0..4) of the directed doc link graph —
+    Σ_v (HyperANF integer ball_k estimate): 5 rows, the distance-
+    distribution summary HyperANF exists for."""
+    from .hyperanf import neighbourhood_function
+
+    out = neighbourhood_function(doc_graph(sf_dir), QCFG, radius=4, p=8)
+    return out.sort("k")
+
+
+def doc_effdiam4_q(sf_dir: str) -> "ray.data.Dataset":
+    """Interpolated 0.9-effective diameter of the truncated (radius-4)
+    distance distribution — one float64 row, bit-replayable by the SQL
+    oracle from the same integer N(k) values."""
+    from .hyperanf import effective_diameter
+
+    return effective_diameter(doc_graph(sf_dir), QCFG, radius=4, p=8)
+
+
 def doc_walks4_q(sf_dir: str) -> "ray.data.Dataset":
     """4-step deterministic random walks from every doc vertex
     (splitmix64 next-hop choice, replayed bit-exactly by the oracle's

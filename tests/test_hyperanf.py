@@ -214,3 +214,77 @@ def test_hyperanf_error_bound_vs_true_balls():
     est = engine(g, "broadcast", 2)
     rel = [abs(est[k] - true[k]) / true[k] for k in true]
     assert np.median(rel) < 0.20
+
+
+# --- neighbourhood function / effective diameter ------------------------
+
+
+def nf_reference(edges, radius, p=P_BITS):
+    """Σ_v per-round integer ball estimates from true BFS membership."""
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges}, key=u)
+    vid = {v: i for i, v in enumerate(verts)}
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+    nf = [0] * (radius + 1)
+    for v in verts:
+        ball, frontier = {v}, {v}
+        for k in range(radius + 1):
+            members = np.array(sorted(vid[w] for w in ball), dtype=np.int64)
+            nf[k] += _ball_est(members, p)
+            nxt = set().union(*(adj[w] for w in frontier)) - ball
+            ball |= nxt
+            frontier = nxt
+    return nf
+
+
+def engine_nf(graph, mode, radius):
+    from imtag_ray.pipelines.hyperanf import neighbourhood_function
+
+    df = neighbourhood_function(
+        graph, CFG, radius=radius, p=P_BITS, mode=mode
+    ).to_pandas().sort_values("k")
+    return list(df["nf"])
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_nf_broadcast_exact_replay(name):
+    g, edges = digraph(CASES[name])
+    assert engine_nf(g, "broadcast", 3) == nf_reference(edges, 3)
+
+
+def test_nf_modes_agree_random():
+    rng = np.random.default_rng(23)
+    edges = list(
+        {(int(a), int(b)) for a, b in rng.integers(0, 40, size=(160, 2))
+         if a != b}
+    )
+    g, _ = digraph(edges)
+    assert engine_nf(g, "broadcast", 3) == engine_nf(g, "shuffle", 3)
+
+
+def test_effective_diameter_chain():
+    """9-vertex directed chain, exact balls at p=8: N(k) = Σ_v min(k+1,
+    reach_v) is closed-form; the interpolated 0.9-effective diameter
+    must equal the hand formula from those integers."""
+    from imtag_ray.pipelines.hyperanf import effective_diameter
+
+    g, edges = digraph(CASES["chain"])
+    nf = nf_reference(edges, 4)
+    t = 0.9 * float(nf[4])
+    k0 = next(k for k in range(5) if float(nf[k]) >= t)
+    want = (
+        0.0 if k0 == 0
+        else round((k0 - 1) + (t - nf[k0 - 1]) / (nf[k0] - nf[k0 - 1]), 9)
+    )
+    got = effective_diameter(g, CFG, radius=4, p=P_BITS).to_pandas()
+    assert got["eff_diam"][0] == want
+
+
+def test_effective_diameter_edgeless_zero():
+    from imtag_ray.pipelines.hyperanf import effective_diameter
+
+    tbl = pa.table({"src_url": [u(0)], "dst_url": [u(0)]})
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    got = effective_diameter(g, CFG, radius=3, p=P_BITS).to_pandas()
+    assert got["eff_diam"][0] == 0.0
