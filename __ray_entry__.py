@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_walks4": q.doc_walks4_q,
         "doc_hyperanf3": q.doc_hyperanf3_q,
         "doc_harmonic3": q.doc_harmonic3_q,
+        "copart_mis3": q.copart_mis3_q,
         "doc_nf4": q.doc_nf4_q,
         "doc_effdiam4": q.doc_effdiam4_q,
         "copart_bfs12": q.copart_bfs12_q,
@@ -1092,6 +1093,76 @@ def _harmonic_sql(radius: int = 3, p: int = 8) -> str:
 """
 
 
+def _mis_sql(rounds: int = 3) -> str:
+    """Luby-MIS oracle: `rounds` rounds unrolled over the symmetrized
+    copart graph in the engine's vid space (vid = url rank = numeric
+    part-key rank — part urls are zero-padded). Round-k priority =
+    splitmix64(vid + k·K) replayed via _sm64_sql with the +K increment
+    folded into the constant; priorities are distinct within a round
+    (splitmix64 is a bijection), so winner = alive vertex with NO
+    alive neighbor of strictly smaller priority — exactly
+    imtag_ray.pipelines.mis.maximal_independent_set's fixed-round
+    semantics."""
+    K = 0x9E3779B97F4A7C15
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+        "uraw AS (SELECT pa_ AS s, pb_ AS d FROM pairs"
+        " UNION ALL SELECT pb_, pa_ FROM pairs),",
+        "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uraw),",
+        "vid AS MATERIALIZED (SELECT v,"
+        " CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS vid"
+        " FROM verts),",
+        "und AS MATERIALIZED (SELECT sv.vid AS s, dv.vid AS d FROM uraw"
+        " JOIN vid sv ON sv.v = uraw.s JOIN vid dv ON dv.v = uraw.d),",
+        "a0 AS MATERIALIZED (SELECT vid AS v FROM vid),",
+    ]
+    for k in range(rounds):
+        c = (k + 1) * K % (1 << 64)
+        pri = _sm64_sql(
+            f"CAST((CAST({{col}} AS HUGEINT) + {c})"
+            " % 18446744073709551616 AS UBIGINT)"
+        )
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT v, "
+            + pri.format(col="v")
+            + f" AS pri FROM a{k}),"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED ("
+            f"SELECT pv.v FROM p{k} pv WHERE NOT EXISTS ("
+            f"SELECT 1 FROM und u JOIN p{k} pd ON pd.v = u.d"
+            f" WHERE u.s = pv.v AND pd.pri < pv.pri)),"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED ("
+            f"SELECT u.d AS v FROM und u JOIN w{k} w ON w.v = u.s"
+            f" JOIN a{k} x ON x.v = u.d"
+            f" EXCEPT SELECT v FROM w{k}),"
+        )
+        parts.append(
+            f"a{k+1} AS MATERIALIZED (SELECT v FROM a{k}"
+            f" EXCEPT SELECT v FROM w{k} EXCEPT SELECT v FROM r{k}),"
+        )
+    wins = " UNION ALL ".join(
+        f"SELECT v FROM w{k}" for k in range(rounds)
+    )
+    rems = " UNION ALL ".join(
+        f"SELECT v FROM r{k}" for k in range(rounds)
+    )
+    parts.append(f"wall AS ({wins}),")
+    parts.append(f"rall AS ({rems})")
+    return "\n".join(parts) + f"""
+    SELECT {_PURL.format(c='vd.v')} AS url,
+           CAST(CASE WHEN wall.v IS NOT NULL THEN 1
+                     WHEN rall.v IS NOT NULL THEN 0
+                     ELSE -1 END AS BIGINT) AS status
+    FROM vid vd
+    LEFT JOIN (SELECT DISTINCT v FROM wall) wall ON wall.v = vd.vid
+    LEFT JOIN (SELECT DISTINCT v FROM rall) rall ON rall.v = vd.vid
+    ORDER BY url
+"""
+
+
 def _nf_ctes(radius: int, p: int) -> str:
     """Shared CTE block for the neighbourhood-function oracles: ball
     closures b0..bR plus per-round bit-exact HLL estimates, ending in
@@ -1275,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_walks4": _walks_sql(4),
         "doc_hyperanf3": _hyperanf_sql(3, 8),
         "doc_harmonic3": _harmonic_sql(3, 8),
+        "copart_mis3": _mis_sql(3),
         "doc_nf4": _nf_sql(4, 8),
         "doc_effdiam4": _effdiam_sql(4, 8),
         "copart_bfs12": f"""

@@ -430,6 +430,17 @@ def doc_harmonic3_q(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["url", "harmonic"]).sort("url")
 
 
+def copart_mis3_q(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic Luby maximal independent set, 3 fixed rounds, over
+    the undirected copart graph (splitmix64 round priorities; the
+    oracle replays every round bit-exactly via HUGEINT limb mulmod).
+    status: 1 in MIS, 0 dominated, -1 undecided after round 3."""
+    from .mis import maximal_independent_set
+
+    out = maximal_independent_set(copart_graph(sf_dir), QCFG, rounds=3)
+    return out.select_columns(["url", "status"]).sort("url")
+
+
 def doc_nf4_q(sf_dir: str) -> "ray.data.Dataset":
     """Neighbourhood function N(0..4) of the directed doc link graph —
     Σ_v (HyperANF integer ball_k estimate): 5 rows, the distance-
