@@ -121,6 +121,18 @@ def minhash_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     return _round_col(minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5), "jaccard")
 
 
+def prefix_pairs_q(sf_dir: str) -> "ray.data.Dataset":
+    """Global (unblocked) exact-Jaccard self-join via prefix filtering:
+    ALL document pairs with hashed-token-shingle Jaccard ≥ 0.5. The
+    filter is exact (no false negatives), so the oracle computes plain
+    all-pairs set Jaccard over the same md5-hashed shingle sets."""
+    from ..dedup.prefix import prefix_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = prefix_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
+    return _round_col(out, "jaccard").sort(["id_a", "id_b"])
+
+
 def lev_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     """Fuzzy dedup: same-source pairs whose 64-char text prefixes are
     within 16 edits (exact unit-cost Levenshtein, batched DP)."""

@@ -261,3 +261,81 @@ def test_batched_levenshtein_matches_scalar():
     )
     want = [scalar_lev(words[a], words[b]) for a, b in pairs]
     assert list(got) == want
+
+
+# --- prefix-filter global similarity join -------------------------------
+
+
+def _brute_jaccard_pairs(texts: dict, threshold: float, k: int = 3):
+    """All-pairs exact Jaccard over nonempty hashed-shingle sets."""
+    sets = {
+        i: set(token_shingles(t, k).tolist()) for i, t in texts.items()
+    }
+    out = {}
+    ids = sorted(i for i, s in sets.items() if s)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union
+            if j >= threshold:
+                out[(a, b)] = round(j, 9)
+    return out
+
+
+def _prefix_engine(texts: dict, threshold: float):
+    import ray.data
+
+    from imtag_ray.dedup.prefix import prefix_jaccard_pairs
+
+    tbl = pa.table(
+        {"doc_id": pa.array(sorted(texts), pa.int64()),
+         "text": [texts[i] for i in sorted(texts)]}
+    )
+    df = prefix_jaccard_pairs(
+        ray.data.from_arrow(tbl), "doc_id", "text", threshold=threshold
+    ).to_pandas()
+    return {
+        (int(r.id_a), int(r.id_b)): round(float(r.jaccard), 9)
+        for r in df.itertuples()
+    }
+
+
+def test_prefix_pairs_matches_bruteforce():
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        0: base,
+        1: base,  # exact dup
+        2: base + " with a small tail change here",
+        3: "completely different words entirely unrelated content",
+        4: "the quick brown fox jumps over the lazy dog",  # near dup
+        5: "",  # shingle-less: excluded
+        6: "   ",  # whitespace-only: excluded
+        7: "short one",
+    }
+    for t in (0.3, 0.5, 0.8):
+        assert _prefix_engine(texts, t) == _brute_jaccard_pairs(texts, t)
+
+
+def test_prefix_pairs_random_corpus_matches_bruteforce():
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=int(rng.integers(3, 25))))
+        for i in range(40)
+    }
+    # plant exact dups to exercise jaccard == 1.0
+    texts[40] = texts[0]
+    texts[41] = texts[1]
+    assert _prefix_engine(texts, 0.5) == _brute_jaccard_pairs(texts, 0.5)
+
+
+def test_prefix_pairs_threshold_zero_rejected():
+    import ray.data
+
+    from imtag_ray.dedup.prefix import prefix_jaccard_pairs
+
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a b c"]})
+    with pytest.raises(ValueError):
+        prefix_jaccard_pairs(ray.data.from_arrow(tbl), "doc_id", "text", 0.0)
