@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hyperanf3": q.doc_hyperanf3_q,
         "doc_harmonic3": q.doc_harmonic3_q,
         "copart_mis3": q.copart_mis3_q,
+        "doc_eigen8": q.doc_eigen8_q,
         "doc_nf4": q.doc_nf4_q,
         "doc_effdiam4": q.doc_effdiam4_q,
         "copart_bfs12": q.copart_bfs12_q,
@@ -1094,6 +1095,32 @@ def _harmonic_sql(radius: int = 3, p: int = 8) -> str:
 """
 
 
+def _eigen_unrolled_sql(iters: int = 8) -> str:
+    """Eigenvector-centrality oracle: K rounds of x_r = in-sum of
+    x_{r-1} unrolled (x_0 = 1, no per-round normalization — scalar
+    factor applied once at the end), exactly
+    pipelines.traversal.eigenvector_centrality's contract. Scores are
+    integers until the final divide, so join order is immaterial."""
+    parts = [f"WITH targets AS ({_DOC_TARGETS}),",
+             "e AS MATERIALIZED (SELECT DISTINCT doc_id AS s, tgt AS d"
+             " FROM targets WHERE tgt != doc_id),",
+             "verts(v) AS (SELECT s FROM e UNION SELECT d FROM e),",
+             "x0 AS (SELECT v, 1.0 AS x FROM verts),"]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"x{r} AS MATERIALIZED (SELECT e.d AS v, sum(x{r-1}.x) AS x"
+            f" FROM e JOIN x{r-1} ON x{r-1}.v = e.s GROUP BY e.d),")
+    parts.append(
+        f"fin AS MATERIALIZED (SELECT verts.v,"
+        f" coalesce(x{iters}.x, 0) AS xr FROM verts"
+        f" LEFT JOIN x{iters} ON x{iters}.v = verts.v),")
+    parts.append("tot AS (SELECT sum(xr) AS t FROM fin)")
+    return "\n".join(parts) + f"""
+    SELECT {_DURL.format(c='fin.v')} AS url,
+           round(fin.xr / nullif((SELECT t FROM tot), 0), 9) AS score
+    FROM fin ORDER BY url"""
+
+
 def _mis_sql(rounds: int = 3) -> str:
     """Luby-MIS oracle: `rounds` rounds unrolled over the symmetrized
     copart graph in the engine's vid space (vid = url rank = numeric
@@ -1348,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hyperanf3": _hyperanf_sql(3, 8),
         "doc_harmonic3": _harmonic_sql(3, 8),
         "copart_mis3": _mis_sql(3),
+        "doc_eigen8": _eigen_unrolled_sql(8),
         "doc_nf4": _nf_sql(4, 8),
         "doc_effdiam4": _effdiam_sql(4, 8),
         "copart_bfs12": f"""

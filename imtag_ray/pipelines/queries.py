@@ -430,6 +430,31 @@ def doc_harmonic3_q(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["url", "harmonic"]).sort("url")
 
 
+def doc_eigen8_q(sf_dir: str) -> "ray.data.Dataset":
+    """Directed eigenvector centrality (8 power-iteration rounds,
+    deferred L1 normalization) over the extraction-built doc graph —
+    scores stay INTEGER until the final normalize (x0 = 1), so batch
+    summation order cannot perturb the doubles the oracle replays."""
+    from .traversal import eigenvector_centrality
+
+    out = eigenvector_centrality(doc_graph(sf_dir), QCFG, iterations=8)
+    return (
+        out.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("url"),
+                 "score": pa.array(
+                     np.round(
+                         t.column("score").to_numpy(zero_copy_only=False), 9
+                     ),
+                     pa.float64(),
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("url")
+    )
+
+
 def copart_mis3_q(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic Luby maximal independent set, 3 fixed rounds, over
     the undirected copart graph (splitmix64 round priorities; the

@@ -272,6 +272,173 @@ def hits(
 
 
 # ---------------------------------------------------------------------------
+# eigenvector centrality (power iteration on A^T, deferred normalization)
+# ---------------------------------------------------------------------------
+
+
+def eigenvector_centrality(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    iterations: int = 8,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (vid, url, score): K power-iteration rounds of
+    x ← Aᵀx from x = 1 (score(v) sums x(u) over in-edges u→v — the
+    directed eigenvector centrality HITS's auth half computes against
+    a co-evolving hub vector; here the single-vector classic). No
+    per-iteration normalization (a scalar factor): ONE L1 normalize at
+    the end, so the SQL oracle is a plain unrolled join chain — the
+    same deferred-normalization contract as hits()."""
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())}
+            )
+        )
+    mode = mode or _pick_mode(graph, cfg)
+    if mode == "shuffle":
+        state = _eigen_shuffle(graph, cfg, iterations)
+        return (
+            compact_nonempty(graph.vertices).join(
+                state, join_type="inner",
+                num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["vid", "url", "score"])
+            .materialize()
+        )
+    x = _eigen_broadcast(graph, cfg, iterations)
+    ref = ray.put(x)
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        xv = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        return pa.table(
+            {"vid": batch.column("vid"), "url": batch.column("url"),
+             "score": pa.array(xv[vid], pa.float64())}
+        )
+
+    return graph.vertices.select_columns(["vid", "url"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+
+def _eigen_broadcast(
+    graph: Graph, cfg: EngineConfig, iterations: int
+) -> np.ndarray:
+    V = graph.num_vertices
+    x = np.ones(V, dtype=np.float64)
+    for _ in range(iterations):
+        ref = ray.put(x)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            v = ray.get(_ref)
+            s = col_np(batch, "src")
+            d = col_np(batch, "dst")
+            k, p = sparse_sum_reduce(d, v[s])
+            return table_from_arrays(vid=k, part=p)
+
+        out = np.zeros(V, dtype=np.float64)
+        for b in graph.edges.map_batches(
+            step, batch_format="pyarrow"
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            np.add.at(out, col_np(b, "vid"), col_np(b, "part"))
+        x = out
+    s = x.sum()
+    return x / s if s > 0 else x
+
+
+def _eigen_shuffle(
+    graph: Graph, cfg: EngineConfig, iterations: int
+) -> "ray.data.Dataset":
+    P = cfg.num_partitions
+    edges = compact_nonempty(graph.edges.select_columns(["src", "dst"]))
+    state = compact_nonempty(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            lambda t: table_from_arrays(
+                vid=col_np(t, "vid"),
+                score=np.ones(t.num_rows, dtype=np.float64),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def zeros(st):
+        return st.map_batches(
+            lambda t: table_from_arrays(
+                vid=col_np(t, "vid"),
+                score=np.zeros(t.num_rows, dtype=np.float64),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    if edges is None:
+        return zeros(state)
+    for _ in range(iterations):
+        msgs = (
+            edges.join(
+                state, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .map_batches(
+                lambda t: table_from_arrays(
+                    vid=col_np(t, "dst"), part=col_np(t, "score")
+                ),
+                batch_format="pyarrow",
+            )
+            # map-side combiner: ≤1 row per target per block pre-shuffle
+            .map_batches(
+                lambda t: table_from_arrays(
+                    **dict(
+                        zip(
+                            ("vid", "part"),
+                            sparse_sum_reduce(
+                                col_np(t, "vid"), col_np(t, "part")
+                            ),
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        msgs = compact_nonempty(
+            bucketed_sum_aggregate(msgs, key_cols=["vid"], sum_cols=["part"])
+        )
+        if msgs is None:
+            state = zeros(state)
+            continue
+
+        def update(t: pa.Table) -> pa.Table:
+            part = t.column("part").to_numpy(zero_copy_only=False)
+            part = np.nan_to_num(
+                np.where(part == None, 0.0, part).astype(np.float64)  # noqa: E711
+            )
+            return table_from_arrays(vid=col_np(t, "vid"), score=part)
+
+        state = compact_nonempty(
+            state.join(
+                msgs, join_type="left_outer", num_partitions=P,
+                on=("vid",), right_on=("vid",),
+            ).map_batches(update, batch_format="pyarrow")
+        )
+    tot = state.map_batches(
+        lambda t: table_from_arrays(
+            s=np.array([col_np(t, "score").sum()])
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("s", alias_name="s"))
+    s = float(tot["s"]) or 1.0
+    return state.map_batches(
+        lambda t, _s=s: table_from_arrays(
+            vid=col_np(t, "vid"), score=col_np(t, "score") / _s
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+
+# ---------------------------------------------------------------------------
 # BFS hop distance
 # ---------------------------------------------------------------------------
 

@@ -323,3 +323,60 @@ def test_kcore_fixed_round_modes_agree():
             dict(zip([str(u) for u in s["url"]], s["core_degree"])), (
             edges, k, rounds
         )
+
+
+# --- eigenvector centrality ---------------------------------------------
+
+
+def _eigen_digraph(edges):
+    tbl = pa.table(
+        {"src_url": [f"u{a:03d}" for a, _ in edges],
+         "dst_url": [f"u{b:03d}" for _, b in edges]}
+    )
+    return build_graph(ray.data.from_arrow(tbl), CFG)
+
+
+def _eigen_ref(edges, iters):
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges})
+    vid = {v: i for i, v in enumerate(verts)}
+    V = len(verts)
+    x = np.ones(V)
+    for _ in range(iters):
+        nxt = np.zeros(V)
+        for a, b in edges:
+            nxt[vid[b]] += x[vid[a]]
+        x = nxt
+    s = x.sum()
+    if s > 0:
+        x = x / s
+    return {f"u{v:03d}": x[vid[v]] for v in verts}
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_eigenvector_matches_power_iteration(mode):
+    from imtag_ray.pipelines.traversal import eigenvector_centrality
+
+    rng = np.random.default_rng(29)
+    edges = list(
+        {(int(a), int(b)) for a, b in rng.integers(0, 30, size=(120, 2))
+         if a != b}
+    )
+    g = _eigen_digraph(edges)
+    df = eigenvector_centrality(g, CFG, iterations=6, mode=mode).to_pandas()
+    got = dict(zip(df["url"], df["score"]))
+    ref = _eigen_ref(edges, 6)
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-12), k
+
+
+def test_eigenvector_modes_agree_exactly():
+    from imtag_ray.pipelines.traversal import eigenvector_centrality
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1), (0, 3)]
+    g = _eigen_digraph(edges)
+    b = eigenvector_centrality(g, CFG, iterations=8, mode="broadcast").to_pandas()
+    s = eigenvector_centrality(g, CFG, iterations=8, mode="shuffle").to_pandas()
+    bm = dict(zip(b["url"], b["score"]))
+    sm = dict(zip(s["url"], s["score"]))
+    assert bm == sm  # integer-until-normalize ⇒ bit equality
