@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hyperanf3": q.doc_hyperanf3_q,
         "doc_harmonic3": q.doc_harmonic3_q,
         "copart_mis3": q.copart_mis3_q,
+        "copart_msf2": q.copart_msf2_q,
         "doc_eigen8": q.doc_eigen8_q,
         "doc_nf4": q.doc_nf4_q,
         "doc_effdiam4": q.doc_effdiam4_q,
@@ -1095,6 +1096,60 @@ def _harmonic_sql(radius: int = 3, p: int = 8) -> str:
 """
 
 
+def _msf_unrolled_sql(rounds: int = 2) -> str:
+    """Borůvka MSF oracle: R rounds unrolled over the weighted copart
+    graph in part-key space (w = 1 + (pa_+pb_) % 7, argmin by the
+    total (w, a, b) key — key order == url order == vid order, so the
+    selected edge set equals the engine's). Per round: per-component
+    window argmin, then a recursive-CTE min-label closure over the
+    selected component pairs (full within-round merging, exactly
+    pipelines.msf.boruvka_forest's contract)."""
+    parts = [
+        f"WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+        "we AS MATERIALIZED (SELECT pa_ AS a, pb_ AS b,"
+        " 1 + (pa_ + pb_) % 7 AS w FROM pairs),",
+        "verts(v) AS (SELECT a FROM we UNION SELECT b FROM we),",
+        "c0 AS MATERIALIZED (SELECT v, v AS c FROM verts),",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f"""
+    tag{k} AS MATERIALIZED (
+        SELECT we.a, we.b, we.w, xa.c AS ca, xb.c AS cb
+        FROM we JOIN c{p} xa ON xa.v = we.a JOIN c{p} xb ON xb.v = we.b
+        WHERE xa.c != xb.c),
+    nom{k} AS (
+        SELECT ca AS c, w, a, b, ca, cb FROM tag{k}
+        UNION ALL SELECT cb, w, a, b, ca, cb FROM tag{k}),
+    sel{k} AS MATERIALIZED (
+        SELECT DISTINCT a, b, w, ca, cb FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c ORDER BY w, a, b) AS rn
+            FROM nom{k}) WHERE rn = 1),
+    lbls{k}(x) AS (SELECT ca FROM sel{k} UNION SELECT cb FROM sel{k}),
+    und{k} AS MATERIALIZED (
+        SELECT ca AS x, cb AS y FROM sel{k}
+        UNION SELECT cb, ca FROM sel{k}),
+    reach{k}(x, l) AS (
+        SELECT x, x FROM lbls{k}
+        UNION
+        SELECT u.x, r.l FROM und{k} u JOIN reach{k} r ON r.x = u.y),
+    map{k} AS MATERIALIZED (
+        SELECT x, min(l) AS l FROM reach{k} GROUP BY x),
+    c{k} AS MATERIALIZED (
+        SELECT c{p}.v, coalesce(map{k}.l, c{p}.c) AS c
+        FROM c{p} LEFT JOIN map{k} ON map{k}.x = c{p}.c),""")
+    forest = " UNION ".join(
+        f"SELECT a, b, w FROM sel{k}" for k in range(1, rounds + 1)
+    )
+    parts.append(f"forest AS ({forest})")
+    return "\n".join(parts) + f"""
+    SELECT {_PURL.format(c='a')} AS url_a, {_PURL.format(c='b')} AS url_b,
+           CAST(w AS BIGINT) AS weight
+    FROM forest ORDER BY url_a, url_b
+"""
+
+
 def _eigen_unrolled_sql(iters: int = 8) -> str:
     """Eigenvector-centrality oracle: K rounds of x_r = in-sum of
     x_{r-1} unrolled (x_0 = 1, no per-round normalization — scalar
@@ -1375,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hyperanf3": _hyperanf_sql(3, 8),
         "doc_harmonic3": _harmonic_sql(3, 8),
         "copart_mis3": _mis_sql(3),
+        "copart_msf2": _msf_unrolled_sql(2),
         "doc_eigen8": _eigen_unrolled_sql(8),
         "doc_nf4": _nf_sql(4, 8),
         "doc_effdiam4": _effdiam_sql(4, 8),

@@ -430,6 +430,19 @@ def doc_harmonic3_q(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["url", "harmonic"]).sort("url")
 
 
+def copart_msf2_q(sf_dir: str) -> "ray.data.Dataset":
+    """Borůvka minimum-spanning-forest, 2 fixed rounds, over the
+    weighted copart graph (w = 1 + (ka+kb) % 7; ties broken by the
+    total (w, lo, hi) key so the selected edge set is unique). The
+    oracle replays both rounds with window-function argmins and a
+    recursive-CTE min-label merge closure."""
+    from .msf import boruvka_forest
+
+    g = copart_graph(sf_dir)
+    out = boruvka_forest(g, copart_weighted_edges(sf_dir), QCFG, rounds=2)
+    return out.sort(["url_a", "url_b"])
+
+
 def doc_eigen8_q(sf_dir: str) -> "ray.data.Dataset":
     """Directed eigenvector centrality (8 power-iteration rounds,
     deferred L1 normalization) over the extraction-built doc graph —
