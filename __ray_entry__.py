@@ -1108,7 +1108,10 @@ def _msf_unrolled_sql(rounds: int = 2) -> str:
         f"WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),",
         "we AS MATERIALIZED (SELECT pa_ AS a, pb_ AS b,"
         " 1 + (pa_ + pb_) % 7 AS w FROM pairs),",
-        "verts(v) AS (SELECT a FROM we UNION SELECT b FROM we),",
+        # bare UNION CTEs under WITH RECURSIVE get recursive-union
+        # semantics in DuckDB (no dedup) — spell the distinct out
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM"
+        " (SELECT a AS v FROM we UNION ALL SELECT b FROM we)),",
         "c0 AS MATERIALIZED (SELECT v, v AS c FROM verts),",
     ]
     for k in range(1, rounds + 1):
@@ -1126,10 +1129,11 @@ def _msf_unrolled_sql(rounds: int = 2) -> str:
             SELECT *, row_number() OVER (
                 PARTITION BY c ORDER BY w, a, b) AS rn
             FROM nom{k}) WHERE rn = 1),
-    lbls{k}(x) AS (SELECT ca FROM sel{k} UNION SELECT cb FROM sel{k}),
-    und{k} AS MATERIALIZED (
-        SELECT ca AS x, cb AS y FROM sel{k}
-        UNION SELECT cb, ca FROM sel{k}),
+    lbls{k} AS MATERIALIZED (SELECT DISTINCT x FROM
+        (SELECT ca AS x FROM sel{k} UNION ALL SELECT cb FROM sel{k})),
+    und{k} AS MATERIALIZED (SELECT DISTINCT x, y FROM
+        (SELECT ca AS x, cb AS y FROM sel{k}
+         UNION ALL SELECT cb, ca FROM sel{k})),
     reach{k}(x, l) AS (
         SELECT x, x FROM lbls{k}
         UNION
@@ -1139,10 +1143,12 @@ def _msf_unrolled_sql(rounds: int = 2) -> str:
     c{k} AS MATERIALIZED (
         SELECT c{p}.v, coalesce(map{k}.l, c{p}.c) AS c
         FROM c{p} LEFT JOIN map{k} ON map{k}.x = c{p}.c),""")
-    forest = " UNION ".join(
+    forest = " UNION ALL ".join(
         f"SELECT a, b, w FROM sel{k}" for k in range(1, rounds + 1)
     )
-    parts.append(f"forest AS ({forest})")
+    parts.append(
+        f"forest AS (SELECT DISTINCT a, b, w FROM ({forest}))"
+    )
     return "\n".join(parts) + f"""
     SELECT {_PURL.format(c='a')} AS url_a, {_PURL.format(c='b')} AS url_b,
            CAST(w AS BIGINT) AS weight
