@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_harmonic3": q.doc_harmonic3_q,
         "copart_mis3": q.copart_mis3_q,
         "copart_msf2": q.copart_msf2_q,
+        "doc_bc8": q.doc_bc8_q,
         "doc_eigen8": q.doc_eigen8_q,
         "doc_nf4": q.doc_nf4_q,
         "doc_effdiam4": q.doc_effdiam4_q,
@@ -1096,6 +1097,65 @@ def _harmonic_sql(radius: int = 3, p: int = 8) -> str:
 """
 
 
+def _betweenness_sql(n_sources: int = 8, depth: int = 6) -> str:
+    """Brandes betweenness oracle: forward BFS levels with path
+    counting (sigma — integer sums, order-free) then the backward
+    dependency accumulation, both unrolled; the dependency term
+    replays BROADCAST mode's per-edge form sigma(u)/sigma(v)·(1+δ(v))
+    summed per u (the doc graph auto-picks broadcast); both sides
+    round to 9 decimals."""
+    parts = [
+        f"WITH targets AS ({_DOC_TARGETS}),",
+        "e AS MATERIALIZED (SELECT DISTINCT doc_id AS es, tgt AS ed"
+        " FROM targets WHERE tgt != doc_id),",
+        "verts(v) AS (SELECT es FROM e UNION SELECT ed FROM e),",
+        f"src{n_sources} AS MATERIALIZED (SELECT v FROM verts"
+        f" ORDER BY {_DURL.format(c='v')} LIMIT {n_sources}),",
+        f"l0 AS MATERIALIZED (SELECT v AS s, v, 1.0 AS sigma"
+        f" FROM src{n_sources}),",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM l0),",
+    ]
+    for k in range(1, depth + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED ("
+            f"SELECT p.s, e.ed AS v, sum(p.sigma) AS sigma"
+            f" FROM l{k-1} p JOIN e ON e.es = p.v"
+            f" WHERE NOT EXISTS (SELECT 1 FROM vis{k-1} x"
+            f" WHERE x.s = p.s AND x.v = e.ed)"
+            f" GROUP BY p.s, e.ed),")
+        parts.append(
+            f"vis{k} AS MATERIALIZED (SELECT s, v FROM vis{k-1}"
+            f" UNION ALL SELECT s, v FROM l{k}),")
+    parts.append(
+        f"dl{depth} AS MATERIALIZED"
+        f" (SELECT s, v, sigma, 0.0 AS delta FROM l{depth}),")
+    for k in range(depth - 1, 0, -1):
+        parts.append(
+            f"up{k} AS MATERIALIZED ("
+            f"SELECT w.s, e.es AS v,"
+            f" sum(lu.sigma / w.sigma * (1.0 + w.delta)) AS delta"
+            f" FROM dl{k+1} w JOIN e ON e.ed = w.v"
+            f" JOIN l{k} lu ON lu.s = w.s AND lu.v = e.es"
+            f" GROUP BY w.s, e.es),")
+        parts.append(
+            f"dl{k} AS MATERIALIZED ("
+            f"SELECT u.s, u.v, u.sigma, coalesce(up{k}.delta, 0.0) AS delta"
+            f" FROM l{k} u LEFT JOIN up{k}"
+            f" ON up{k}.s = u.s AND up{k}.v = u.v),")
+    alldl = " UNION ALL ".join(
+        f"SELECT v, delta FROM dl{k}" for k in range(1, depth + 1)
+    )
+    parts.append(f"acc AS ({alldl}),")
+    parts.append(
+        "tot AS MATERIALIZED (SELECT v, sum(delta) AS bc"
+        " FROM acc GROUP BY v)")
+    return "\n".join(parts) + f"""
+    SELECT {_DURL.format(c='verts.v')} AS url,
+           round(coalesce(tot.bc, 0.0), 9) AS bc
+    FROM verts LEFT JOIN tot ON tot.v = verts.v
+    ORDER BY url"""
+
+
 def _msf_unrolled_sql(rounds: int = 2) -> str:
     """Borůvka MSF oracle: R rounds unrolled over the weighted copart
     graph in part-key space (w = 1 + (pa_+pb_) % 7, argmin by the
@@ -1437,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_harmonic3": _harmonic_sql(3, 8),
         "copart_mis3": _mis_sql(3),
         "copart_msf2": _msf_unrolled_sql(2),
+        "doc_bc8": _betweenness_sql(8, 6),
         "doc_eigen8": _eigen_unrolled_sql(8),
         "doc_nf4": _nf_sql(4, 8),
         "doc_effdiam4": _effdiam_sql(4, 8),

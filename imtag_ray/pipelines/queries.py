@@ -430,6 +430,17 @@ def doc_harmonic3_q(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["url", "harmonic"]).sort("url")
 
 
+def doc_bc8_q(sf_dir: str) -> "ray.data.Dataset":
+    """Depth-6 Brandes betweenness from the 8 lexicographically
+    smallest doc urls (deterministic sampled-source betweenness; the
+    oracle unrolls the level DAG and replays broadcast mode's
+    per-edge dependency formula)."""
+    from .betweenness import betweenness_approx
+
+    out = betweenness_approx(doc_graph(sf_dir), QCFG, n_sources=8, depth=6)
+    return out.select_columns(["url", "bc"]).sort("url")
+
+
 def copart_msf2_q(sf_dir: str) -> "ray.data.Dataset":
     """Borůvka minimum-spanning-forest, 2 fixed rounds, over the
     weighted copart graph (w = 1 + (ka+kb) % 7; ties broken by the

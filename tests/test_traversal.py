@@ -380,3 +380,71 @@ def test_eigenvector_modes_agree_exactly():
     bm = dict(zip(b["url"], b["score"]))
     sm = dict(zip(s["url"], s["score"]))
     assert bm == sm  # integer-until-normalize ⇒ bit equality
+
+
+# --- sampled-source depth-bounded betweenness ---------------------------
+
+
+def _bc_graph(edges):
+    tbl = pa.table(
+        {"src_url": [f"u{a:03d}" for a, _ in edges],
+         "dst_url": [f"u{b:03d}" for _, b in edges]}
+    )
+    return build_graph(ray.data.from_arrow(tbl), CFG)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_betweenness_full_matches_networkx(mode):
+    """All sources + depth > diameter ⇒ exact Brandes betweenness."""
+    import networkx as nx
+
+    from imtag_ray.pipelines.betweenness import betweenness_approx
+
+    rng = np.random.default_rng(3)
+    edges = sorted(
+        {(int(a), int(b)) for a, b in rng.integers(0, 25, size=(80, 2))
+         if a != b}
+    )
+    g = _bc_graph(edges)
+    df = betweenness_approx(
+        g, CFG, n_sources=g.num_vertices, depth=12, mode=mode
+    ).to_pandas()
+    got = dict(zip(df["url"], df["bc"]))
+    G = nx.DiGraph()
+    G.add_nodes_from(f"u{i:03d}" for i in sorted({x for e in edges for x in e}))
+    G.add_edges_from((f"u{a:03d}", f"u{b:03d}") for a, b in edges)
+    ref = nx.betweenness_centrality(G, normalized=False)
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-6), k
+
+
+def test_betweenness_modes_agree():
+    from imtag_ray.pipelines.betweenness import betweenness_approx
+
+    rng = np.random.default_rng(7)
+    edges = sorted(
+        {(int(a), int(b)) for a, b in rng.integers(0, 40, size=(150, 2))
+         if a != b}
+    )
+    g = _bc_graph(edges)
+    b = betweenness_approx(g, CFG, 6, 4, mode="broadcast").to_pandas()
+    s = betweenness_approx(g, CFG, 6, 4, mode="shuffle").to_pandas()
+    bm = dict(zip(b["url"], b["bc"]))
+    sm = dict(zip(s["url"], s["bc"]))
+    assert bm.keys() == sm.keys()
+    for k in bm:
+        assert bm[k] == pytest.approx(sm[k], abs=2e-9), k
+
+
+def test_betweenness_chain_closed_form():
+    """Directed chain u0→…→u5, all sources: bc(v_i) = i·(n-1-i)."""
+    from imtag_ray.pipelines.betweenness import betweenness_approx
+
+    n = 6
+    edges = [(i, i + 1) for i in range(n - 1)]
+    g = _bc_graph(edges)
+    df = betweenness_approx(g, CFG, n_sources=n, depth=n, mode="broadcast").to_pandas()
+    got = dict(zip(df["url"], df["bc"]))
+    for i in range(n):
+        assert got[f"u{i:03d}"] == i * (n - 1 - i), i
