@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hyperanf3": q.doc_hyperanf3_q,
         "doc_harmonic3": q.doc_harmonic3_q,
         "copart_mis3": q.copart_mis3_q,
+        "copart_color3": q.copart_color3_q,
         "copart_msf2": q.copart_msf2_q,
         "doc_bc8": q.doc_bc8_q,
         "doc_eigen8": q.doc_eigen8_q,
@@ -1216,6 +1217,75 @@ def _msf_unrolled_sql(rounds: int = 2) -> str:
 """
 
 
+def _coloring_sql(colors: int = 3, rounds: int = 2) -> str:
+    """Greedy-coloring oracle: colors × rounds Luby blocks unrolled
+    (same splitmix64 priority replay as _mis_sql, priority index
+    c·rounds + k); dominated vertices return to the pool between
+    colors, exactly pipelines.mis.greedy_coloring's fixed-budget
+    semantics."""
+    K = 0x9E3779B97F4A7C15
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+        "uraw AS (SELECT pa_ AS s, pb_ AS d FROM pairs"
+        " UNION ALL SELECT pb_, pa_ FROM pairs),",
+        "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uraw),",
+        "vid AS MATERIALIZED (SELECT v,"
+        " CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS vid"
+        " FROM verts),",
+        "und AS MATERIALIZED (SELECT sv.vid AS s, dv.vid AS d FROM uraw"
+        " JOIN vid sv ON sv.v = uraw.s JOIN vid dv ON dv.v = uraw.d),",
+        "u0 AS MATERIALIZED (SELECT vid AS v FROM vid),",
+    ]
+    for c in range(colors):
+        parts.append(f"a{c}_0 AS MATERIALIZED (SELECT v FROM u{c}),")
+        for k in range(rounds):
+            g = (c * rounds + k + 1) * K % (1 << 64)
+            pri = _sm64_sql(
+                f"CAST((CAST({{col}} AS HUGEINT) + {g})"
+                " % 18446744073709551616 AS UBIGINT)"
+            )
+            parts.append(
+                f"p{c}_{k} AS MATERIALIZED (SELECT v, "
+                + pri.format(col="v")
+                + f" AS pri FROM a{c}_{k}),"
+            )
+            parts.append(
+                f"w{c}_{k} AS MATERIALIZED ("
+                f"SELECT pv.v FROM p{c}_{k} pv WHERE NOT EXISTS ("
+                f"SELECT 1 FROM und u JOIN p{c}_{k} pd ON pd.v = u.d"
+                f" WHERE u.s = pv.v AND pd.pri < pv.pri)),"
+            )
+            parts.append(
+                f"r{c}_{k} AS MATERIALIZED ("
+                f"SELECT u.d AS v FROM und u JOIN w{c}_{k} w ON w.v = u.s"
+                f" JOIN a{c}_{k} x ON x.v = u.d"
+                f" EXCEPT SELECT v FROM w{c}_{k}),"
+            )
+            parts.append(
+                f"a{c}_{k+1} AS MATERIALIZED (SELECT v FROM a{c}_{k}"
+                f" EXCEPT SELECT v FROM w{c}_{k}"
+                f" EXCEPT SELECT v FROM r{c}_{k}),"
+            )
+        wins = " UNION ALL ".join(
+            f"SELECT v FROM w{c}_{k}" for k in range(rounds)
+        )
+        parts.append(f"col{c} AS MATERIALIZED ({wins}),")
+        parts.append(
+            f"u{c+1} AS MATERIALIZED (SELECT v FROM u{c}"
+            f" EXCEPT SELECT v FROM col{c}),"
+        )
+    cases = " ".join(
+        f"WHEN vd.vid IN (SELECT v FROM col{c}) THEN {c}"
+        for c in range(colors)
+    )
+    parts[-1] = parts[-1].rstrip(",")  # drop trailing comma
+    return "\n".join(parts) + f"""
+    SELECT {_PURL.format(c='vd.v')} AS url,
+           CAST(CASE {cases} ELSE -1 END AS BIGINT) AS color
+    FROM vid vd ORDER BY url
+"""
+
+
 def _eigen_unrolled_sql(iters: int = 8) -> str:
     """Eigenvector-centrality oracle: K rounds of x_r = in-sum of
     x_{r-1} unrolled (x_0 = 1, no per-round normalization — scalar
@@ -1496,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hyperanf3": _hyperanf_sql(3, 8),
         "doc_harmonic3": _harmonic_sql(3, 8),
         "copart_mis3": _mis_sql(3),
+        "copart_color3": _coloring_sql(3, 2),
         "copart_msf2": _msf_unrolled_sql(2),
         "doc_bc8": _betweenness_sql(8, 6),
         "doc_eigen8": _eigen_unrolled_sql(8),

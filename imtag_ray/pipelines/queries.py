@@ -430,6 +430,18 @@ def doc_harmonic3_q(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["url", "harmonic"]).sort("url")
 
 
+def copart_color3_q(sf_dir: str) -> "ray.data.Dataset":
+    """Greedy 3-color budget over the copart graph (iterated Luby MIS,
+    2 rounds per color; adjacent vertices never share a color ≥ 0;
+    leftovers -1). Oracle replays every round bit-exactly."""
+    from .mis import greedy_coloring
+
+    out = greedy_coloring(
+        copart_graph(sf_dir), QCFG, colors=3, rounds_per_color=2
+    )
+    return out.select_columns(["url", "color"]).sort("url")
+
+
 def doc_bc8_q(sf_dir: str) -> "ray.data.Dataset":
     """Depth-6 Brandes betweenness from the 8 lexicographically
     smallest doc urls (deterministic sampled-source betweenness; the

@@ -137,3 +137,97 @@ def test_mis_isolated_vertices_join():
     g = digraph([(0, 0), (1, 2)])  # self-loop → u0 isolated
     st = engine(g, "broadcast", None)
     assert st[u(0)] == 1
+
+
+# --- greedy coloring (iterated Luby MIS) --------------------------------
+
+
+def coloring_reference(edges, colors, rounds):
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges}, key=u)
+    vid = {v: i for i, v in enumerate(verts)}
+    nbrs = {v: set() for v in verts}
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    color = {v: -1 for v in verts}
+    for c in range(colors):
+        status = {v: (-1 if color[v] == -1 else -2) for v in verts}
+        for k in range(rounds):
+            alive = [v for v in verts if status[v] == -1]
+            if not alive:
+                break
+            rnd = c * rounds + k
+            pri = {
+                v: int(
+                    _priorities(np.array([vid[v]], dtype=np.int64), rnd)[0]
+                )
+                for v in alive
+            }
+            winners = [
+                v for v in alive
+                if all(status[w] != -1 or pri[v] < pri[w] for w in nbrs[v])
+            ]
+            removed = set()
+            for v in winners:
+                removed |= {w for w in nbrs[v] if status[w] == -1}
+            removed -= set(winners)
+            for v in winners:
+                status[v] = 1
+            for v in removed:
+                status[v] = 0
+        for v in verts:
+            if status[v] == 1:
+                color[v] = c
+    return {u(v): c for v, c in color.items()}
+
+
+def engine_coloring(g, mode, colors, rounds):
+    from imtag_ray.pipelines.mis import greedy_coloring
+
+    df = greedy_coloring(
+        g, CFG, colors=colors, rounds_per_color=rounds, mode=mode
+    ).to_pandas()
+    return dict(zip(df["url"], df["color"]))
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_coloring_broadcast_exact_replay(name):
+    g = digraph(CASES[name])
+    got = engine_coloring(g, "broadcast", 3, 2)
+    assert got == coloring_reference(CASES[name], 3, 2)
+
+
+def test_coloring_shuffle_matches_broadcast():
+    rng = np.random.default_rng(53)
+    edges = list(
+        {(int(a), int(b)) for a, b in rng.integers(0, 40, size=(160, 2))
+         if a != b}
+    )
+    g = digraph(edges)
+    assert engine_coloring(g, "broadcast", 3, 2) == engine_coloring(
+        g, "shuffle", 3, 2
+    )
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_coloring_is_proper(mode):
+    rng = np.random.default_rng(59)
+    edges = list(
+        {(int(a), int(b)) for a, b in rng.integers(0, 60, size=(200, 2))
+         if a != b}
+    )
+    g = digraph(edges)
+    col = engine_coloring(g, mode, 4, 3)
+    for a, b in edges:
+        ca, cb = col[u(a)], col[u(b)]
+        if ca >= 0:
+            assert ca != cb or cb == -1 or a == b, (a, b, ca, cb)
+
+
+def test_coloring_chain_fully_colored():
+    """A chain is 2-colorable; 3 colors × 3 rounds must color it all."""
+    g = digraph(CASES["chain"])
+    col = engine_coloring(g, "broadcast", 3, 3)
+    assert -1 not in col.values()
+    assert max(col.values()) <= 2
