@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_harmonic3": q.doc_harmonic3_q,
         "copart_mis3": q.copart_mis3_q,
         "copart_color3": q.copart_color3_q,
+        "copart_match3": q.copart_match3_q,
         "copart_msf2": q.copart_msf2_q,
         "doc_bc8": q.doc_bc8_q,
         "doc_eigen8": q.doc_eigen8_q,
@@ -1217,6 +1218,68 @@ def _msf_unrolled_sql(rounds: int = 2) -> str:
 """
 
 
+def _matching_sql(rounds: int = 3) -> str:
+    """Handshake maximal-matching oracle: per round every alive vertex
+    targets its min-priority alive neighbor (row_number argmin over
+    the replayed splitmix64 priorities), mutual targets match and
+    leave — exactly pipelines.matching.maximal_matching's rounds."""
+    K = 0x9E3779B97F4A7C15
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+        "uraw AS (SELECT pa_ AS s, pb_ AS d FROM pairs"
+        " UNION ALL SELECT pb_, pa_ FROM pairs),",
+        "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM uraw),",
+        "vid AS MATERIALIZED (SELECT v,"
+        " CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS vid"
+        " FROM verts),",
+        "und AS MATERIALIZED (SELECT sv.vid AS s, dv.vid AS d FROM uraw"
+        " JOIN vid sv ON sv.v = uraw.s JOIN vid dv ON dv.v = uraw.d),",
+        "a0 AS MATERIALIZED (SELECT vid AS v FROM vid),",
+    ]
+    for k in range(rounds):
+        g = (k + 1) * K % (1 << 64)
+        pri = _sm64_sql(
+            f"CAST((CAST({{col}} AS HUGEINT) + {g})"
+            " % 18446744073709551616 AS UBIGINT)"
+        )
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT v, "
+            + pri.format(col="v")
+            + f" AS pri FROM a{k}),"
+        )
+        parts.append(
+            f"tgt{k} AS MATERIALIZED ("
+            f"SELECT u, v FROM ("
+            f"SELECT e.s AS u, e.d AS v,"
+            f" row_number() OVER (PARTITION BY e.s"
+            f" ORDER BY pd.pri, e.d) AS rn"
+            f" FROM und e JOIN a{k} x ON x.v = e.s"
+            f" JOIN a{k} y ON y.v = e.d"
+            f" JOIN p{k} pd ON pd.v = e.d) WHERE rn = 1),"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED ("
+            f"SELECT t1.u AS lo, t1.v AS hi FROM tgt{k} t1"
+            f" JOIN tgt{k} t2 ON t2.u = t1.v AND t2.v = t1.u"
+            f" WHERE t1.u < t1.v),"
+        )
+        parts.append(
+            f"a{k+1} AS MATERIALIZED (SELECT v FROM a{k}"
+            f" EXCEPT SELECT lo FROM m{k} EXCEPT SELECT hi FROM m{k}),"
+        )
+    allm = " UNION ALL ".join(
+        f"SELECT lo, hi FROM m{k}" for k in range(rounds)
+    )
+    parts.append(f"matched AS ({allm})")
+    return "\n".join(parts) + f"""
+    SELECT {_PURL.format(c='va.v')} AS url_a, {_PURL.format(c='vb.v')} AS url_b
+    FROM matched
+    JOIN vid va ON va.vid = matched.lo
+    JOIN vid vb ON vb.vid = matched.hi
+    ORDER BY url_a, url_b
+"""
+
+
 def _coloring_sql(colors: int = 3, rounds: int = 2) -> str:
     """Greedy-coloring oracle: colors × rounds Luby blocks unrolled
     (same splitmix64 priority replay as _mis_sql, priority index
@@ -1567,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_harmonic3": _harmonic_sql(3, 8),
         "copart_mis3": _mis_sql(3),
         "copart_color3": _coloring_sql(3, 2),
+        "copart_match3": _matching_sql(3),
         "copart_msf2": _msf_unrolled_sql(2),
         "doc_bc8": _betweenness_sql(8, 6),
         "doc_eigen8": _eigen_unrolled_sql(8),

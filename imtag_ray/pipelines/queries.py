@@ -430,6 +430,15 @@ def doc_harmonic3_q(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["url", "harmonic"]).sort("url")
 
 
+def copart_match3_q(sf_dir: str) -> "ray.data.Dataset":
+    """Handshake maximal matching, 3 fixed rounds, over the copart
+    graph (mutual min-priority targets; bit-exact oracle replay)."""
+    from .matching import maximal_matching
+
+    out = maximal_matching(copart_graph(sf_dir), QCFG, rounds=3)
+    return out.sort(["url_a", "url_b"])
+
+
 def copart_color3_q(sf_dir: str) -> "ray.data.Dataset":
     """Greedy 3-color budget over the copart graph (iterated Luby MIS,
     2 rounds per color; adjacent vertices never share a color ≥ 0;

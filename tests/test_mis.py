@@ -231,3 +231,84 @@ def test_coloring_chain_fully_colored():
     col = engine_coloring(g, "broadcast", 3, 3)
     assert -1 not in col.values()
     assert max(col.values()) <= 2
+
+
+# --- handshake maximal matching -----------------------------------------
+
+
+def matching_reference(edges, rounds):
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges}, key=u)
+    vid = {v: i for i, v in enumerate(verts)}
+    nbrs = {v: set() for v in verts}
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    alive = set(verts)
+    pairs = set()
+    for k in range(rounds):
+        pri = {
+            v: int(_priorities(np.array([vid[v]], dtype=np.int64), k)[0])
+            for v in verts
+        }
+        target = {}
+        for v in alive:
+            cand = [w for w in nbrs[v] if w in alive]
+            if cand:
+                target[v] = min(cand, key=lambda w: (pri[w], vid[w]))
+        new = {
+            (min(a, b), max(a, b))
+            for a, b in target.items()
+            if target.get(b) == a
+        }
+        pairs |= new
+        for a, b in new:
+            alive.discard(a)
+            alive.discard(b)
+    return {(u(a), u(b)) for a, b in pairs}
+
+
+def engine_matching(g, mode, rounds):
+    from imtag_ray.pipelines.matching import maximal_matching
+
+    df = maximal_matching(g, CFG, rounds=rounds, mode=mode).to_pandas()
+    return {(r.url_a, r.url_b) for r in df.itertuples()}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_matching_exact_replay(name, mode):
+    g = digraph(CASES[name])
+    assert engine_matching(g, mode, 3) == matching_reference(CASES[name], 3)
+
+
+def test_matching_modes_agree_random():
+    rng = np.random.default_rng(61)
+    edges = list(
+        {(int(a), int(b)) for a, b in rng.integers(0, 40, size=(160, 2))
+         if a != b}
+    )
+    g = digraph(edges)
+    assert engine_matching(g, "broadcast", 4) == engine_matching(
+        g, "shuffle", 4
+    )
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_matching_converged_is_maximal_matching(mode):
+    rng = np.random.default_rng(67)
+    edges = list(
+        {(int(a), int(b)) for a, b in rng.integers(0, 50, size=(200, 2))
+         if a != b}
+    )
+    g = digraph(edges)
+    got = engine_matching(g, mode, None)
+    seen = {}
+    for a, b in got:
+        for x in (a, b):
+            assert x not in seen, x  # a matching: degree ≤ 1
+            seen[x] = True
+    # maximal: no edge with both endpoints unmatched
+    for a, b in edges:
+        if a != b:
+            assert u(a) in seen or u(b) in seen, (a, b)
