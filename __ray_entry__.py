@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": r.events_sessionize,
         "events_windows": r.events_window_funcs,
         "events_asof": r.events_asof_latest_order,
+        "events_conv24": r.events_conversion_window,
         "cust_no_orders": r.customers_without_orders,
         "events_type_users": r.events_type_user_counts,
         "events_trailing1h": r.events_trailing_counts,
@@ -1631,6 +1632,18 @@ def oracle_sql() -> dict[str, str]:
         "copart_mis3": _mis_sql(3),
         "copart_color3": _coloring_sql(3, 2),
         "copart_match3": _matching_sql(3),
+        "events_conv24": """
+            SELECT s.event_id AS signup_id,
+                   count(p.event_id) AS n_purchases,
+                   coalesce(sum(CAST(floor(p.value * 100) AS BIGINT)), 0)
+                       AS value_cents
+            FROM events s LEFT JOIN events p
+              ON p.user_id = s.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+            WHERE s.event_type = 'signup'
+            GROUP BY s.event_id ORDER BY signup_id
+        """,
         "copart_msf2": _msf_unrolled_sql(2),
         "doc_bc8": _betweenness_sql(8, 6),
         "doc_eigen8": _eigen_unrolled_sql(8),

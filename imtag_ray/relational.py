@@ -824,3 +824,175 @@ def events_retention(sf_dir: str, max_offset: int = 7) -> "ray.data.Dataset":
         counted.map_batches(to_date, batch_format="pyarrow")
         .sort(["cohort_date", "day_offset"])
     )
+
+
+def events_conversion_window(
+    sf_dir: str, window_hours: int = 24
+) -> "ray.data.Dataset":
+    """Interval (range / banded) join WITHIN the event stream: for
+    every ``signup`` event, the count and integer-cents value sum of
+    the same user's ``purchase`` events in [ts, ts + window] (bounds
+    inclusive) — the conversion-window join every attribution
+    pipeline runs, and the banded-join generalization of
+    events_asof_latest_order.
+
+    Fully co-partitioned: both roles tagged + unioned, ONE
+    groupby(hash bucket of user) co-locates each user's signups with
+    their purchases, then per bucket one lexsort + the
+    monotone-surrogate searchsorted of events_trailing_counts answers
+    every signup's window at once (no per-user Python, no driver
+    state). Value sums are int64 cents (floor(value·100)) so no float
+    summation order can diverge from the SQL oracle's SUM."""
+    ev = _read(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    win_us = np.int64(window_hours) * 3_600_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        typ = t["event_type"]
+        is_p = pc.equal(typ, "purchase")
+        is_s = pc.equal(typ, "signup")
+        keep = pc.or_(is_p, is_s)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.int8()),
+                 "ts_us": pa.array([], pa.int64()),
+                 "okey": pa.array([], pa.int64()),
+                 "cents": pa.array([], pa.int64())}
+            )
+        sig = np.asarray(
+            pc.equal(t2["event_type"], "signup").combine_chunks()
+            if isinstance(t2["event_type"], pa.ChunkedArray)
+            else pc.equal(t2["event_type"], "signup")
+        )
+        val = t2["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        eid = t2["event_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t2["user_id"].cast(pa.int64()),
+                "kind": pa.array(
+                    np.where(sig, 1, 0).astype(np.int8), pa.int8()
+                ),
+                "ts_us": t2["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                # the signup side carries its event_id as the join key;
+                # the purchase side carries its value in cents
+                "okey": pa.array(
+                    np.where(sig, eid, 0).astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(
+                    np.where(
+                        sig, 0, np.floor(val * 100.0)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    both = ev.map_batches(tag, batch_format="pyarrow")
+
+    def window_block(g: pa.Table, _w=win_us) -> pa.Table:
+        empty = pa.table(
+            {"signup_id": pa.array([], pa.int64()),
+             "n_purchases": pa.array([], pa.int64()),
+             "value_cents": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = col_np(g, "user_id").astype(np.int64)
+        kind = col_np(g, "kind").astype(np.int8)
+        ts = col_np(g, "ts_us").astype(np.int64)
+        okey = g.column("okey")
+        if isinstance(okey, pa.ChunkedArray):
+            okey = okey.combine_chunks()
+        okeys = np.nan_to_num(
+            okey.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        ).astype(np.int64)
+        cents_col = g.column("cents")
+        if isinstance(cents_col, pa.ChunkedArray):
+            cents_col = cents_col.combine_chunks()
+        cents = np.nan_to_num(
+            cents_col.to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        ).astype(np.int64)
+
+        is_e = kind == 0
+        ue, te, ce = uid[is_e], ts[is_e], cents[is_e]
+        is_o = kind == 1
+        uo, to, ko = uid[is_o], ts[is_o], okeys[is_o]
+        if len(uo) == 0:
+            return empty
+        eorder = np.lexsort((te, ue))
+        ue, te, ce = ue[eorder], te[eorder], ce[eorder]
+        ne = len(ue)
+        if ne == 0:
+            return pa.table(
+                {"signup_id": pa.array(ko, pa.int64()),
+                 "n_purchases": pa.array(
+                     np.zeros(len(ko), dtype=np.int64), pa.int64()
+                 ),
+                 "value_cents": pa.array(
+                     np.zeros(len(ko), dtype=np.int64), pa.int64()
+                 )}
+            )
+        new_u = np.zeros(ne, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = ue[1:] != ue[:-1]
+        starts = np.flatnonzero(new_u)
+        seg_of_e = np.cumsum(new_u).astype(np.int64) - 1
+        base_t = te[starts]
+        seg_users = ue[starts]
+        rel_e = te - base_t[seg_of_e]
+
+        # map each order to its user's event segment (orders for users
+        # with no events in this bucket → 0 / 0)
+        idx = np.searchsorted(seg_users, uo)
+        idxc = np.minimum(idx, len(seg_users) - 1)
+        has = seg_users[idxc] == uo
+        seg_o = idxc[has]
+        rel_lo = to[has] - base_t[seg_o]
+        rel_hi = rel_lo + _w
+
+        mx = max(
+            int(rel_e.max()) if ne else 0,
+            int(rel_hi.max()) if has.any() else 0,
+            0,
+        )
+        B = np.int64(mx) + np.int64(2)
+        pref = np.concatenate([[0], np.cumsum(ce)])
+        nseg = int(seg_of_e[-1]) + 1
+        if nseg * int(B) < (1 << 62):
+            s2 = seg_of_e * B + rel_e
+            qlo = seg_o * B + np.clip(rel_lo, 0, B - 1)
+            qhi = seg_o * B + np.clip(rel_hi, -1, B - 1)
+            lo = np.searchsorted(s2, qlo, side="left")
+            hi = np.searchsorted(s2, qhi, side="right")
+            hi = np.maximum(hi, lo)  # rel_hi < 0 → empty window
+        else:  # astronomically wide buckets: per-order fallback
+            lo = np.empty(len(seg_o), dtype=np.int64)
+            hi = np.empty(len(seg_o), dtype=np.int64)
+            ends = np.append(starts[1:], ne)
+            for i, (sg, rl, rh) in enumerate(zip(seg_o, rel_lo, rel_hi)):
+                a, b = starts[sg], ends[sg]
+                lo[i] = a + np.searchsorted(te[a:b], base_t[sg] + rl, "left")
+                hi[i] = a + np.searchsorted(te[a:b], base_t[sg] + rh, "right")
+            hi = np.maximum(hi, lo)
+        n_ev = np.zeros(len(uo), dtype=np.int64)
+        v_ct = np.zeros(len(uo), dtype=np.int64)
+        n_ev[has] = hi - lo
+        v_ct[has] = pref[hi] - pref[lo]
+        return pa.table(
+            {"signup_id": pa.array(ko, pa.int64()),
+             "n_purchases": pa.array(n_ev, pa.int64()),
+             "value_cents": pa.array(v_ct, pa.int64())}
+        )
+
+    return (
+        both.map_batches(_user_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(window_block, batch_format="pyarrow")
+        .materialize()
+        .sort("signup_id")
+    )
