@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_pairs": d.ngram_pairs_q,
         "lev_pairs": d.lev_pairs_q,
         "prefix_pairs": d.prefix_pairs_q,
+        "containment_pairs": d.containment_pairs_q,
         "dedup_near_keep": s.dedup_near_keep_q,
         "doc_curate": s.doc_curate_q,
         # --- corpus scoring / selection -------------------------------------
@@ -1891,6 +1892,38 @@ def oracle_sql() -> dict[str, str]:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.5
+    ORDER BY id_a, id_b
+""",
+        "containment_pairs": rf"""
+    WITH toks AS (
+      SELECT doc_id, {_STRIP} AS s,
+             regexp_split_to_array({_STRIP}, '\s+') AS tk
+      FROM documents
+    ),
+    shingle_strs AS (
+      SELECT doc_id,
+        CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+             WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                                 i -> array_to_string(tk[i:i+2], ' '))
+        END AS sgl
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substring(md5(g), 1, 16) AS UBIGINT) AS h
+      FROM (SELECT doc_id, unnest(sgl) AS g FROM shingle_strs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / sa.c, 9) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(i AS DOUBLE) / sa.c >= 0.8
     ORDER BY id_a, id_b
 """,
         "lev_pairs": """

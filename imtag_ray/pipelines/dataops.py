@@ -133,6 +133,17 @@ def prefix_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     return _round_col(out, "jaccard").sort(["id_a", "id_b"])
 
 
+def containment_pairs_q(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered near-containment pairs (|A∩B|/|A| ≥ 0.8) via the
+    one-sided prefix filter — catches short-doc-inside-long-doc
+    duplicates that symmetric Jaccard misses."""
+    from ..dedup.prefix import containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = containment_pairs(ds, "doc_id", "text", threshold=0.8)
+    return _round_col(out, "containment").sort(["id_a", "id_b"])
+
+
 def lev_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     """Fuzzy dedup: same-source pairs whose 64-char text prefixes are
     within 16 edits (exact unit-cost Levenshtein, batched DP)."""

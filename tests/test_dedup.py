@@ -339,3 +339,69 @@ def test_prefix_pairs_threshold_zero_rejected():
     tbl = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a b c"]})
     with pytest.raises(ValueError):
         prefix_jaccard_pairs(ray.data.from_arrow(tbl), "doc_id", "text", 0.0)
+
+
+def _brute_containment_pairs(texts: dict, threshold: float, k: int = 3):
+    sets = {
+        i: set(token_shingles(t, k).tolist()) for i, t in texts.items()
+    }
+    out = {}
+    ids = sorted(i for i, s in sets.items() if s)
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            c = inter / len(sets[a])
+            if c >= threshold:
+                out[(a, b)] = round(c, 9)
+    return out
+
+
+def _containment_engine(texts: dict, threshold: float):
+    import ray.data
+
+    from imtag_ray.dedup.prefix import containment_pairs
+
+    tbl = pa.table(
+        {"doc_id": pa.array(sorted(texts), pa.int64()),
+         "text": [texts[i] for i in sorted(texts)]}
+    )
+    df = containment_pairs(
+        ray.data.from_arrow(tbl), "doc_id", "text", threshold=threshold
+    ).to_pandas()
+    return {
+        (int(r.id_a), int(r.id_b)): round(float(r.containment), 9)
+        for r in df.itertuples()
+    }
+
+
+def test_containment_pairs_matches_bruteforce():
+    big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = {
+        0: big,
+        1: "delta epsilon zeta eta theta",  # fully inside 0, low jaccard
+        2: "unrelated words entirely different content here",
+        3: big + " phi chi psi omega",
+        4: "",
+    }
+    for t in (0.5, 0.8, 1.0):
+        got = _containment_engine(texts, t)
+        want = _brute_containment_pairs(texts, t)
+        assert got == want, (t, got, want)
+    # the asymmetric case symmetric Jaccard misses: 1 ⊂ 0
+    assert (1, 0) in _brute_containment_pairs(texts, 0.8)
+
+
+def test_containment_pairs_random_matches_bruteforce():
+    rng = np.random.default_rng(71)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=int(rng.integers(3, 20))))
+        for i in range(30)
+    }
+    texts[30] = " ".join(texts[0].split()[:6])  # prefix of doc 0
+    assert _containment_engine(texts, 0.7) == _brute_containment_pairs(
+        texts, 0.7
+    )
