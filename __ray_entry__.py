@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_edge_jaccard": q.copart_edge_jaccard_q,
         "copart_nbr_top3": q.copart_nbr_top3_q,
         "doc_reciprocity": q.doc_reciprocity_q,
+        "copart_richclub": q.copart_richclub_q,
+        "copart_diam16": q.copart_diam16_q,
         # --- text analysis -------------------------------------------------
         "doc_token_stats": d.doc_token_stats_q,
         "doc_bpe_tokens": d.doc_bpe_tokens_q,
@@ -112,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": d.doc_fingerprint_q,
         "doc_tfidf": d.doc_tfidf_q,
         "doc_cooccur": d.doc_cooccur_q,
+        "doc_dup_ngrams": d.doc_dup_ngrams_q,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
         "minhash_pairs": d.minhash_pairs_q,
@@ -2195,6 +2198,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
             FROM deg GROUP BY degree ORDER BY degree
         """,
+        "copart_richclub": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS (SELECT pa_ AS u FROM pairs UNION ALL SELECT pb_ FROM pairs),
+            deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS degree
+                                 FROM und GROUP BY u),
+            ks AS (SELECT unnest(range(0, 64)) AS k),
+            me AS (SELECT least(ds.degree, dd.degree) AS m
+                   FROM pairs JOIN deg ds ON ds.u = pairs.pa_
+                              JOIN deg dd ON dd.u = pairs.pb_),
+            nk AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM ks JOIN deg ON deg.degree > ks.k GROUP BY ks.k),
+            ek AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+                   FROM ks JOIN me ON me.m > ks.k GROUP BY ks.k)
+            SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes,
+                   CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+                   round(2.0 * coalesce(ek.n_edges, 0)
+                         / (nk.n_nodes * (nk.n_nodes - 1.0)), 9) AS phi
+            FROM nk LEFT JOIN ek ON ek.k = nk.k
+            WHERE nk.n_nodes >= 2 ORDER BY k
+        """,
+        "copart_diam16": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            seed AS (SELECT min(s) AS v FROM und),
+            walk1(it, v, dist) AS (
+                SELECT 0, v, 0 FROM seed
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM walk1 w JOIN und u ON u.s = w.v
+                WHERE w.it < 16 GROUP BY w.it, u.d),
+            d1 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist
+                   FROM walk1 GROUP BY v),
+            far1 AS (SELECT v, dist FROM d1 ORDER BY dist DESC, v LIMIT 1),
+            walk2(it, v, dist) AS (
+                SELECT 0, v, 0 FROM far1
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM walk2 w JOIN und u ON u.s = w.v
+                WHERE w.it < 16 GROUP BY w.it, u.d),
+            d2 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist
+                   FROM walk2 GROUP BY v),
+            far2 AS (SELECT v, dist FROM d2 ORDER BY dist DESC, v LIMIT 1)
+            SELECT {_PURL.format(c='seed.v')} AS src_url,
+                   {_PURL.format(c='far1.v')} AS mid_url,
+                   {_PURL.format(c='far2.v')} AS dst_url,
+                   far2.dist AS diameter
+            FROM seed, far1, far2
+        """,
         # hash-scheme pipelines: exact SQL replays (md5-based hashes via
         # hex-cast, minhash permutations in HUGEINT mod-prime arithmetic,
         # deterministic seed-vector IVF codebook) — no approximation gap.
@@ -2364,6 +2416,23 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(n.n / df) * tf, 9) AS tfidf_mass
             FROM agg CROSS JOIN n
             ORDER BY tfidf_mass DESC, term LIMIT 30
+        """,
+        "doc_dup_ngrams": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS l
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i
+                    FROM tok WHERE len(l) >= 5),
+            gram AS (SELECT doc_id,
+                            array_to_string(list_slice(l, i, i + 4), ' ')
+                                AS gram
+                     FROM pos)
+            SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM gram GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY df DESC, n_occ DESC, gram LIMIT 50
         """,
         "doc_cooccur": """
             WITH tk AS (

@@ -470,3 +470,72 @@ def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
         .sort(["pmi", "term_a", "term_b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+_EMPTY_NGRAMS = pa.table(
+    {"gram": pa.array([], pa.string()),
+     "n_occ": pa.array([], pa.int64()),
+     "df": pa.array([], pa.int64())}
+)
+
+
+def doc_dup_ngrams_q(sf_dir: str, n: int = 5, k: int = 50) -> "ray.data.Dataset":
+    """Duplicate-passage detection: the top-k token n-grams (n=5) that
+    repeat across the corpus → (gram, n_occ, df) with df ≥ 2, ordered
+    (df DESC, n_occ DESC, gram) — the building block of passage-level
+    dedup (memorization screens, boilerplate detection) in web-text
+    curation.
+
+    Scale shape (the doc_tfidf shape): each batch explodes its OWN
+    docs into n-grams (docs are single rows, so grams never cross
+    batches), collapses them batch-side via value_counts (n_occ) and a
+    per-(doc, gram) dedup (df), and ships ONE row per (gram, batch) —
+    the shuffle carries |gram-vocab|·blocks rows, never the gram
+    stream; the vocab-cardinality reduction is bucketed Arrow hash
+    aggregation. The df ≥ 2 filter drops the (huge) unique-gram tail
+    before the sort."""
+    import pyarrow.compute as pc
+
+    from ..util import bucketed_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("")
+        toks = texts.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        if len(ex) < n:
+            return _EMPTY_NGRAMS
+        did = ex.index.to_numpy()
+        tok = ex.to_numpy().astype(str)
+        w = len(tok) - n + 1
+        same_doc = did[:w] == did[n - 1:]
+        if not same_doc.any():
+            return _EMPTY_NGRAMS
+        grams = tok[:w]
+        for i in range(1, n):
+            grams = np.char.add(np.char.add(grams, " "), tok[i:w + i])
+        dfr = pd.DataFrame({"d": did[:w][same_doc], "g": grams[same_doc]})
+        occ = dfr["g"].value_counts().sort_index()
+        dfc = dfr.drop_duplicates()["g"].value_counts().sort_index()
+        return pa.table(
+            {"gram": pa.array(occ.index.astype(str), pa.string()),
+             "n_occ": pa.array(occ.to_numpy(np.int64)),
+             "df": pa.array(
+                 dfc.reindex(occ.index).fillna(0).to_numpy(np.int64)
+             )}
+        )
+
+    agg = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["gram"],
+        aggs=[("n_occ", "sum", "n_occ"), ("df", "sum", "df")],
+    )
+    return (
+        agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("df"), 2)),
+            batch_format="pyarrow",
+        )
+        .sort(["df", "n_occ", "gram"], descending=[True, True, False])
+        .limit(k)
+    )

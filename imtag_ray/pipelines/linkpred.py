@@ -36,6 +36,7 @@ from ..util import (
     bucketed_sum_aggregate,
     col_np,
     compact_nonempty,
+    sparse_sum_reduce,
     table_from_arrays,
 )
 
@@ -1025,5 +1026,103 @@ def edge_reciprocity(
             "reciprocity": pc.round(
                 pa.array([nr / n if n else 0.0], pa.float64()), 9
             ),
+        }
+    )
+
+
+def rich_club_curve(graph, cfg: EngineConfig = DEFAULT_CONFIG,
+                    max_k: int = 64) -> pa.Table:
+    """Rich-club coefficient curve → pa.Table (k, n_nodes, n_edges,
+    phi) for k = 0..max_k−1 wherever the >k-degree subgraph has ≥2
+    vertices: N_k = #vertices with deg > k, E_k = #edges whose BOTH
+    endpoints have deg > k, φ(k) = 2·E_k / (N_k·(N_k−1)) — the classic
+    hub-interconnection statistic (Colizza et al. 2006, unnormalized
+    form; reference parity: imtag's component-statistics family,
+    include/imtag_statistics.hpp).
+
+    Scale shape: every k is answered from TWO tiny histograms —
+    the degree histogram and the per-edge min-endpoint-degree
+    histogram. Degrees ride as a Dataset (no driver V-state), meet the
+    edge table in two int-keyed hash joins, and each histogram
+    collapses batch-side via sparse partials, so the shuffles carry
+    ≤ |distinct degrees|·blocks rows and the driver sees only the
+    histograms (power-law graphs: hundreds of rows at any V). Suffix
+    sums over those give every (N_k, E_k) at once — no per-k passes."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.graph_build import degree_dataset
+
+    deg = degree_dataset(graph, "undirected")
+
+    def hist_partial(t: pa.Table, col: str) -> pa.Table:
+        k, s = sparse_sum_reduce(
+            col_np(t, col), np.ones(t.num_rows, dtype=np.int64)
+        )
+        return table_from_arrays(d=k, n=s)
+
+    deg_hist = (
+        deg.map_batches(
+            lambda t: hist_partial(t, "degree"), batch_format="pyarrow"
+        )
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    edges_s = compact_nonempty(
+        graph.edges.join(
+            deg.rename_columns({"vid": "sv", "degree": "deg_s"}),
+            join_type="inner", num_partitions=cfg.num_partitions,
+            on=("src",), right_on=("sv",),
+        )
+    )
+    edges_sd = compact_nonempty(
+        edges_s.join(
+            deg.rename_columns({"vid": "dv", "degree": "deg_d"}),
+            join_type="inner", num_partitions=cfg.num_partitions,
+            on=("dst",), right_on=("dv",),
+        )
+    )
+
+    def min_deg_partial(t: pa.Table) -> pa.Table:
+        m = np.minimum(col_np(t, "deg_s"), col_np(t, "deg_d"))
+        k, s = sparse_sum_reduce(m, np.ones(len(m), dtype=np.int64))
+        return table_from_arrays(d=k, n=s)
+
+    if edges_sd is None:
+        edge_hist = None
+    else:
+        edge_hist = (
+            edges_sd.map_batches(min_deg_partial, batch_format="pyarrow")
+            .groupby("d")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+
+    ks = np.arange(max_k, dtype=np.int64)
+
+    def suffix_counts(hist) -> np.ndarray:
+        # count of items whose value is STRICTLY greater than each k
+        out = np.zeros(max_k, dtype=np.int64)
+        if hist is None or not len(hist):
+            return out
+        d = hist["d"].to_numpy(np.int64)
+        n = hist["n"].to_numpy(np.int64)
+        for dv, nv in zip(d, n):  # |distinct degrees| iterations — tiny
+            out[: min(int(dv), max_k)] += nv
+        return out
+
+    n_k = suffix_counts(deg_hist)
+    e_k = suffix_counts(edge_hist)
+    keep = n_k >= 2
+    phi = 2.0 * e_k[keep] / (
+        n_k[keep].astype(np.float64) * (n_k[keep] - 1.0)
+    )
+    return pa.table(
+        {
+            "k": pa.array(ks[keep]),
+            "n_nodes": pa.array(n_k[keep]),
+            "n_edges": pa.array(e_k[keep]),
+            "phi": pc.round(pa.array(phi, pa.float64()), 9),
         }
     )

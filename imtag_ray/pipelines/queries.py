@@ -965,3 +965,40 @@ def copart_truss4_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
     if isinstance(out, pa.Table):
         return out
     return out.sort(["url_a", "url_b"])
+
+
+def copart_richclub_q(sf_dir: str) -> pa.Table:
+    """Rich-club coefficient curve of the co-purchase graph →
+    (k, n_nodes, n_edges, phi) for k = 0..63 where the >k subgraph has
+    ≥2 vertices."""
+    from .linkpred import rich_club_curve
+
+    return rich_club_curve(copart_graph(sf_dir), QCFG, max_k=64)
+
+
+def copart_diam16_q(sf_dir: str) -> pa.Table:
+    """Pseudo-diameter of the co-purchase graph by the classic
+    double-sweep BFS: sweep 1 from the lexicographically smallest url,
+    sweep 2 from the farthest vertex of sweep 1 (ties → smallest url);
+    each sweep runs 16 fixed relaxation rounds so the bounded
+    recursive-CTE oracle replays it exactly. One row (src_url, mid_url,
+    dst_url, diameter). Both argmax picks are LIMIT-1 sorts of the
+    (url, dist) Dataset — the only driver materialization is 1 row."""
+    from ray.data.aggregate import Min
+
+    from .traversal import bfs_distances
+
+    g = copart_graph(sf_dir)
+    seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
+    d1 = bfs_distances(g, [seed], QCFG, rounds=16)
+    far1 = d1.sort(["dist", "url"], descending=[True, False]).limit(1).take(1)[0]
+    d2 = bfs_distances(g, [far1["url"]], QCFG, rounds=16)
+    far2 = d2.sort(["dist", "url"], descending=[True, False]).limit(1).take(1)[0]
+    return pa.table(
+        {
+            "src_url": pa.array([seed], pa.string()),
+            "mid_url": pa.array([far1["url"]], pa.string()),
+            "dst_url": pa.array([far2["url"]], pa.string()),
+            "diameter": pa.array([int(far2["dist"])], pa.int64()),
+        }
+    )

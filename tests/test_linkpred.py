@@ -394,3 +394,46 @@ def test_ball2_approx_matches_scalar_hll_replay_and_accuracy():
         assert abs(approx[u] - exact[u]) <= max(3, 0.15 * exact[u]), (
             u, approx[u], exact[u]
         )
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "barbell", "gnp"])
+def test_rich_club_matches_reference(name):
+    from imtag_ray.pipelines.linkpred import rich_club_curve
+
+    tbl = named_graph_edges(name)
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    out = rich_club_curve(g, CFG, max_k=32).to_pandas()
+
+    # scalar reference over the same undirected simple graph
+    nxg = _nx_graph(tbl)
+    deg = dict(nxg.degree())
+    for r in out.itertuples():
+        k = int(r.k)
+        rich = {v for v, d in deg.items() if d > k}
+        n_edges = sum(
+            1 for u, v in nxg.edges() if u in rich and v in rich
+        )
+        assert int(r.n_nodes) == len(rich)
+        assert int(r.n_edges) == n_edges
+        if len(rich) >= 2:
+            phi = 2.0 * n_edges / (len(rich) * (len(rich) - 1.0))
+            assert float(r.phi) == pytest.approx(phi, abs=1e-9)
+    # every k with ≥2 rich nodes is present, nothing else
+    ks = {int(r.k) for r in out.itertuples()}
+    expect = {
+        k for k in range(32)
+        if sum(1 for d in deg.values() if d > k) >= 2
+    }
+    assert ks == expect
+
+
+def test_rich_club_monotone_club_shrinks():
+    from imtag_ray.pipelines.linkpred import rich_club_curve
+
+    tbl = named_graph_edges("powerlaw")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    out = rich_club_curve(g, CFG, max_k=64).to_pandas()
+    n = out["n_nodes"].to_numpy()
+    e = out["n_edges"].to_numpy()
+    assert (np.diff(n) <= 0).all() and (np.diff(e) <= 0).all()
+    assert ((out["phi"] >= 0) & (out["phi"] <= 1)).all()
