@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_msf2": q.copart_msf2_q,
         "doc_bc8": q.doc_bc8_q,
         "doc_eigen8": q.doc_eigen8_q,
+        "doc_katz8": q.doc_katz8_q,
         "doc_nf4": q.doc_nf4_q,
         "doc_effdiam4": q.doc_effdiam4_q,
         "copart_bfs12": q.copart_bfs12_q,
@@ -1380,6 +1381,34 @@ def _eigen_unrolled_sql(iters: int = 8) -> str:
     FROM fin ORDER BY url"""
 
 
+def _katz_unrolled_sql(iters: int = 8, alpha: float = 0.125) -> str:
+    """Katz-centrality oracle: K rounds of x_r = 1 + α·(in-sum of
+    x_{r-1}) unrolled (x_0 = 1, β = 1), one L1 normalize at the end —
+    pipelines.traversal.katz_centrality's contract. α = 1/8 keeps every
+    intermediate a dyadic rational exactly representable in float64, so
+    join/summation order is immaterial on both sides. Each round is a
+    LEFT JOIN over ALL vertices (a vertex with no in-edges stays at 1,
+    unlike the eigen oracle where it decays to 0)."""
+    parts = [f"WITH targets AS ({_DOC_TARGETS}),",
+             "e AS MATERIALIZED (SELECT DISTINCT doc_id AS s, tgt AS d"
+             " FROM targets WHERE tgt != doc_id),",
+             "verts(v) AS (SELECT s FROM e UNION SELECT d FROM e),",
+             "x0 AS (SELECT v, 1.0 AS x FROM verts),"]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT e.d AS v, sum(x{r-1}.x) AS mx"
+            f" FROM e JOIN x{r-1} ON x{r-1}.v = e.s GROUP BY e.d),")
+        parts.append(
+            f"x{r} AS MATERIALIZED (SELECT verts.v,"
+            f" 1.0 + {alpha!r} * coalesce(m{r}.mx, 0) AS x FROM verts"
+            f" LEFT JOIN m{r} ON m{r}.v = verts.v),")
+    parts.append(f"tot AS (SELECT sum(x) AS t FROM x{iters})")
+    return "\n".join(parts) + f"""
+    SELECT {_DURL.format(c=f'x{iters}.v')} AS url,
+           round(x{iters}.x / nullif((SELECT t FROM tot), 0), 9) AS score
+    FROM x{iters} ORDER BY url"""
+
+
 def _mis_sql(rounds: int = 3) -> str:
     """Luby-MIS oracle: `rounds` rounds unrolled over the symmetrized
     copart graph in the engine's vid space (vid = url rank = numeric
@@ -1651,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
         "copart_msf2": _msf_unrolled_sql(2),
         "doc_bc8": _betweenness_sql(8, 6),
         "doc_eigen8": _eigen_unrolled_sql(8),
+        "doc_katz8": _katz_unrolled_sql(8),
         "doc_nf4": _nf_sql(4, 8),
         "doc_effdiam4": _effdiam_sql(4, 8),
         "copart_bfs12": f"""

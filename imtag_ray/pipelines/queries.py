@@ -500,6 +500,31 @@ def doc_eigen8_q(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def doc_katz8_q(sf_dir: str) -> "ray.data.Dataset":
+    """Katz centrality (8 truncated-walk rounds, α = 1/8, β = 1,
+    deferred L1 normalization) over the extraction-built doc graph —
+    α a power of two keeps every intermediate a dyadic rational, so
+    the unrolled oracle replays the trajectory bit-exactly."""
+    from .traversal import katz_centrality
+
+    out = katz_centrality(doc_graph(sf_dir), QCFG, iterations=8)
+    return (
+        out.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("url"),
+                 "score": pa.array(
+                     np.round(
+                         t.column("score").to_numpy(zero_copy_only=False), 9
+                     ),
+                     pa.float64(),
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("url")
+    )
+
+
 def copart_mis3_q(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic Luby maximal independent set, 3 fixed rounds, over
     the undirected copart graph (splitmix64 round priorities; the

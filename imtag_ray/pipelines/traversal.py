@@ -439,6 +439,173 @@ def _eigen_shuffle(
 
 
 # ---------------------------------------------------------------------------
+# Katz centrality (truncated walk series, dyadic attenuation)
+# ---------------------------------------------------------------------------
+
+
+def katz_centrality(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    iterations: int = 8,
+    alpha: float = 0.125,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (vid, url, score): K rounds of the Katz recurrence
+    x ← 1 + α·Aᵀx from x = 1 (β = 1), then ONE L1 normalize — the
+    truncated walk series Σ_k α^k (Aᵀ)^k 1 truncated at K.
+
+    α must be a negative power of two (default 1/8): every
+    intermediate is then a dyadic rational exactly representable in
+    float64, so batch/summation order cannot perturb the result and
+    the unrolled SQL oracle replays it bit-exactly — the same
+    deferred-normalization exactness contract as
+    eigenvector_centrality above. Same broadcast/shuffle gate as every
+    vertex-state op (_pick_mode); the shuffle mode keeps x as a
+    Dataset column, never a driver array.
+    """
+    m = np.log2(alpha)
+    if not (alpha > 0 and m == np.floor(m)):
+        raise ValueError(f"alpha must be a power of two, got {alpha}")
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "url": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())}
+            )
+        )
+    mode = mode or _pick_mode(graph, cfg)
+    if mode == "shuffle":
+        state = _katz_shuffle(graph, cfg, iterations, alpha)
+        return (
+            compact_nonempty(graph.vertices).join(
+                state, join_type="inner",
+                num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["vid", "url", "score"])
+            .materialize()
+        )
+    x = _katz_broadcast(graph, cfg, iterations, alpha)
+    ref = ray.put(x)
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        xv = ray.get(_ref)
+        vid = col_np(batch, "vid")
+        return pa.table(
+            {"vid": batch.column("vid"), "url": batch.column("url"),
+             "score": pa.array(xv[vid], pa.float64())}
+        )
+
+    return graph.vertices.select_columns(["vid", "url"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+
+def _katz_broadcast(
+    graph: Graph, cfg: EngineConfig, iterations: int, alpha: float
+) -> np.ndarray:
+    V = graph.num_vertices
+    x = np.ones(V, dtype=np.float64)
+    for _ in range(iterations):
+        ref = ray.put(x)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            v = ray.get(_ref)
+            s = col_np(batch, "src")
+            d = col_np(batch, "dst")
+            k, p = sparse_sum_reduce(d, v[s])
+            return table_from_arrays(vid=k, part=p)
+
+        out = np.zeros(V, dtype=np.float64)
+        for b in graph.edges.map_batches(
+            step, batch_format="pyarrow"
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            np.add.at(out, col_np(b, "vid"), col_np(b, "part"))
+        x = 1.0 + alpha * out
+    s = x.sum()
+    return x / s if s > 0 else x
+
+
+def _katz_shuffle(
+    graph: Graph, cfg: EngineConfig, iterations: int, alpha: float
+) -> "ray.data.Dataset":
+    """Dataset-state Katz rounds: per-round inner join edges⋈state on
+    src, scatter to dst with a map-side combiner, ONE bucketed sum,
+    then a left-outer join back onto the vertex set applying the
+    affine 1 + α·msg update (vertices with no in-edges stay at 1)."""
+    P = cfg.num_partitions
+    edges = compact_nonempty(graph.edges.select_columns(["src", "dst"]))
+    ones = compact_nonempty(
+        graph.vertices.select_columns(["vid"]).map_batches(
+            lambda t: table_from_arrays(
+                vid=col_np(t, "vid"),
+                score=np.ones(t.num_rows, dtype=np.float64),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    state = ones
+    if edges is None:
+        return state.materialize()
+    for _ in range(iterations):
+        msgs = (
+            edges.join(
+                state, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .map_batches(
+                lambda t: table_from_arrays(
+                    **dict(
+                        zip(
+                            ("vid", "part"),
+                            sparse_sum_reduce(
+                                col_np(t, "dst"), col_np(t, "score")
+                            ),
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        msgs = compact_nonempty(
+            bucketed_sum_aggregate(msgs, key_cols=["vid"], sum_cols=["part"])
+        )
+        if msgs is None:
+            state = ones.materialize()
+            continue
+
+        def update(t: pa.Table, _a=alpha) -> pa.Table:
+            part = t.column("part").to_numpy(zero_copy_only=False)
+            part = np.nan_to_num(
+                np.where(part == None, 0.0, part).astype(np.float64)  # noqa: E711
+            )
+            return table_from_arrays(
+                vid=col_np(t, "vid"), score=1.0 + _a * part
+            )
+
+        state = compact_nonempty(
+            ones.join(
+                msgs, join_type="left_outer", num_partitions=P,
+                on=("vid",), right_on=("vid",),
+            ).map_batches(update, batch_format="pyarrow")
+        )
+    tot = state.map_batches(
+        lambda t: table_from_arrays(
+            s=np.array([col_np(t, "score").sum()])
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("s", alias_name="s"))
+    s = float(tot["s"]) or 1.0
+    return state.map_batches(
+        lambda t, _s=s: table_from_arrays(
+            vid=col_np(t, "vid"), score=col_np(t, "score") / _s
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+
+# ---------------------------------------------------------------------------
 # BFS hop distance
 # ---------------------------------------------------------------------------
 

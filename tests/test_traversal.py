@@ -382,6 +382,60 @@ def test_eigenvector_modes_agree_exactly():
     assert bm == sm  # integer-until-normalize ⇒ bit equality
 
 
+# --- Katz centrality ------------------------------------------------------
+
+
+def _katz_ref(edges, iters, alpha=0.125):
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges})
+    vid = {v: i for i, v in enumerate(verts)}
+    V = len(verts)
+    x = np.ones(V)
+    for _ in range(iters):
+        nxt = np.zeros(V)
+        for a, b in edges:
+            nxt[vid[b]] += x[vid[a]]
+        x = 1.0 + alpha * nxt
+    x = x / x.sum()
+    return {f"u{v:03d}": x[vid[v]] for v in verts}
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_katz_matches_reference(mode):
+    from imtag_ray.pipelines.traversal import katz_centrality
+
+    rng = np.random.default_rng(31)
+    edges = list(
+        {(int(a), int(b)) for a, b in rng.integers(0, 30, size=(120, 2))
+         if a != b}
+    )
+    g = _eigen_digraph(edges)
+    df = katz_centrality(g, CFG, iterations=6, mode=mode).to_pandas()
+    got = dict(zip(df["url"], df["score"]))
+    ref = _katz_ref(edges, 6)
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-15), k
+
+
+def test_katz_modes_agree_exactly():
+    """Dyadic α ⇒ bit equality between broadcast and shuffle modes."""
+    from imtag_ray.pipelines.traversal import katz_centrality
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1), (0, 3), (4, 0)]
+    g = _eigen_digraph(edges)
+    b = katz_centrality(g, CFG, iterations=8, mode="broadcast").to_pandas()
+    s = katz_centrality(g, CFG, iterations=8, mode="shuffle").to_pandas()
+    assert dict(zip(b["url"], b["score"])) == dict(zip(s["url"], s["score"]))
+
+
+def test_katz_rejects_non_dyadic_alpha():
+    from imtag_ray.pipelines.traversal import katz_centrality
+
+    g = _eigen_digraph([(0, 1)])
+    with pytest.raises(ValueError):
+        katz_centrality(g, CFG, alpha=0.1)
+
+
 # --- sampled-source depth-bounded betweenness ---------------------------
 
 
