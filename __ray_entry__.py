@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_component_sizes": q.geo_component_sizes_q,
         "geo_labelprop": q.geo_labelprop_q,
         "geo_modularity": q.geo_modularity_q,
+        "geo_quotient": q.geo_quotient_q,
         "doc_hits8": q.doc_hits8_q,
         "doc_scc": q.doc_scc_q,
         "doc_bowtie": q.doc_bowtie_q,
@@ -545,6 +546,22 @@ def _geo_modularity_sql(rounds: int = 6) -> str:
                  - pow(ds.deg_sum / (2 * m.m), 2), 9) AS q_c
     FROM dsum ds LEFT JOIN intra i ON i.lab = ds.lab CROSS JOIN m
     ORDER BY label"""
+
+
+def _geo_quotient_sql(rounds: int = 6) -> str:
+    """Quotient-graph oracle: the labelprop CTE chain (identical
+    trajectory to _lp_unrolled_sql) + contraction — each directed edge
+    of `e` counted once under its unordered (least, greatest) label
+    pair, exactly pipelines.quotient.quotient_edges' contract."""
+    lp = _lp_unrolled_sql(rounds)
+    head = lp[: lp.rindex("SELECT v AS url")].rstrip()
+    return head + f""",
+    labs AS (SELECT v, coalesce(lab, '') AS lab FROM state{rounds})
+    SELECT least(ls.lab, ld.lab) AS label_a,
+           greatest(ls.lab, ld.lab) AS label_b,
+           CAST(count(*) AS BIGINT) AS weight
+    FROM e JOIN labs ls ON ls.v = e.s JOIN labs ld ON ld.v = e.d
+    GROUP BY 1, 2 ORDER BY label_a, label_b"""
 
 
 def _hits_unrolled_sql(iters: int = 8) -> str:
@@ -1633,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geo_labelprop": _lp_unrolled_sql(6),
         "geo_modularity": _geo_modularity_sql(6),
+        "geo_quotient": _geo_quotient_sql(6),
         "doc_hits8": _hits_unrolled_sql(8),
         # strongly connected components: closure oracle — mutual
         # reachability pairs, SCC id = lexicographically smallest url

@@ -271,6 +271,31 @@ def geo_labelprop_q(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def geo_quotient_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
+    """Quotient (contracted) graph of the geo graph under the labelprop
+    community assignment: one row per unordered community pair with
+    weight = number of directed deduped edges between (or within, when
+    label_a == label_b) the two communities. The labelprop trajectory
+    is the same one the geo_labelprop oracle unrolls; the contraction
+    itself is two hash joins + one bucketed label-pair aggregation."""
+    from .labelprop import label_propagation
+    from .quotient import quotient_edges
+
+    g = build_graph(geo_edge_urls(sf_dir), QCFG)
+    regions = _read(sf_dir, "region", columns=["r_regionkey"]).to_pandas()
+    seeds = {
+        f"r://{int(k):04d}": f"region_{int(k):04d}"
+        for k in regions["r_regionkey"]
+    }
+    labels = label_propagation(g, seeds, QCFG).select_columns(
+        ["vid", "label"]
+    )
+    out = quotient_edges(g, labels, QCFG)
+    if isinstance(out, pa.Table):
+        return out
+    return out.sort(["label_a", "label_b"])
+
+
 # ---------------------------------------------------------------------------
 # document pages: extraction pipeline
 # ---------------------------------------------------------------------------

@@ -195,3 +195,67 @@ def test_labelprop_shuffle_no_matching_seeds():
     cfg = EngineConfig(num_partitions=4, broadcast_max_vertices=0)
     ours = engine_lp_mode(tbl, {"u/nonexistent": "x"}, "shuffle", cfg)
     assert set(ours.values()) == {""}
+
+
+# --- quotient / contracted graph ------------------------------------------
+
+
+def test_quotient_edges_two_cliques_bridge():
+    """Contract the two-cliques graph by its labelprop communities: the
+    quotient must be two self-loops (intra-clique edge counts) plus one
+    inter-community super-edge per bridge edge."""
+    import pyarrow as pa
+
+    from imtag_ray.pipelines.quotient import quotient_edges
+
+    base = named_graph_edges("two_cliques")
+    tbl = pa.table(
+        {
+            "src_url": pa.array(
+                base["src_url"].to_pylist() + [gurl(0)], pa.string()
+            ),
+            "dst_url": pa.array(
+                base["dst_url"].to_pylist() + [gurl(5)], pa.string()
+            ),
+        }
+    )  # two cliques + ONE bridge edge 0–5
+    g = build_graph(ray.data.from_arrow(tbl))
+    seeds = {gurl(0): "red", gurl(5): "blue"}
+    labels = label_propagation(g, seeds, CFG).select_columns(["vid", "label"])
+    out = quotient_edges(g, labels, CFG)
+    t = out if isinstance(out, pa.Table) else out.to_arrow_refs()
+    if not isinstance(t, pa.Table):
+        import ray as _ray
+
+        t = pa.concat_tables(
+            [x for x in _ray.get(t) if x.num_rows]
+        )
+    rows = {
+        (a, b): w
+        for a, b, w in zip(
+            t.column("label_a").to_pylist(),
+            t.column("label_b").to_pylist(),
+            t.column("weight").to_pylist(),
+        )
+    }
+    # reference contraction from the raw pairs + the reference LP labels
+    pairs = list(zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist()))
+    lab = label_propagation_reference(pairs, seeds)
+    expect: dict = {}
+    for s, d in pairs:
+        k = tuple(sorted((lab[s] or "", lab[d] or "")))
+        expect[k] = expect.get(k, 0) + 1
+    assert rows == expect
+    assert ("blue", "red") in rows  # the bridge survives contraction
+
+
+def test_quotient_edges_empty_graph():
+    import pyarrow as pa
+
+    from imtag_ray.pipelines.quotient import quotient_edges
+
+    tbl = pa.table({"src_url": pa.array([], pa.string()),
+                    "dst_url": pa.array([], pa.string())})
+    g = build_graph(ray.data.from_arrow(tbl))
+    out = quotient_edges(g, g.vertices, CFG)
+    assert isinstance(out, pa.Table) and out.num_rows == 0
