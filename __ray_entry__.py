@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": d.doc_tfidf_q,
         "doc_cooccur": d.doc_cooccur_q,
         "doc_dup_ngrams": d.doc_dup_ngrams_q,
+        "doc_zipf": d.doc_zipf_q,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
         "minhash_pairs": d.minhash_pairs_q,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_parts": r.supplier_part_counts,
         "cust_order_stats": r.customer_order_stats,
         "orders_rollup": r.orders_rollup,
+        "orders_cube": r.orders_cube,
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
         "copart_deg_hist": q.copart_deg_hist_q,
@@ -2209,6 +2211,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY ROLLUP(o_year, o_orderpriority)
             ) ORDER BY o_year, o_orderpriority
         """,
+        "orders_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   round(sum_price, 2) AS sum_price, n_orders
+            FROM (
+                SELECT o_orderstatus, o_orderpriority,
+                       sum(o_totalprice) AS sum_price,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ) ORDER BY o_orderstatus, o_orderpriority
+        """,
         "events_funnel": """
             WITH f AS (
               SELECT user_id,
@@ -2449,6 +2462,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, round(coalesce(sc.s, 0.0), 6) AS bm25
             FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "doc_zipf": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                         AS term
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            agg AS (SELECT term, CAST(count(*) AS BIGINT) AS tf,
+                           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tk GROUP BY term),
+            ranked AS (SELECT row_number() OVER
+                           (ORDER BY tf DESC, term) AS rank, *
+                       FROM agg)
+            SELECT CAST(rank AS BIGINT) AS rank, term, tf, df
+            FROM ranked WHERE rank <= 100 ORDER BY rank
         """,
         "doc_tfidf": r"""
             WITH tk AS (

@@ -336,6 +336,58 @@ def doc_tfidf_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
     return out
 
 
+def doc_zipf_q(sf_dir: str, k: int = 100) -> pa.Table:
+    """Zipf vocabulary-rank table: the top-k corpus terms by total
+    occurrences → (rank, term, tf, df) ordered by rank — the
+    frequency-rank curve every corpus-curation report starts with
+    (vocabulary skew, stopword mass, tokenizer sanity).
+
+    Scale shape = doc_tfidf's: per-batch tokenize + value_counts emits
+    ONE row per (term, batch); the only shuffle carries
+    |vocab|·|blocks| rows through bucketed Arrow aggregation, then a
+    sort + limit(k) bounds the result before the driver assigns the
+    dense rank to k rows (bounded, never vocab-sized)."""
+    from ..util import bucketed_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("")
+        toks = texts.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        df_ = pd.DataFrame({"d": ex.index.to_numpy(), "t": ex.to_numpy()})
+        if not len(df_):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        tf = df_["t"].value_counts().sort_index()
+        dfc = df_.drop_duplicates()["t"].value_counts().sort_index()
+        return pa.table(
+            {"term": pa.array(tf.index.astype(str), pa.string()),
+             "tf": pa.array(tf.to_numpy(np.int64)),
+             "df": pa.array(dfc.reindex(tf.index).fillna(0).to_numpy(np.int64))}
+        )
+
+    agg = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["term"],
+        aggs=[("tf", "sum", "tf"), ("df", "sum", "df")],
+    )
+    top = (
+        agg.sort(["tf", "term"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+            "term": pa.array([r["term"] for r in top], pa.string()),
+            "tf": pa.array([int(r["tf"]) for r in top], pa.int64()),
+            "df": pa.array([int(r["df"]) for r in top], pa.int64()),
+        }
+    )
+
+
 def embed_kmeans_q(sf_dir: str) -> "ray.data.Dataset":
     """Fixed-trajectory Lloyd k-means (k=8, two assignment rounds, init
     = vectors of vec_id 0..7) → (vec_id, cluster). The oracle unrolls

@@ -701,6 +701,80 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """CUBE aggregate (GROUP BY CUBE(status, priority)): order count
+    and revenue at all four grains — (status, priority), (status, ALL),
+    (ALL, priority) and the grand total. Same scale shape as
+    orders_rollup: ONE distributed pass over orders at the finest grain
+    (≤ |status|·|priority| groups), then the three coarser grains
+    re-aggregate that tiny table inside one single-block map_batches.
+    'ALL' sentinels instead of SQL NULLs keep the hash compare
+    null-ordering-free."""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    fine = orders.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Sum("o_totalprice", alias_name="sum_price"),
+        Count(alias_name="n_orders"),
+    )
+
+    def cube(t: pa.Table) -> pa.Table:
+        def grain(keys: list[str]) -> pa.Table:
+            if keys:
+                g = t.group_by(keys).aggregate(
+                    [("sum_price", "sum"), ("n_orders", "sum")]
+                )
+                cols = {
+                    "o_orderstatus": (
+                        g.column("o_orderstatus")
+                        if "o_orderstatus" in keys
+                        else pa.array(["ALL"] * len(g))
+                    ),
+                    "o_orderpriority": (
+                        g.column("o_orderpriority")
+                        if "o_orderpriority" in keys
+                        else pa.array(["ALL"] * len(g))
+                    ),
+                    "sum_price": g.column("sum_price_sum"),
+                    "n_orders": g.column("n_orders_sum"),
+                }
+                return pa.table(cols)
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array(["ALL"]),
+                    "o_orderpriority": pa.array(["ALL"]),
+                    "sum_price": pa.array(
+                        [pc.sum(t.column("sum_price")).as_py() or 0.0]
+                    ),
+                    "n_orders": pa.array(
+                        [pc.sum(t.column("n_orders")).as_py() or 0], pa.int64()
+                    ),
+                }
+            )
+
+        out = pa.concat_tables(
+            [
+                t.select(
+                    ["o_orderstatus", "o_orderpriority", "sum_price", "n_orders"]
+                ),
+                grain(["o_orderstatus"]),
+                grain(["o_orderpriority"]),
+                grain([]),
+            ]
+        )
+        return out.set_column(
+            out.schema.get_field_index("sum_price"), "sum_price",
+            pc.round(out.column("sum_price"), 2),
+        )
+
+    return (
+        fine.repartition(1)
+        .map_batches(cube, batch_format="pyarrow")
+        .sort(["o_orderstatus", "o_orderpriority"])
+    )
+
+
 def events_funnel(sf_dir: str) -> pa.Table:
     """Ordered-funnel analysis (signup → click → purchase): counts
     users whose FIRST events occur in strict temporal order. One
