@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_bfs12": q.copart_bfs12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
+        "copart_shells6": q.copart_shells6_q,
         "copart_truss4": q.copart_truss4_q,
         "copart_adamic": q.copart_adamic_q,
         "copart_clustering": q.copart_clustering_q,
@@ -672,6 +673,39 @@ def _kcore_unrolled_sql(k: int = 3, rounds: int = 8) -> str:
     SELECT {_PURL.format(c='a.v')} AS url,
            CAST(coalesce(dfin.c, 0) AS BIGINT) AS core_degree
     FROM a{rounds} a LEFT JOIN dfin ON dfin.v = a.v ORDER BY url"""
+
+
+def _kshells_sql(k_max: int = 6, rounds: int = 8) -> str:
+    """k-shell oracle: one _kcore_unrolled_sql-style peel chain per k
+    (prefixed CTE names), then shell = max k whose final alive set
+    contains the vertex — pipelines.traversal.kshells' fixed-round
+    contract. MATERIALIZED is load-bearing exactly as in the k-core
+    oracle (each degree CTE references the previous alive set twice)."""
+    parts = [f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+             "und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs"
+             " UNION ALL SELECT pb_, pa_ FROM pairs),",
+             "a0(v) AS (SELECT DISTINCT s FROM und),"]
+    for k in range(1, k_max + 1):
+        prev = "a0"
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"k{k}d{r} AS MATERIALIZED (SELECT u.s AS v, count(*) AS c"
+                f" FROM und u JOIN {prev} x ON x.v = u.s"
+                f" JOIN {prev} y ON y.v = u.d GROUP BY u.s),")
+            parts.append(
+                f"k{k}a{r} AS MATERIALIZED"
+                f" (SELECT v FROM k{k}d{r} WHERE c >= {k}),")
+            prev = f"k{k}a{r}"
+    mem = " UNION ALL ".join(
+        f"SELECT v, {k} AS k FROM k{k}a{rounds}"
+        for k in range(1, k_max + 1)
+    )
+    parts.append(f"mem AS ({mem}),")
+    parts.append("sh AS (SELECT v, max(k) AS sh FROM mem GROUP BY v)")
+    return "\n".join(parts) + f"""
+    SELECT {_PURL.format(c='a0.v')} AS url,
+           CAST(coalesce(sh.sh, 0) AS BIGINT) AS shell
+    FROM a0 LEFT JOIN sh ON sh.v = a0.v ORDER BY url"""
 
 
 def _ppr_unrolled_sql(iters: int = 12, n_seeds: int = 5) -> str:
@@ -1742,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY v ORDER BY url
         """,
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
+        "copart_shells6": _kshells_sql(6, 8),
         "copart_truss4": _ktruss_unrolled_sql(4, 3),
         "copart_adamic": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),

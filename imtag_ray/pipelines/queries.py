@@ -631,6 +631,20 @@ def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
     return kcore(g, 3, QCFG, rounds=8).sort("url")
 
 
+def copart_shells6_q(sf_dir: str) -> "ray.data.Dataset":
+    """k-shell decomposition of the co-purchase graph under fixed-round
+    semantics: shell(v) = max k ≤ 6 such that v survives 8 peel rounds
+    of k-core peeling (the coreness number wherever every peel
+    converges within 8 rounds) → (url, shell)."""
+    from .traversal import kshells
+
+    g = copart_graph(sf_dir)
+    out = kshells(g, QCFG, k_max=6, rounds=8)
+    if isinstance(out, pa.Table):
+        return out
+    return out.sort("url")
+
+
 def copart_adamic_q(sf_dir: str) -> "ray.data.Dataset":
     """Adamic–Adar link prediction over the copart graph: every
     unordered vertex pair with ≥2 common neighbors, with the

@@ -1061,6 +1061,63 @@ def kcore(
     return graph.vertices.map_batches(attach, batch_format="pyarrow")
 
 
+def kshells(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k_max: int = 6,
+    rounds: int = 8,
+    mode: str | None = None,
+) -> "ray.data.Dataset | pa.Table":
+    """k-shell decomposition under fixed-round semantics → Dataset
+    (url, shell) where shell(v) = max k in 1..k_max such that v
+    survives ``rounds`` peel rounds of k-core peeling (0 if none — the
+    coreness number when every peel converges within ``rounds``).
+
+    Scale shape: k_max independent kcore() peels (each inherits the
+    broadcast/shuffle gate), their member sets tagged with k, unioned,
+    and reduced with ONE bucketed max over url — membership tables are
+    ≤ V rows each, never driver-materialized."""
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "shell": pa.array([], pa.int64())}
+    )
+    if graph.num_vertices == 0:
+        return empty
+    tagged = []
+    for k in range(1, k_max + 1):
+        mem = kcore(graph, k, cfg, rounds=rounds, mode=mode)
+
+        def tag(t: pa.Table, _k=k) -> pa.Table:
+            return pa.table(
+                {"url": t.column("url"),
+                 "shell": pa.array(
+                     np.full(t.num_rows, _k, dtype=np.int64), pa.int64()
+                 )}
+            )
+
+        tagged.append(
+            mem.select_columns(["url"]).map_batches(
+                tag, batch_format="pyarrow"
+            )
+        )
+    base = graph.vertices.select_columns(["url"]).map_batches(
+        lambda t: pa.table(
+            {"url": t.column("url"),
+             "shell": pa.array(
+                 np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+    allmem = base
+    for part in tagged:
+        allmem = allmem.union(part)
+    out = bucketed_aggregate(
+        allmem, key_cols=["url"], aggs=[("shell", "max", "shell")]
+    )
+    return compact_nonempty(out) or empty
+
+
 # ---------------------------------------------------------------------------
 # weighted single-source shortest paths (min-plus relaxation)
 # ---------------------------------------------------------------------------

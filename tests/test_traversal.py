@@ -502,3 +502,65 @@ def test_betweenness_chain_closed_form():
     got = dict(zip(df["url"], df["bc"]))
     for i in range(n):
         assert got[f"u{i:03d}"] == i * (n - 1 - i), i
+
+
+# --- k-shell decomposition ------------------------------------------------
+
+
+def _kshell_ref(edges, k_max, rounds):
+    """Pure-python fixed-round replay of the kshells contract."""
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges})
+    shell = {v: 0 for v in verts}
+    pairs = {tuple(sorted(e)) for e in edges}
+    for k in range(1, k_max + 1):
+        alive = set(verts)
+        for _ in range(rounds):
+            deg = {v: 0 for v in alive}
+            for a, b in pairs:
+                if a in alive and b in alive:
+                    deg[a] += 1
+                    deg[b] += 1
+            alive = {v for v in alive if deg[v] >= k}
+        for v in alive:
+            shell[v] = k
+    return {f"u{v:03d}": s for v, s in shell.items()}
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_kshells_matches_reference(mode):
+    from imtag_ray.pipelines.traversal import kshells
+
+    rng = np.random.default_rng(37)
+    # canonical unordered pairs — kcore's contract is one edge row per
+    # unordered pair (the copart graph shape)
+    edges = sorted(
+        {tuple(sorted((int(a), int(b))))
+         for a, b in rng.integers(0, 24, size=(90, 2)) if a != b}
+    )
+    g = _eigen_digraph(edges)
+    out = kshells(g, CFG, k_max=5, rounds=8, mode=mode)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    got = dict(zip(df["url"], (int(x) for x in df["shell"])))
+    assert got == _kshell_ref(edges, 5, 8)
+
+
+def test_kshells_matches_networkx_coreness():
+    """With rounds ≥ diameter-ish, fixed-round shells equal true
+    coreness (capped at k_max) — cross-checked against networkx."""
+    import networkx as nx
+
+    from imtag_ray.pipelines.traversal import kshells
+
+    rng = np.random.default_rng(41)
+    edges = sorted(
+        {tuple(sorted((int(a), int(b))))
+         for a, b in rng.integers(0, 20, size=(70, 2)) if a != b}
+    )
+    g = _eigen_digraph(edges)
+    out = kshells(g, CFG, k_max=8, rounds=30)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    got = dict(zip(df["url"], (int(x) for x in df["shell"])))
+    G = nx.Graph()
+    G.add_edges_from(edges)
+    core = nx.core_number(G)
+    assert got == {f"u{v:03d}": min(c, 8) for v, c in core.items()}
