@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_stats": r.customer_order_stats,
         "orders_rollup": r.orders_rollup,
         "orders_cube": r.orders_cube,
+        "events_zscore": r.events_zscore,
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
         "copart_deg_hist": q.copart_deg_hist_q,
@@ -2245,6 +2246,24 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_orders
                 FROM orders GROUP BY ROLLUP(o_year, o_orderpriority)
             ) ORDER BY o_year, o_orderpriority
+        """,
+        "events_zscore": """
+            WITH c AS (
+                SELECT event_type, date_trunc('hour', ts) AS window_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY event_type, date_trunc('hour', ts)),
+            st AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(n_events) AS BIGINT) AS s,
+                       CAST(sum(n_events * n_events) AS BIGINT) AS q
+                FROM c GROUP BY event_type)
+            SELECT c.event_type, c.window_start, c.n_events,
+                   round(CASE WHEN st.n * st.q - st.s * st.s > 0
+                         THEN CAST(st.n * c.n_events - st.s AS DOUBLE)
+                              / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE))
+                         ELSE 0.0 END, 9) AS z
+            FROM c JOIN st ON st.event_type = c.event_type
+            ORDER BY c.event_type, c.window_start
         """,
         "orders_cube": """
             SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -10,6 +10,8 @@ matching its DuckDB oracle in __ray_entry__.oracle_sql.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -698,6 +700,83 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
         fine.repartition(1)
         .map_batches(roll, batch_format="pyarrow")
         .sort(["o_year", "o_orderpriority"])
+    )
+
+
+def events_zscore(sf_dir: str) -> "ray.data.Dataset":
+    """Windowed anomaly detection: per event type, the z-score of each
+    1-hour window's event count against that type's own distribution
+    over all its windows → (event_type, window_start, n_events, z).
+
+    Exactness contract: with n windows, S = Σc, Q = Σc² (all exact
+    int64), z = (n·c − S) / √(n·Q − S²) — one float expression from
+    exact integers, so DuckDB replays the identical doubles (0 when
+    the variance term is 0). Scale shape: ONE bucketed (type, window)
+    count over events, a per-type scalar reduction (|types| rows —
+    broadcast back via ray.put), and a stateless per-batch scoring
+    map; nothing driver-side is window- or event-sized."""
+    from .util import bucketed_aggregate
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
+        return pa.table({"event_type": t["event_type"], "wstart_us": hour})
+
+    counts = bucketed_aggregate(
+        ev.map_batches(add_window, batch_format="pyarrow"),
+        key_cols=["event_type", "wstart_us"],
+        aggs=[("event_type", "count", "n_events")],
+    ).materialize()
+
+    # per-type sufficient statistics: |event types| rows — bounded by
+    # the domain, safe to collect and broadcast
+    def sq(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("n_events"), dtype=np.int64)
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "one": pa.array(np.ones(len(c), dtype=np.int64)),
+             "s": pa.array(c), "q": pa.array(c * c)}
+        )
+
+    stats = (
+        counts.map_batches(sq, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+        )
+        .take_all()
+    )
+    by_type = {
+        r["event_type"]: (int(r["n"]), int(r["s"]), int(r["q"]))
+        for r in stats
+    }
+    ref = ray.put(by_type)
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        st = ray.get(_ref)
+        et = t.column("event_type").to_pylist()
+        c = np.asarray(t.column("n_events"), dtype=np.int64)
+        z = np.zeros(len(c), dtype=np.float64)
+        for i, (ty, ci) in enumerate(zip(et, c)):
+            n, s, qq = st[ty]
+            den = n * qq - s * s
+            if den > 0:
+                z[i] = float(n * int(ci) - s) / math.sqrt(float(den))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": t.column("wstart_us").cast(pa.timestamp("us")),
+                "n_events": t.column("n_events"),
+                "z": pa.array(np.round(z, 9), pa.float64()),
+            }
+        )
+
+    return counts.map_batches(score, batch_format="pyarrow").sort(
+        ["event_type", "window_start"]
     )
 
 
