@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
         "copart_shells6": q.copart_shells6_q,
+        "copart_lpa4": q.copart_lpa4_q,
         "copart_truss4": q.copart_truss4_q,
         "copart_adamic": q.copart_adamic_q,
         "copart_clustering": q.copart_clustering_q,
@@ -674,6 +675,40 @@ def _kcore_unrolled_sql(k: int = 3, rounds: int = 8) -> str:
     SELECT {_PURL.format(c='a.v')} AS url,
            CAST(coalesce(dfin.c, 0) AS BIGINT) AS core_degree
     FROM a{rounds} a LEFT JOIN dfin ON dfin.v = a.v ORDER BY url"""
+
+
+def _lpa_unrolled_sql(rounds: int = 4) -> str:
+    """Unseeded-LPA oracle: R synchronous rounds unrolled over the
+    copart graph, labels initialized to the vertex's own id. The
+    engine's tie-break orders by LABEL VID; part urls are zero-padded
+    so vid order == url order == partkey numeric order, letting the
+    oracle propagate partkeys as labels directly —
+    pipelines.labelprop.lpa_communities' exact trajectory."""
+    parts = [f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+             "und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs"
+             " UNION ALL SELECT pb_, pa_ FROM pairs),",
+             "s0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lab"
+             " FROM und),"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT u.s AS v, st.lab,"
+            f" count(*) AS c FROM und u JOIN s{p} st ON st.v = u.d"
+            f" GROUP BY u.s, st.lab),")
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT v, lab FROM ("
+            f"SELECT v, lab, row_number() OVER"
+            f" (PARTITION BY v ORDER BY c DESC, lab) AS rn FROM v{r})"
+            f" WHERE rn = 1),")
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT s.v,"
+            f" coalesce(w.lab, s.lab) AS lab FROM s{p} s"
+            f" LEFT JOIN w{r} w ON w.v = s.v),")
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"""
+    SELECT {_PURL.format(c='v')} AS url,
+           {_PURL.format(c='lab')} AS community
+    FROM s{rounds} ORDER BY url"""
 
 
 def _kshells_sql(k_max: int = 6, rounds: int = 8) -> str:
@@ -1778,6 +1813,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
         "copart_shells6": _kshells_sql(6, 8),
+        "copart_lpa4": _lpa_unrolled_sql(4),
         "copart_truss4": _ktruss_unrolled_sql(4, 3),
         "copart_adamic": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),

@@ -447,6 +447,257 @@ def label_propagation(
     raise ValueError(mode)
 
 
+def lpa_communities(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    rounds: int = 4,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """UNSEEDED label-propagation community detection (classic LPA,
+    Raghavan et al.): every vertex starts labeled with its own vid and
+    ``rounds`` synchronous rounds run the same deterministic update as
+    the seeded variant — adopt the most frequent neighbor label, ties
+    broken by the smallest label; a vertex with no votes keeps its
+    label. Converging early is a no-op (fixpoint replays unchanged),
+    so a fixed-round SQL oracle can replay the trajectory exactly.
+
+    → Dataset (vid, url, community) where community is the winning
+    label's URL (the vid space is engine-internal; URLs are the stable
+    public names). Same broadcast/shuffle split as the seeded variant;
+    the label alphabet is V-sized here, so the composite (vid, label)
+    vote keys stay two-column through the bucketed aggregation on the
+    scale path."""
+    V = graph.num_vertices
+    empty = pa.table(
+        {"vid": pa.array([], pa.int64()),
+         "url": pa.array([], pa.string()),
+         "community": pa.array([], pa.string())}
+    )
+    if V == 0:
+        return ray.data.from_arrow(empty)
+    if mode is None:
+        if cfg.vertex_state in ("broadcast", "shuffle"):
+            mode = cfg.vertex_state
+        else:
+            mode = (
+                "broadcast"
+                if V <= cfg.broadcast_max_vertices
+                else "shuffle"
+            )
+    edges = _canon_edges(graph)
+    if mode == "shuffle":
+        state = _lpa_shuffle(graph, edges, cfg, rounds)
+    else:
+        lab = _lpa_broadcast(graph, edges, cfg, rounds)
+        ref = ray.put(lab)
+
+        def attach(t: pa.Table, _ref=ref) -> pa.Table:
+            lv = ray.get(_ref)
+            vid = col_np(t, "vid")
+            return table_from_arrays(vid=vid, label=lv[vid])
+
+        state = graph.vertices.select_columns(["vid"]).map_batches(
+            attach, batch_format="pyarrow"
+        )
+    # label vid → url: two bounded hash joins against the vertex table
+    from ..util import compact_nonempty
+
+    verts = compact_nonempty(graph.vertices.select_columns(["vid", "url"]))
+    if verts is None:
+        return ray.data.from_arrow(empty)
+    lab_urls = verts.rename_columns({"vid": "label", "url": "community"})
+    out = (
+        compact_nonempty(state.select_columns(["vid", "label"]))
+        .join(
+            verts, join_type="inner", num_partitions=cfg.num_partitions,
+            on=("vid",), right_on=("vid",),
+        )
+        .materialize()
+        .join(
+            lab_urls, join_type="inner",
+            num_partitions=cfg.num_partitions,
+            on=("label",), right_on=("label",),
+        )
+        .select_columns(["vid", "url", "community"])
+        .materialize()
+    )
+    return out
+
+
+def _lpa_broadcast(
+    graph: Graph, edges: "ray.data.Dataset", cfg: EngineConfig, rounds: int
+) -> np.ndarray:
+    V = graph.num_vertices
+    lab = np.arange(V, dtype=np.int64)
+    for _ in range(rounds):
+        ref = ray.put(lab)
+
+        def step(batch: pa.Table, _ref=ref, _V=V) -> pa.Table:
+            labels = ray.get(_ref)
+            src = col_np(batch, "src")
+            dst = col_np(batch, "dst")
+            m = src != dst  # self-loop contributes one self-vote
+            voters = np.concatenate([labels[src], labels[dst[m]]])
+            targets = np.concatenate([dst, src[m]])
+            key = targets * _V + voters
+            uniq, counts = np.unique(key, return_counts=True)
+            return table_from_arrays(
+                vid=uniq // _V, label=uniq % _V,
+                cnt=counts.astype(np.int64),
+            )
+
+        agg = bucketed_sum_aggregate(
+            edges.map_batches(step, batch_format="pyarrow"),
+            key_cols=["vid", "label"], sum_cols=["cnt"],
+        )
+        res = dataset_to_numpy(agg, "vid", "label", "cnt")
+        if len(res["vid"]) == 0:
+            break
+        order = np.lexsort((res["label"], -res["cnt"], res["vid"]))
+        vids = res["vid"][order]
+        labs = res["label"][order]
+        first = np.ones(len(vids), dtype=bool)
+        first[1:] = vids[1:] != vids[:-1]
+        new = lab.copy()
+        new[vids[first]] = labs[first]
+        if np.array_equal(new, lab):
+            break  # fixpoint: remaining rounds are no-ops
+        lab = new
+    return lab
+
+
+def _lpa_shuffle(
+    graph: Graph, edges: "ray.data.Dataset", cfg: EngineConfig, rounds: int
+) -> "ray.data.Dataset":
+    """Dataset-state LPA rounds — the seeded _lp_shuffle's exchange
+    with the V-sized label alphabet and no seed clamping."""
+    from ..util import _mix_to_bucket, sparse_sum_reduce
+
+    P = cfg.num_partitions
+    V = graph.num_vertices
+
+    state = (
+        graph.vertices.select_columns(["vid"])
+        .map_batches(
+            lambda t: table_from_arrays(
+                vid=col_np(t, "vid"), label=col_np(t, "vid")
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(rounds):
+        lab_side = state.select_columns(["vid", "label"])
+        by_src = (
+            edges.join(
+                lab_side, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            )
+            .map_batches(
+                lambda t: table_from_arrays(
+                    vid=col_np(t, "dst"), vote=col_np(t, "label")
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        def dst_votes(t: pa.Table) -> pa.Table:
+            src = col_np(t, "src")
+            dst = col_np(t, "dst")
+            lab = col_np(t, "label")
+            m = src != dst
+            return table_from_arrays(vid=src[m], vote=lab[m])
+
+        by_dst = (
+            edges.join(
+                lab_side, join_type="inner", num_partitions=P,
+                on=("dst",), right_on=("vid",),
+            )
+            .map_batches(dst_votes, batch_format="pyarrow")
+            .materialize()
+        )
+
+        def combine(t: pa.Table, _V=V) -> pa.Table:
+            vid = col_np(t, "vid")
+            vote = col_np(t, "vote")
+            k, c = sparse_sum_reduce(
+                vid * _V + vote, np.ones(len(vid), np.int64)
+            )
+            return table_from_arrays(vid=k // _V, label=k % _V, cnt=c)
+
+        votes = bucketed_sum_aggregate(
+            by_src.union(by_dst).map_batches(
+                combine, batch_format="pyarrow"
+            ),
+            key_cols=["vid", "label"], sum_cols=["cnt"],
+        )
+
+        def vid_bucket(t: pa.Table) -> pa.Table:
+            return t.append_column("__bucket", pa.array(
+                _mix_to_bucket([col_np(t, "vid").astype(np.int64)], 256)
+            ))
+
+        winners = (
+            votes.map_batches(vid_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_winners_of_block, batch_format="pyarrow")
+            .materialize()
+        )
+        if winners.count() == 0:
+            break
+
+        # state/winner message exchange (same encode trick as
+        # _lp_shuffle; labels here are >= 0 so OFF = 1 suffices)
+        OFF = 1
+        W = 2 * (V + OFF) + 4
+
+        def enc_state(t: pa.Table) -> pa.Table:
+            return table_from_arrays(
+                vid=col_np(t, "vid"),
+                enc=(col_np(t, "label") + OFF) * 2,
+            )
+
+        def enc_winner(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "winner" not in t.column_names:
+                return pa.table({"vid": pa.array([], pa.int64()),
+                                 "enc": pa.array([], pa.int64())})
+            return table_from_arrays(
+                vid=col_np(t, "vid"), enc=W + col_np(t, "winner") + OFF
+            )
+
+        def decode(t: pa.Table) -> pa.Table:
+            lo = col_np(t, "lo")
+            hi = col_np(t, "hi")
+            old = lo // 2 - OFF
+            new = np.where(hi >= W, hi - W - OFF, old)
+            return table_from_arrays(
+                vid=col_np(t, "vid"), label=new.astype(np.int64),
+                changed=(new != old).astype(np.int64),
+            )
+
+        joined = (
+            bucketed_aggregate(
+                state.map_batches(enc_state, batch_format="pyarrow")
+                .union(
+                    winners.map_batches(enc_winner, batch_format="pyarrow")
+                ),
+                key_cols=["vid"],
+                aggs=[("enc", "min", "lo"), ("enc", "max", "hi")],
+            )
+            .map_batches(decode, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(
+            joined.aggregate(Sum("changed", alias_name="s"))["s"] or 0
+        )
+        state = joined.drop_columns(["changed"]).materialize()
+        if changed == 0:
+            break
+    return state
+
+
 def label_propagation_reference(
     edges: list[tuple[str, str]],
     seeds: dict[str, str],

@@ -631,6 +631,22 @@ def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
     return kcore(g, 3, QCFG, rounds=8).sort("url")
 
 
+def copart_lpa4_q(sf_dir: str) -> "ray.data.Dataset":
+    """UNSEEDED label-propagation communities (classic LPA, 4 fixed
+    synchronous rounds, labels start at own vid, most-frequent /
+    smallest-label ties) over the copart graph → (url, community).
+    Part urls are zero-padded, so vid order == url order == partkey
+    order and the SQL oracle can propagate partkeys directly."""
+    from .labelprop import lpa_communities
+
+    g = copart_graph(sf_dir)
+    return (
+        lpa_communities(g, QCFG, rounds=4)
+        .select_columns(["url", "community"])
+        .sort("url")
+    )
+
+
 def copart_shells6_q(sf_dir: str) -> "ray.data.Dataset":
     """k-shell decomposition of the co-purchase graph under fixed-round
     semantics: shell(v) = max k ≤ 6 such that v survives 8 peel rounds

@@ -259,3 +259,75 @@ def test_quotient_edges_empty_graph():
     g = build_graph(ray.data.from_arrow(tbl))
     out = quotient_edges(g, g.vertices, CFG)
     assert isinstance(out, pa.Table) and out.num_rows == 0
+
+
+# --- unseeded LPA community detection --------------------------------------
+
+
+def _lpa_ref(pairs, urls, rounds):
+    """Pure-python replay of lpa_communities: labels start at own vid
+    (url rank), synchronous rounds, most-frequent / smallest-label."""
+    from collections import Counter, defaultdict
+
+    verts = sorted({v for p in pairs for v in p})
+    vid = {u: i for i, u in enumerate(verts)}
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {u: vid[u] for u in verts}
+    for _ in range(rounds):
+        new = {}
+        for u in verts:
+            votes = Counter(lab[n] for n in adj[u])
+            if votes:
+                new[u] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            else:
+                new[u] = lab[u]
+        if new == lab:
+            break
+        lab = new
+    inv = {i: u for u, i in vid.items()}
+    return {u: inv[l] for u, l in lab.items()}
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_lpa_matches_reference(mode):
+    import pyarrow as pa
+
+    from imtag_ray.pipelines.labelprop import lpa_communities
+
+    rng = np.random.default_rng(43)
+    pairs = sorted(
+        {tuple(sorted((int(a), int(b))))
+         for a, b in rng.integers(0, 26, size=(80, 2)) if a != b}
+    )
+    tbl = pa.table(
+        {"src_url": [f"u{a:03d}" for a, _ in pairs],
+         "dst_url": [f"u{b:03d}" for _, b in pairs]}
+    )
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    out = lpa_communities(g, CFG, rounds=4, mode=mode)
+    res = dataset_to_numpy(out, "url", "community")
+    got = dict(zip((str(u) for u in res["url"]),
+                   (str(c) for c in res["community"])))
+    want = _lpa_ref(
+        [(f"u{a:03d}", f"u{b:03d}") for a, b in pairs], None, 4
+    )
+    assert got == want
+
+
+def test_lpa_two_cliques_converge_to_min_vid():
+    import pyarrow as pa
+
+    from imtag_ray.pipelines.labelprop import lpa_communities
+
+    tbl = named_graph_edges("two_cliques")
+    g = build_graph(ray.data.from_arrow(tbl), CFG)
+    out = lpa_communities(g, CFG, rounds=6)
+    res = dataset_to_numpy(out, "url", "community")
+    got = dict(zip((str(u) for u in res["url"]),
+                   (str(c) for c in res["community"])))
+    # each clique collapses to its smallest member's url
+    assert all(got[gurl(i)] == gurl(0) for i in range(5))
+    assert all(got[gurl(i)] == gurl(5) for i in range(5, 12))
