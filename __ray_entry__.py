@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_kcore3": q.copart_kcore3_q,
         "copart_shells6": q.copart_shells6_q,
         "copart_lpa4": q.copart_lpa4_q,
+        "copart_jdm": q.copart_jdm_q,
         "copart_truss4": q.copart_truss4_q,
         "copart_adamic": q.copart_adamic_q,
         "copart_clustering": q.copart_clustering_q,
@@ -1814,6 +1815,21 @@ def oracle_sql() -> dict[str, str]:
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
         "copart_shells6": _kshells_sql(6, 8),
         "copart_lpa4": _lpa_unrolled_sql(4),
+        "copart_jdm": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            deg AS MATERIALIZED (SELECT s AS v,
+                    CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY s)
+            SELECT least(ca, cb) AS deg_a, greatest(ca, cb) AS deg_b,
+                   CAST(count(*) AS BIGINT) AS n_edges
+            FROM (
+                SELECT least(ds.dg, 256) AS ca, least(dd.dg, 256) AS cb
+                FROM pairs
+                JOIN deg ds ON ds.v = pairs.pa_
+                JOIN deg dd ON dd.v = pairs.pb_
+            ) GROUP BY 1, 2 ORDER BY deg_a, deg_b
+        """,
         "copart_truss4": _ktruss_unrolled_sql(4, 3),
         "copart_adamic": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),

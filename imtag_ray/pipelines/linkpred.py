@@ -981,6 +981,80 @@ def ball2_sizes_approx(
     )
 
 
+def joint_degree_matrix(
+    graph, cfg: EngineConfig = DEFAULT_CONFIG, cap: int = 32
+) -> pa.Table:
+    """Joint degree matrix (degree-degree correlation histogram) →
+    pa.Table (deg_a, deg_b, n_edges): for every undirected edge, the
+    CAPPED (min(deg, cap)) degrees of its two endpoints as an unordered
+    pair, counted. The 2-D structural fingerprint assortativity
+    compresses to one number (copart_stats); the cap bounds the
+    histogram at cap² cells on power-law graphs.
+
+    Scale shape = rich_club_curve's: degrees ride as a Dataset, meet
+    the edge table in two int-keyed hash joins, per-batch sparse
+    partials collapse to ≤ cap² rows per block, and the final groupby
+    sees an intrinsically tiny key space."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.graph_build import degree_dataset
+
+    empty = pa.table(
+        {"deg_a": pa.array([], pa.int64()),
+         "deg_b": pa.array([], pa.int64()),
+         "n_edges": pa.array([], pa.int64())}
+    )
+    deg = degree_dataset(graph, "undirected")
+    edges_s = compact_nonempty(
+        graph.edges.join(
+            deg.rename_columns({"vid": "sv", "degree": "deg_s"}),
+            join_type="inner", num_partitions=cfg.num_partitions,
+            on=("src",), right_on=("sv",),
+        )
+    )
+    if edges_s is None:
+        return empty
+    edges_sd = compact_nonempty(
+        edges_s.materialize().join(
+            deg.rename_columns({"vid": "dv", "degree": "deg_d"}),
+            join_type="inner", num_partitions=cfg.num_partitions,
+            on=("dst",), right_on=("dv",),
+        )
+    )
+    if edges_sd is None:
+        return empty
+
+    def partial(t: pa.Table, _c=cap) -> pa.Table:
+        a = np.minimum(col_np(t, "deg_s"), _c)
+        b = np.minimum(col_np(t, "deg_d"), _c)
+        lo = np.minimum(a, b).astype(np.int64)
+        hi = np.maximum(a, b).astype(np.int64)
+        k, s = sparse_sum_reduce(
+            lo * (_c + 1) + hi, np.ones(len(lo), dtype=np.int64)
+        )
+        return table_from_arrays(
+            deg_a=k // (_c + 1), deg_b=k % (_c + 1), n_edges=s
+        )
+
+    out = (
+        edges_sd.map_batches(partial, batch_format="pyarrow")
+        .groupby(["deg_a", "deg_b"])  # intrinsically ≤ cap² groups
+        .aggregate(Sum("n_edges", alias_name="n_edges"))
+        .sort(["deg_a", "deg_b"])
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(out.to_arrow_refs()) if b.num_rows],
+        promote_options="default",
+    ) if out.count() else empty
+    return pa.table(
+        {
+            "deg_a": t.column("deg_a").cast(pa.int64()),
+            "deg_b": t.column("deg_b").cast(pa.int64()),
+            "n_edges": t.column("n_edges").cast(pa.int64()),
+        }
+    )
+
+
 def edge_reciprocity(
     edges: "ray.data.Dataset", src: str = "src_url", dst: str = "dst_url"
 ) -> pa.Table:

@@ -631,6 +631,15 @@ def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
     return kcore(g, 3, QCFG, rounds=8).sort("url")
 
 
+def copart_jdm_q(sf_dir: str) -> pa.Table:
+    """Joint degree matrix of the co-purchase graph: per undirected
+    edge, the unordered pair of capped (≤256) endpoint degrees, counted
+    → (deg_a, deg_b, n_edges)."""
+    from .linkpred import joint_degree_matrix
+
+    return joint_degree_matrix(copart_graph(sf_dir), QCFG, cap=256)
+
+
 def copart_lpa4_q(sf_dir: str) -> "ray.data.Dataset":
     """UNSEEDED label-propagation communities (classic LPA, 4 fixed
     synchronous rounds, labels start at own vid, most-frequent /
