@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cooccur": d.doc_cooccur_q,
         "doc_dup_ngrams": d.doc_dup_ngrams_q,
         "doc_zipf": d.doc_zipf_q,
+        "doc_bigram_coverage": d.doc_bigram_coverage_q,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
         "minhash_pairs": d.minhash_pairs_q,
@@ -2568,6 +2569,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, round(coalesce(sc.s, 0.0), 6) AS bm25
             FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "doc_bigram_coverage": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            bg AS (
+              SELECT doc_id,
+                     list_element(a, i) || ' ' || list_element(a, i + 1)
+                         AS gram
+              FROM tk, unnest(range(1, len(a))) AS r(i)),
+            corpus AS (SELECT gram, CAST(count(*) AS BIGINT) AS c
+                       FROM bg GROUP BY gram),
+            perdoc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS k
+                       FROM bg GROUP BY doc_id, gram)
+            SELECT p.doc_id,
+                   CAST(sum(p.k) AS BIGINT) AS n_bigrams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(min(c.c) AS BIGINT) AS min_df,
+                   CAST(max(c.c) AS BIGINT) AS max_df
+            FROM perdoc p JOIN corpus c ON c.gram = p.gram
+            GROUP BY p.doc_id ORDER BY p.doc_id
         """,
         "doc_zipf": r"""
             WITH tk AS (

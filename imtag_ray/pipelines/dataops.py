@@ -388,6 +388,102 @@ def doc_zipf_q(sf_dir: str, k: int = 100) -> pa.Table:
     )
 
 
+def doc_bigram_coverage_q(sf_dir: str) -> "ray.data.Dataset":
+    """LM-style corpus-coverage quality signals per document, from
+    EXACT integer statistics (no transcendental scoring — replayable):
+    → (doc_id, n_bigrams, n_distinct, n_hapax, min_df, max_df) where
+    df is the corpus-wide occurrence count of each of the doc's
+    distinct token bigrams and n_hapax counts bigrams unique to the
+    corpus (the rare-bigram ratio is the classic gibberish/boilerplate
+    discriminator web-text curation uses when no LM is available).
+    Docs with < 2 tokens produce no bigrams and are excluded.
+
+    Scale shape: docs are single rows so per-(doc, gram) counts
+    complete batch-side (vectorized shift-join, no Python doc loop);
+    ONE materialized (doc_id, gram, k) table feeds both the bucketed
+    corpus-count aggregation and (via a string-keyed hash join) the
+    per-doc bucketed reduction — two passes over gram rows, none over
+    raw text."""
+    from ..util import bucketed_aggregate, bucketed_sum_aggregate, compact_nonempty
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("")
+        ids = col_np(t, "doc_id")
+        toks = texts.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "k": pa.array([], pa.int64())})
+        d = ex.index.to_numpy()
+        w = ex.to_numpy(dtype=object)
+        same = np.empty(len(d), dtype=bool)
+        same[:-1] = d[:-1] == d[1:]
+        same[-1] = False
+        gram = np.char.add(
+            np.char.add(w[same].astype(str), " "),
+            np.roll(w, -1)[same].astype(str),
+        )
+        df_ = pd.DataFrame({"d": ids[d[same]], "g": gram})
+        cnt = df_.value_counts().reset_index(name="k")
+        return pa.table(
+            {"doc_id": pa.array(cnt["d"].to_numpy(np.int64)),
+             "gram": pa.array(cnt["g"].astype(str), pa.string()),
+             "k": pa.array(cnt["k"].to_numpy(np.int64))}
+        )
+
+    perdoc = compact_nonempty(
+        docs.map_batches(bigrams, batch_format="pyarrow").materialize()
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64())} |
+        {c: pa.array([], pa.int64())
+         for c in ["n_bigrams", "n_distinct", "n_hapax", "min_df", "max_df"]}
+    )
+    if perdoc is None:
+        return ray.data.from_arrow(empty)
+    corpus = compact_nonempty(
+        bucketed_sum_aggregate(perdoc, key_cols=["gram"], sum_cols=["k"])
+        .map_batches(
+            lambda t: pa.table(
+                {"gram": t.column("gram"),
+                 "c": t.column("k").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = perdoc.join(
+        corpus, join_type="inner", num_partitions=8,
+        on=("gram",), right_on=("gram",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "k": t.column("k"),
+             "c": t.column("c"),
+             "hap": pa.array(
+                 (np.asarray(t.column("c"), dtype=np.int64) == 1)
+                 .astype(np.int64)
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+    out = bucketed_aggregate(
+        joined, key_cols=["doc_id"],
+        aggs=[("k", "sum", "n_bigrams"), ("k", "count", "n_distinct"),
+              ("hap", "sum", "n_hapax"), ("c", "min", "min_df"),
+              ("c", "max", "max_df")],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {c: t.column(c).cast(pa.int64()) for c in
+             ["doc_id", "n_bigrams", "n_distinct", "n_hapax",
+              "min_df", "max_df"]}
+        ),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
 def embed_kmeans_q(sf_dir: str) -> "ray.data.Dataset":
     """Fixed-trajectory Lloyd k-means (k=8, two assignment rounds, init
     = vectors of vec_id 0..7) → (vec_id, cluster). The oracle unrolls
