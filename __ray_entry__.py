@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_labelprop": q.geo_labelprop_q,
         "geo_modularity": q.geo_modularity_q,
         "geo_quotient": q.geo_quotient_q,
+        "geo_percolation": q.geo_percolation_q,
         "doc_hits8": q.doc_hits8_q,
         "doc_scc": q.doc_scc_q,
         "doc_bowtie": q.doc_bowtie_q,
@@ -569,6 +570,41 @@ def _geo_quotient_sql(rounds: int = 6) -> str:
            CAST(count(*) AS BIGINT) AS weight
     FROM e JOIN labs ls ON ls.v = e.s JOIN labs ld ON ld.v = e.d
     GROUP BY 1, 2 ORDER BY label_a, label_b"""
+
+
+def _geo_percolation_sql(thresholds=(64, 128, 192)) -> str:
+    """Bond-percolation oracle: per threshold t, filter the directed
+    geo edge rows by the md5-prefix-u64 % 256 scheme (identical to the
+    engine's 'perc:' keys), then a recursive min-label closure over
+    the surviving undirected edges seeded from ALL original vertices
+    (pruned vertices stay singleton components) —
+    pipelines.queries.geo_percolation_q's exact contract."""
+    h = ("CAST('0x' || substring(md5('perc:' || s || ' ' || d), 1, 16)"
+         " AS UBIGINT) % 256")
+    parts = [f"WITH RECURSIVE e(s, d) AS ({_GEO_EDGES}),",
+             "verts(v) AS (SELECT DISTINCT s FROM"
+             " (SELECT s FROM e UNION SELECT d AS s FROM e)),"]
+    sel = []
+    for t in thresholds:
+        parts.append(
+            f"pe{t}(s, d) AS (SELECT s, d FROM e WHERE {h} < {t}),")
+        parts.append(
+            f"u{t} AS (SELECT s, d FROM pe{t}"
+            f" UNION SELECT d, s FROM pe{t}),")
+        parts.append(
+            f"r{t}(v, l) AS (SELECT v, v FROM verts UNION"
+            f" SELECT u.d, r.l FROM r{t} r JOIN u{t} u ON u.s = r.v),")
+        parts.append(
+            f"m{t} AS (SELECT v, min(l) AS ml FROM r{t} GROUP BY v),")
+        parts.append(
+            f"s{t} AS (SELECT {t} AS t,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM pe{t}) AS n_edges,"
+            f" CAST(count(*) AS BIGINT) AS n_components,"
+            f" CAST(max(cnt) AS BIGINT) AS max_size FROM"
+            f" (SELECT ml, count(*) AS cnt FROM m{t} GROUP BY ml)),")
+        sel.append(f"SELECT * FROM s{t}")
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + "\n" + " UNION ALL ".join(sel) + " ORDER BY t"
 
 
 def _hits_unrolled_sql(iters: int = 8) -> str:
@@ -1725,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_labelprop": _lp_unrolled_sql(6),
         "geo_modularity": _geo_modularity_sql(6),
         "geo_quotient": _geo_quotient_sql(6),
+        "geo_percolation": _geo_percolation_sql(),
         "doc_hits8": _hits_unrolled_sql(8),
         # strongly connected components: closure oracle — mutual
         # reachability pairs, SCC id = lexicographically smallest url

@@ -296,6 +296,63 @@ def geo_quotient_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
     return out.sort(["label_a", "label_b"])
 
 
+def geo_percolation_q(sf_dir: str) -> pa.Table:
+    """Bond-percolation resilience curve of the geo graph: keep each
+    directed edge row iff md5('perc:' + src + ' ' + dst) u64-prefix
+    % 256 < t for t ∈ {64, 128, 192}, run connected components on the
+    surviving subgraph over the ORIGINAL vertex set (pruned-away
+    vertices count as singletons) → (t, n_edges, n_components,
+    max_size). Deterministic hash thresholds — no RNG state, same
+    curve on every run/partitioning (the sampling discipline of
+    scoring.sample_stratified applied to edges)."""
+    import hashlib
+
+    from .cc import component_sizes, connected_components
+
+    edges = geo_edge_urls(sf_dir).materialize()
+    g_full = build_graph(edges, QCFG)
+    V = g_full.num_vertices
+    rows = []
+    for t in (64, 128, 192):
+
+        def keep(tb: pa.Table, _t=t) -> pa.Table:
+            s = tb.column("src_url").to_pylist()
+            d = tb.column("dst_url").to_pylist()
+            h = np.array(
+                [
+                    int(
+                        hashlib.md5(f"perc:{a} {b}".encode()).hexdigest()[:16],
+                        16,
+                    )
+                    % 256
+                    for a, b in zip(s, d)
+                ],
+                dtype=np.int64,
+            )
+            return tb.filter(pa.array(h < _t))
+
+        filt = edges.map_batches(keep, batch_format="pyarrow").materialize()
+        n_edges = filt.count()
+        if n_edges == 0:
+            rows.append((t, 0, V, 1 if V else 0))
+            continue
+        g = build_graph(filt, QCFG)
+        sizes = component_sizes(connected_components(g, QCFG)).materialize()
+        n_comp = sizes.count()
+        mx = max(
+            int(sizes.max("size") or 0), 1 if V > g.num_vertices else 0
+        )
+        rows.append((t, n_edges, n_comp + (V - g.num_vertices), mx))
+    return pa.table(
+        {
+            "t": pa.array([r[0] for r in rows], pa.int64()),
+            "n_edges": pa.array([r[1] for r in rows], pa.int64()),
+            "n_components": pa.array([r[2] for r in rows], pa.int64()),
+            "max_size": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # document pages: extraction pipeline
 # ---------------------------------------------------------------------------
