@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": s.doc_len_quantiles_q,
         # --- similarity search --------------------------------------------
         "embed_knn": d.embed_knn_q,
+        "embed_knn_graph": d.embed_knn_graph_q,
         "embed_knn_ivf": d.embed_knn_ivf_q,
         "embed_dup_pairs": d.embed_dup_pairs_q,
         "embed_dup_pairs_lsh": d.embed_dup_pairs_lsh_q,
@@ -2245,6 +2246,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(s, 9) AS cos_sim
             FROM ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id
+        """,
+        "embed_knn_graph": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+                       FROM embeddings),
+            sims AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.ee, b.ee) AS s
+                FROM e a, e b WHERE a.vec_id != b.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, round(s, 9) AS cos_sim
+            FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
         """,
         "embed_dup_pairs": """
             WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -225,6 +225,31 @@ def embed_knn_q(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
 
 
+def embed_knn_graph_q(sf_dir: str, k: int = 3) -> pa.Table:
+    """k-NN GRAPH construction (the input every HNSW/NN-descent/
+    spectral pipeline starts from): exact top-k cosine neighbors for
+    EVERY vector → (query_id, neighbor_id, cos_sim). Brute-force form
+    for the oracle-checked fixture (the query side is the whole —
+    bounded — embeddings table broadcast once via ray.put); at corpus
+    scale the same graph routes through the cell-partitioned IVF index
+    (build_ivf_index/knn_ivf_indexed), which scans nprobe/n_cells of
+    the corpus per query batch instead."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = ds.sort("vec_id").to_pandas()
+    q = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    qids = emb["vec_id"].to_numpy()
+    out = knn_brute_force(ds, "vec_id", "embedding", q, qids, k=k)
+    return pa.table(
+        {
+            "query_id": out["query_id"],
+            "neighbor_id": out["neighbor_id"],
+            "cos_sim": pc.round(out["cos_sim"], 9),
+        }
+    ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
+
+
 N_CELLS = 16
 N_PROBE = 4
 
