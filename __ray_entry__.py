@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
         "minhash_pairs": d.minhash_pairs_q,
+        "dedup_src_matrix": d.dedup_src_matrix_q,
         "simhash_pairs": d.simhash_pairs_q,
         "simhash_table": d.simhash_table_q,
         "ngram_pairs": d.ngram_pairs_q,
@@ -2509,6 +2510,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_SQL,
         "simhash_table": _SIMHASH_TABLE_SQL,
         "minhash_pairs": _minhash_sql(),
+        "dedup_src_matrix": f"""
+            WITH mh AS (SELECT id_a, id_b FROM ({_minhash_sql()}))
+            SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM mh JOIN documents da ON da.doc_id = mh.id_a
+                    JOIN documents db ON db.doc_id = mh.id_b
+            GROUP BY 1, 2 ORDER BY src_a, src_b
+        """,
         "embed_knn_ivf": _IVF_SQL,
         "embed_dup_pairs_lsh": _lsh_sql(),
         "dedup_near_keep": _near_keep_sql(6),

@@ -121,6 +121,69 @@ def minhash_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     return _round_col(minhash_dup_pairs(ds, "doc_id", "text", threshold=0.5), "jaccard")
 
 
+def dedup_src_matrix_q(sf_dir: str) -> pa.Table:
+    """Cross-source contamination matrix: MinHash-LSH near-dup pairs
+    (threshold 0.5, the minhash_pairs trajectory) attributed to their
+    unordered (source_a, source_b) bucket → (src_a, src_b, n_pairs).
+    The standard benchmark-leakage / inter-crawl-overlap report: which
+    corpus slices duplicate each other.
+
+    Scale shape: the pair table rides as a Dataset through two hash
+    joins against the (doc_id, source) projection (materialized
+    between — the Ray 2.49 two-join guard); the final groupby key
+    space is |sources|², intrinsically tiny."""
+    from ..util import compact_nonempty
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    pairs = compact_nonempty(
+        minhash_dup_pairs(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            "doc_id", "text", threshold=0.5,
+        ).select_columns(["id_a", "id_b"])
+    )
+    empty = pa.table(
+        {"src_a": pa.array([], pa.string()),
+         "src_b": pa.array([], pa.string()),
+         "n_pairs": pa.array([], pa.int64())}
+    )
+    if pairs is None:
+        return empty
+    da = docs.rename_columns({"doc_id": "ia", "source": "sa"})
+    db = docs.rename_columns({"doc_id": "ib", "source": "sb"})
+    tagged = pairs.join(
+        da, join_type="inner", num_partitions=8,
+        on=("id_a",), right_on=("ia",),
+    ).materialize().join(
+        db, join_type="inner", num_partitions=8,
+        on=("id_b",), right_on=("ib",),
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = t.column("sa").combine_chunks()
+        b = t.column("sb").combine_chunks()
+        return pa.table(
+            {"src_a": pc.min_element_wise(a, b),
+             "src_b": pc.max_element_wise(a, b)}
+        )
+
+    from ray.data.aggregate import Count
+
+    out = (
+        tagged.map_batches(canon, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])  # |sources|² groups — tiny
+        .aggregate(Count(alias_name="n_pairs"))
+        .sort(["src_a", "src_b"])
+    )
+    t = out.to_pandas()
+    return pa.table(
+        {"src_a": pa.array(t["src_a"].astype(str), pa.string()),
+         "src_b": pa.array(t["src_b"].astype(str), pa.string()),
+         "n_pairs": pa.array(t["n_pairs"].to_numpy(np.int64))}
+    ) if len(t) else empty
+
+
 def prefix_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     """Global (unblocked) exact-Jaccard self-join via prefix filtering:
     ALL document pairs with hashed-token-shingle Jaccard ≥ 0.5. The
