@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_shells6": q.copart_shells6_q,
         "copart_lpa4": q.copart_lpa4_q,
         "copart_jdm": q.copart_jdm_q,
+        "copart_wl2": q.copart_wl2_q,
         "copart_truss4": q.copart_truss4_q,
         "copart_adamic": q.copart_adamic_q,
         "copart_clustering": q.copart_clustering_q,
@@ -572,6 +573,33 @@ def _geo_quotient_sql(rounds: int = 6) -> str:
            CAST(count(*) AS BIGINT) AS weight
     FROM e JOIN labs ls ON ls.v = e.s JOIN labs ld ON ld.v = e.d
     GROUP BY 1, 2 ORDER BY label_a, label_b"""
+
+
+def _wl_sql(rounds: int = 2) -> str:
+    """1-WL oracle: degree colors, then R rounds of
+    md5(own || '|' || string_agg(neighbor colors, ',' ORDER BY color))
+    over the copart graph — pipelines.wl.wl_colors' exact contract
+    (DuckDB md5 == hashlib md5; ORDER BY on hex strings == Python
+    sorted). Output: the color-class histogram."""
+    parts = [f"WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),",
+             "und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs"
+             " UNION ALL SELECT pb_, pa_ FROM pairs),",
+             "c0 AS MATERIALIZED (SELECT s AS v,"
+             " CAST(count(*) AS VARCHAR) AS c FROM und GROUP BY s),"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT u.s AS v,"
+            f" string_agg(cp.c, ',' ORDER BY cp.c) AS nb"
+            f" FROM und u JOIN c{p} cp ON cp.v = u.d GROUP BY u.s),")
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT cp.v,"
+            f" md5(cp.c || '|' || coalesce(n.nb, '')) AS c"
+            f" FROM c{p} cp LEFT JOIN n{r} n ON n.v = cp.v),")
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"""
+    SELECT c AS wl_color, CAST(count(*) AS BIGINT) AS n_vertices
+    FROM c{rounds} GROUP BY c ORDER BY wl_color"""
 
 
 def _geo_percolation_sql(thresholds=(64, 128, 192)) -> str:
@@ -1855,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
         "copart_shells6": _kshells_sql(6, 8),
         "copart_lpa4": _lpa_unrolled_sql(4),
+        "copart_wl2": _wl_sql(2),
         "copart_jdm": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

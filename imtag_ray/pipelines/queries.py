@@ -688,6 +688,42 @@ def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
     return kcore(g, 3, QCFG, rounds=8).sort("url")
 
 
+def copart_wl2_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
+    """Weisfeiler–Leman color-class histogram after 2 refinement
+    rounds from degree colors → (wl_color, n_vertices): the structural
+    role partition (vertices sharing a color are indistinguishable to
+    any 2-layer message-passing computation)."""
+    from ray.data.aggregate import Count
+
+    from ..util import bucketed_aggregate, compact_nonempty
+    from .wl import wl_colors
+
+    g = copart_graph(sf_dir)
+    cols = wl_colors(g, QCFG, rounds=2)
+    empty = pa.table(
+        {"wl_color": pa.array([], pa.string()),
+         "n_vertices": pa.array([], pa.int64())}
+    )
+    if isinstance(cols, pa.Table):
+        return empty
+    out = compact_nonempty(
+        bucketed_aggregate(
+            cols.select_columns(["wl_color"]),
+            key_cols=["wl_color"],
+            aggs=[("wl_color", "count", "n_vertices")],
+        )
+    )
+    if out is None:
+        return empty
+    return out.map_batches(
+        lambda t: pa.table(
+            {"wl_color": t.column("wl_color"),
+             "n_vertices": t.column("n_vertices").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sort("wl_color")
+
+
 def copart_jdm_q(sf_dir: str) -> pa.Table:
     """Joint degree matrix of the co-purchase graph: per undirected
     edge, the unordered pair of capped (≤256) endpoint degrees, counted

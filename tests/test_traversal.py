@@ -564,3 +564,39 @@ def test_kshells_matches_networkx_coreness():
     G.add_edges_from(edges)
     core = nx.core_number(G)
     assert got == {f"u{v:03d}": min(c, 8) for v, c in core.items()}
+
+
+# --- Weisfeiler-Leman refinement -------------------------------------------
+
+
+def test_wl_matches_reference():
+    from imtag_ray.pipelines.wl import wl_colors, wl_reference
+
+    rng = np.random.default_rng(47)
+    edges = sorted(
+        {tuple(sorted((int(a), int(b))))
+         for a, b in rng.integers(0, 20, size=(50, 2)) if a != b}
+    )
+    g = _eigen_digraph(edges)
+    out = wl_colors(g, CFG, rounds=2)
+    df = out.to_pandas()
+    got = dict(zip(df["url"], df["wl_color"]))
+    ref = wl_reference([(f"u{a:03d}", f"u{b:03d}") for a, b in edges], 2)
+    assert got == ref
+
+
+def test_wl_distinguishes_roles():
+    """On a star, WL must separate hub from leaves; on a cycle all
+    vertices stay one class."""
+    from imtag_ray.pipelines.wl import wl_colors
+
+    star = [(0, i) for i in range(1, 6)]
+    g = _eigen_digraph(star)
+    df = wl_colors(g, CFG, rounds=2).to_pandas()
+    colors = dict(zip(df["url"], df["wl_color"]))
+    assert len({colors[f"u{i:03d}"] for i in range(1, 6)}) == 1
+    assert colors["u000"] != colors["u001"]
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    g2 = _eigen_digraph(cyc)
+    df2 = wl_colors(g2, CFG, rounds=3).to_pandas()
+    assert df2["wl_color"].nunique() == 1
