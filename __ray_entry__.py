@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_deg_hist": q.copart_deg_hist_q,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
+        "events_hll_hourly": sk.events_hll_hourly_q,
         "events_cms_types": sk.events_cms_types_q,
         "events_bloom_hot_users": sk.events_bloom_hot_users_q,
     }
@@ -2578,6 +2579,35 @@ def oracle_sql() -> dict[str, str]:
                          THEN 4096 * ln(4096.0 / zeros)
                          ELSE e_raw END, 3) AS n_users_hll
             FROM e
+        """,
+        "events_hll_hourly": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS w,
+                     CAST('0x' || substring(
+                         md5('hll:' || CAST(user_id AS VARCHAR)), 1, 16
+                     ) AS UBIGINT) AS x FROM events),
+            br AS (SELECT w, x % 256 AS b, x >> 8 AS rem FROM h),
+            r AS (SELECT w, b,
+                         max(CASE WHEN rem = 0 THEN 57
+                             ELSE 57 - length(bin(rem)) END) AS rho
+                  FROM br GROUP BY w, b),
+            wins AS (SELECT DISTINCT w FROM h),
+            allb AS (SELECT unnest(range(0, 256)) AS b),
+            m AS (SELECT wins.w, allb.b, coalesce(r.rho, 0) AS rho
+                  FROM wins CROSS JOIN allb
+                  LEFT JOIN r ON r.w = wins.w AND r.b = allb.b),
+            s AS (SELECT w, sum(CAST(1 AS HUGEINT)
+                                << CAST(57 - rho AS INTEGER)) AS z,
+                         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+                  FROM m GROUP BY w),
+            e AS (SELECT w, (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+                         * pow(2.0, 57) / CAST(z AS DOUBLE) AS e_raw,
+                         zeros FROM s)
+            SELECT w AS window_start,
+                   round(CASE WHEN e_raw <= 2.5 * 256 AND zeros > 0
+                         THEN 256 * ln(256.0 / zeros)
+                         ELSE e_raw END, 3) AS n_users_hll
+            FROM e ORDER BY window_start
         """,
         # Count-Min sketch: integer counters, exact replay including
         # every hash-collision overcount

@@ -120,6 +120,146 @@ def events_hll_users_q(sf_dir: str) -> "ray.data.Dataset":
     return hll_distinct(ds, "user_id", out_col="n_users_hll")
 
 
+def events_hll_hourly_q(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window distinct-user sketches: per 1-hour event-time
+    window, the HLL (p=8) estimate of distinct users →
+    (window_start, n_users_hll) — the streaming-dashboard op where the
+    exact distinct would reshuffle every (window, user) pair."""
+    import pyarrow.compute as pc
+
+    from ..util import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
+        return pa.table({"wstart_us": hour, "user_id": t["user_id"]})
+
+    out = hll_distinct_by_group(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        "wstart_us", "user_id", p=8, out_col="n_users_hll",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"window_start": t["wstart_us"].cast(pa.timestamp("us")),
+             "n_users_hll": t["n_users_hll"]}
+        ),
+        batch_format="pyarrow",
+    ).sort("window_start")
+
+
+def hll_distinct_by_group(
+    ds: "ray.data.Dataset", group_col: str, col: str, p: int = 8,
+    out_col: str = "n_distinct_hll",
+) -> "ray.data.Dataset":
+    """Per-GROUP HLL distinct counts → Dataset (group_col, out_col):
+    the windowed form of hll_distinct (sliding/tumbling distinct-user
+    counts, per-shard cardinality profiles). Same exact-integer
+    replayability contract; ``group_col`` must be int-typed (pass
+    epoch-µs window starts, not date types — the bucketed exchange
+    needs hashable Arrow ints).
+
+    Scale shape: per-batch partials collapse each block to
+    ≤ groups·2^p (group, bucket, rho) rows; ONE bucketed (group,
+    bucket) max; then per-group finales run DISTRIBUTED — re-bucketed
+    by group hash, each coarse bucket reducing its groups' register
+    histograms vectorized (no driver register table at any group
+    count)."""
+    from ..util import _mix_to_bucket, bucketed_aggregate
+
+    m = 1 << p
+    maxrho = 64 - p + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(col).to_numpy(zero_copy_only=False)
+        g = t.column(group_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if not len(keys):
+            return table_from_arrays(
+                **{group_col: np.array([], np.int64)},
+                bucket=np.array([], np.int64),
+                rho=np.array([], np.int64),
+            )
+        h = hll_hash_u64(keys)
+        bucket = (h % np.uint64(m)).astype(np.int64)
+        rem = h >> np.uint64(p)
+        rho = np.where(
+            rem == 0, maxrho, (64 - p) - _bitlength_u64(rem) + 1
+        ).astype(np.int64)
+        ug, gi = np.unique(g, return_inverse=True)
+        reg = np.zeros(len(ug) * m, dtype=np.int64)
+        np.maximum.at(reg, gi * m + bucket, rho)
+        nz = np.nonzero(reg)[0]
+        return table_from_arrays(
+            **{group_col: ug[nz // m]}, bucket=nz % m, rho=reg[nz]
+        )
+
+    agg = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_cols=[group_col, "bucket"],
+        aggs=[("rho", "max", "rho")],
+    )
+
+    def group_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", pa.array(
+            _mix_to_bucket(
+                [t.column(group_col).to_numpy(zero_copy_only=False)
+                 .astype(np.int64)], 256
+            )
+        ))
+
+    def finale(block: pa.Table, _p=p) -> pa.Table:
+        import pandas as pd
+
+        W = 64 - _p + 1
+        mm = 1 << _p
+        df = pd.DataFrame(
+            {"g": block.column(group_col).to_numpy(zero_copy_only=False)
+             .astype(np.int64),
+             "rho": block.column("rho").to_numpy(zero_copy_only=False)
+             .astype(np.int64)}
+        )
+        gs, ests = [], []
+        for gv, sub in df.groupby("g", sort=True):
+            cnt = np.bincount(sub["rho"].to_numpy(), minlength=W + 1)
+            n_present = int(cnt[1:].sum())
+            reg_hist = cnt.copy()
+            reg_hist[0] = mm - n_present  # empty registers
+            est = _estimate_from_hist(reg_hist, _p)
+            gs.append(int(gv))
+            ests.append(round(est, 3))
+        return pa.table(
+            {group_col: pa.array(gs, pa.int64()),
+             out_col: pa.array(ests, pa.float64())}
+        )
+
+    return (
+        agg.map_batches(group_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(finale, batch_format="pyarrow")
+    )
+
+
+def _estimate_from_hist(reg_hist: np.ndarray, p: int) -> float:
+    """HLL estimate from a register-VALUE histogram (index = rho,
+    value = #registers) — the vectorized-exact form of
+    hll_estimate_from_registers (identical arithmetic: python-int z,
+    one float division, linear-counting branch)."""
+    m = 1 << p
+    W = 64 - p + 1
+    z_int = sum(int(c) << (W - r) for r, c in enumerate(reg_hist) if c)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = alpha * m * m * float(1 << W) / float(z_int)
+    zeros = int(reg_hist[0])
+    if e_raw <= 2.5 * m and zeros > 0:
+        return m * float(np.log(m / zeros))
+    return e_raw
+
+
 # --- Count-Min sketch ---------------------------------------------------------
 
 CMS_DEPTH = 4

@@ -128,3 +128,45 @@ def test_bloom_empty_build_side():
         ray.data.from_arrow(left), "k", ray.data.from_arrow(right), "k"
     )
     assert out.count() == 0  # empty filter admits nothing
+
+
+# --- per-group HLL ----------------------------------------------------------
+
+
+def test_hll_by_group_matches_scalar_per_group():
+    """Per-group registers must equal running hll on each group alone
+    (same p), and estimates must be within HLL error of the truth."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from imtag_ray.pipelines.sketch import (
+        _estimate_from_hist,
+        hll_distinct_by_group,
+        hll_hash_u64,
+    )
+
+    rng = np.random.default_rng(53)
+    g = rng.integers(0, 5, size=4000).astype(np.int64) * 3_600_000_000
+    k = rng.integers(0, 700, size=4000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"w": pa.array(g), "u": pa.array(k)})
+    ).repartition(7)
+    out = hll_distinct_by_group(ds, "w", "u", p=8, out_col="est").to_pandas()
+    got = dict(zip(out["w"], out["est"]))
+
+    p, m, W = 8, 256, 57
+    for gv in sorted(set(g)):
+        keys = k[g == gv]
+        h = hll_hash_u64(keys)
+        bucket = (h % np.uint64(m)).astype(np.int64)
+        rem = h >> np.uint64(p)
+        bl = np.array([int(x).bit_length() for x in rem])
+        rho = np.where(rem == 0, W, 56 - bl + 1)
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, bucket, rho)
+        hist = np.bincount(reg, minlength=W + 1)
+        want = round(_estimate_from_hist(hist, p), 3)
+        assert got[gv] == want, gv
+        truth = len(set(keys.tolist()))
+        assert abs(got[gv] - truth) / truth < 0.25  # p=8 ⇒ ~6.5% σ
