@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- extraction pipeline (pages → edges/texts) ---------------------
         "doc_edges": q.doc_edges_q,
+        "doc_anchors": q.doc_anchors_q,
         "doc_texts": q.doc_texts_q,
         # --- graph analytics ----------------------------------------------
         "copart_edges": q.copart_edges_q,
@@ -1701,6 +1702,14 @@ def oracle_sql() -> dict[str, str]:
     purl_wa = _PURL.format(c="a")
     purl_wb = _PURL.format(c="b")
     o = {
+        "doc_anchors": f"""
+            WITH targets AS ({_DOC_TARGETS})
+            SELECT {_DURL.format(c='doc_id')} AS src_url,
+                   {_DURL.format(c='tgt')} AS dst_url,
+                   'd' || CAST(tgt AS VARCHAR) AS anchor
+            FROM targets WHERE tgt != doc_id
+            ORDER BY src_url, dst_url, anchor
+        """,
         "doc_edges": f"""
             WITH targets AS ({_DOC_TARGETS}),
             fil AS (SELECT DISTINCT doc_id, tgt FROM targets WHERE tgt != doc_id)

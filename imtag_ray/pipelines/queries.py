@@ -376,6 +376,25 @@ def doc_pages(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
 
 
+def doc_anchors_q(sf_dir: str) -> "ray.data.Dataset":
+    """Anchor-text edge table from the FULL extraction pipeline:
+    (src_url, dst_url, anchor) — one row per <a> occurrence (duplicates
+    kept, self-links dropped), anchor text through the pinned text
+    pipeline. The oracle reconstructs the link formula AND the anchor
+    text ('d' || target) in SQL without parsing HTML."""
+    from ..stages.extract import anchor_extract_fn
+
+    pages = doc_pages(sf_dir)
+    return (
+        pages.select_columns(["url", "html"])
+        .map_batches(
+            anchor_extract_fn, batch_format="pyarrow",
+            batch_size=QCFG.extract_batch_size,
+        )
+        .sort(["src_url", "dst_url", "anchor"])
+    )
+
+
 def doc_edges_q(sf_dir: str) -> "ray.data.Dataset":
     """Full extraction pipeline on synthesized doc pages → distinct
     (src_url, dst_url). The DuckDB oracle reconstructs the link formula

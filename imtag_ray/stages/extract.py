@@ -63,6 +63,29 @@ def extract_hrefs(html_bytes: bytes) -> list[str]:
     return out
 
 
+_ANCHOR_RE = re.compile(
+    rb"""(?is)<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))"""
+    rb"""[^>]*>(.*?)</a\s*>"""
+)
+
+
+def extract_anchors(src_url: str, html_bytes: bytes) -> list[tuple[str, str]]:
+    """(normalized dst_url, anchor text) pairs of one page, in document
+    order — the webgraph's edge payload (anchor text is the classic
+    relevance signal crawl-graph rankers join onto edges). The anchor
+    text goes through the SAME pinned text pipeline as page text
+    (strip inner tags, unescape entities, collapse whitespace);
+    self-links are dropped by the extract_links rule; duplicates are
+    KEPT (dedup is a separate operator)."""
+    out = []
+    for m in _ANCHOR_RE.finditer(html_bytes or b""):
+        raw = m.group(2) or m.group(3) or m.group(4) or b""
+        dst = normalize_url(src_url, raw.decode("utf-8", errors="replace"))
+        if dst is not None and dst != src_url:
+            out.append((dst, extract_text(m.group(5) or b" ") ))
+    return out
+
+
 def extract_links(src_url: str, html_bytes: bytes) -> list[str]:
     """Normalized out-links of one page (self-links dropped, duplicates
     KEPT — dedup is a separate, explicitly-shuffling operator,
@@ -100,6 +123,28 @@ def link_extract_fn(batch: pa.Table) -> pa.Table:
         {
             "src_url": pa.array(src_out, type=pa.string()),
             "dst_url": pa.array(dst_out, type=pa.string()),
+        }
+    )
+
+
+def anchor_extract_fn(batch: pa.Table) -> pa.Table:
+    """Stateless pages batch → (src_url, dst_url, anchor) batch; the
+    1→k edge flat-map carrying the anchor-text payload."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    src_out: list[str] = []
+    dst_out: list[str] = []
+    txt_out: list[str] = []
+    for u, h in zip(urls, htmls):
+        for dst, txt in extract_anchors(u, h or b""):
+            src_out.append(u)
+            dst_out.append(dst)
+            txt_out.append(txt)
+    return pa.table(
+        {
+            "src_url": pa.array(src_out, type=pa.string()),
+            "dst_url": pa.array(dst_out, type=pa.string()),
+            "anchor": pa.array(txt_out, type=pa.string()),
         }
     )
 

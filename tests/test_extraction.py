@@ -59,3 +59,45 @@ def test_run_extraction_resumable(tmp_path, pages_tbl):
     r2 = run_extraction(src, out_dir, CFG)
     assert r2 == r1
     assert os.path.getmtime(os.path.join(out_dir, "edges")) == m0
+
+
+def test_extract_anchors_text_and_entities():
+    from imtag_ray.stages.extract import extract_anchors
+
+    html = (
+        b'<html><body>'
+        b'<a href="https://x.example/a">link 0 &amp; more</a>'
+        b'<a href="/rel">with <b>inner</b>  tags</a>'
+        b'<a href="https://self.example/p">self</a>'
+        b'</body></html>'
+    )
+    out = extract_anchors("https://self.example/p", html)
+    assert out == [
+        ("https://x.example/a", "link 0 & more"),
+        ("https://self.example/rel", "with inner tags"),
+    ]  # self-link dropped, entities unescaped, inner tags stripped
+
+
+def test_anchor_extract_fn_matches_link_extract_multiset():
+    """Anchor edges (src, dst) as a multiset must equal extract_links'
+    edge multiset on the F1 pages (same href parse, same normalize)."""
+    import collections
+
+    import pyarrow as pa
+
+    from imtag_ray.sources.synth import generate_pages
+    from imtag_ray.stages.extract import anchor_extract_fn, link_extract_fn
+
+    pages = generate_pages(120, seed=100)
+    batch = pa.table({"url": pages["url"], "html": pages["html"]})
+    a = anchor_extract_fn(batch)
+    l = link_extract_fn(batch)
+    ma = collections.Counter(
+        zip(a["src_url"].to_pylist(), a["dst_url"].to_pylist())
+    )
+    ml = collections.Counter(
+        zip(l["src_url"].to_pylist(), l["dst_url"].to_pylist())
+    )
+    assert ma == ml
+    # every anchor text went through the pinned pipeline (no raw tags)
+    assert all("<" not in t for t in a["anchor"].to_pylist())
