@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- extraction pipeline (pages → edges/texts) ---------------------
         "doc_edges": q.doc_edges_q,
         "doc_anchors": q.doc_anchors_q,
+        "doc_anchor_index": q.doc_anchor_index_q,
         "doc_texts": q.doc_texts_q,
         # --- graph analytics ----------------------------------------------
         "copart_edges": q.copart_edges_q,
@@ -1709,6 +1710,14 @@ def oracle_sql() -> dict[str, str]:
                    'd' || CAST(tgt AS VARCHAR) AS anchor
             FROM targets WHERE tgt != doc_id
             ORDER BY src_url, dst_url, anchor
+        """,
+        "doc_anchor_index": f"""
+            WITH targets AS ({_DOC_TARGETS})
+            SELECT {_DURL.format(c='tgt')} AS dst_url,
+                   'd' || CAST(tgt AS VARCHAR) AS anchor,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM targets WHERE tgt != doc_id
+            GROUP BY 1, 2 ORDER BY dst_url, anchor
         """,
         "doc_edges": f"""
             WITH targets AS ({_DOC_TARGETS}),

@@ -395,6 +395,34 @@ def doc_anchors_q(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def doc_anchor_index_q(sf_dir: str) -> "ray.data.Dataset":
+    """Anchor-text INDEX: per target url, each distinct anchor text
+    with its occurrence count → (dst_url, anchor, n) — the inverted
+    edge-payload table web rankers build (anchor text describes the
+    TARGET). One bucketed (dst, anchor) count over the anchor edge
+    stream; cardinality ≤ E so Ray's groupby never sees it raw."""
+    from ..stages.extract import anchor_extract_fn
+    from ..util import bucketed_aggregate
+
+    pages = doc_pages(sf_dir)
+    anchors = pages.select_columns(["url", "html"]).map_batches(
+        anchor_extract_fn, batch_format="pyarrow",
+        batch_size=QCFG.extract_batch_size,
+    )
+    out = bucketed_aggregate(
+        anchors.select_columns(["dst_url", "anchor"]),
+        key_cols=["dst_url", "anchor"],
+        aggs=[("anchor", "count", "n")],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"dst_url": t.column("dst_url"), "anchor": t.column("anchor"),
+             "n": t.column("n").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sort(["dst_url", "anchor"])
+
+
 def doc_edges_q(sf_dir: str) -> "ray.data.Dataset":
     """Full extraction pipeline on synthesized doc pages → distinct
     (src_url, dst_url). The DuckDB oracle reconstructs the link formula
