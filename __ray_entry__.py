@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": d.dedup_exact_q,
         "minhash_pairs": d.minhash_pairs_q,
         "dedup_src_matrix": d.dedup_src_matrix_q,
+        "dedup_cluster_sizes": d.dedup_cluster_sizes_q,
         "simhash_pairs": d.simhash_pairs_q,
         "simhash_table": d.simhash_table_q,
         "ngram_pairs": d.ngram_pairs_q,
@@ -961,6 +962,19 @@ def _near_keep_sql(rounds: int = 6) -> str:
     SELECT d.doc_id FROM documents d
     LEFT JOIN dropped ON dropped.v = d.doc_id
     WHERE dropped.v IS NULL ORDER BY d.doc_id"""
+
+
+def _cluster_sizes_sql(rounds: int = 6) -> str:
+    """Cluster-size-histogram oracle: the _near_keep_sql hash-min chain,
+    then count per label and histogram the counts —
+    pipelines.dataops.dedup_cluster_sizes_q's exact trajectory."""
+    keep = _near_keep_sql(rounds)
+    head = keep[: keep.rindex("dropped AS")].rstrip().rstrip(",")
+    return head + f""",
+    sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+           FROM l{rounds} GROUP BY lbl)
+    SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sz GROUP BY sz ORDER BY cluster_size"""
 
 
 _BOWTIE_SCC_PREFIX = """
@@ -2570,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn_ivf": _IVF_SQL,
         "embed_dup_pairs_lsh": _lsh_sql(),
         "dedup_near_keep": _near_keep_sql(6),
+        "dedup_cluster_sizes": _cluster_sizes_sql(6),
         # HLL distinct: exact replay — md5 hash, p=12 buckets, integer
         # register sum in HUGEINT (so float summation order cannot
         # diverge), same linear-counting branch

@@ -184,6 +184,49 @@ def dedup_src_matrix_q(sf_dir: str) -> pa.Table:
     ) if len(t) else empty
 
 
+def dedup_cluster_sizes_q(sf_dir: str) -> pa.Table:
+    """Near-duplicate CLUSTER-SIZE histogram: MinHash pair graph →
+    6 fixed hash-min rounds (the dedup_near_keep trajectory) →
+    (cluster_size, n_clusters). The dedup report a curation run ships:
+    how much of the corpus sits in 2-clusters vs giant templates.
+    Singleton docs (no near-dup pair) are not clusters here."""
+    from ray.data.aggregate import Count
+
+    from ..dedup.cluster import minlabel_clusters
+    from ..util import bucketed_aggregate, compact_nonempty
+
+    empty = pa.table(
+        {"cluster_size": pa.array([], pa.int64()),
+         "n_clusters": pa.array([], pa.int64())}
+    )
+    pairs = compact_nonempty(
+        minhash_dup_pairs(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            "doc_id", "text", threshold=0.5,
+        ).select_columns(["id_a", "id_b"])
+    )
+    if pairs is None:
+        return empty
+    labels = minlabel_clusters(pairs, rounds=6)
+    sizes = compact_nonempty(
+        bucketed_aggregate(
+            labels, key_cols=["lbl"], aggs=[("lbl", "count", "sz")]
+        )
+    )
+    if sizes is None:
+        return empty
+    hist = (
+        sizes.groupby("sz")  # |distinct sizes| groups — tiny
+        .aggregate(Count(alias_name="n_clusters"))
+        .sort("sz")
+        .to_pandas()
+    )
+    return pa.table(
+        {"cluster_size": pa.array(hist["sz"].to_numpy(np.int64)),
+         "n_clusters": pa.array(hist["n_clusters"].to_numpy(np.int64))}
+    )
+
+
 def prefix_pairs_q(sf_dir: str) -> "ray.data.Dataset":
     """Global (unblocked) exact-Jaccard self-join via prefix filtering:
     ALL document pairs with hashed-token-shingle Jaccard ≥ 0.5. The
