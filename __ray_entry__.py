@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": r.orders_rollup,
         "orders_cube": r.orders_cube,
         "events_zscore": r.events_zscore,
+        "events_transitions": r.events_transitions,
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
         "copart_deg_hist": q.copart_deg_hist_q,
@@ -2416,6 +2417,18 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_orders
                 FROM orders GROUP BY ROLLUP(o_year, o_orderpriority)
             ) ORDER BY o_year, o_orderpriority
+        """,
+        "events_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY from_type, to_type
         """,
         "events_zscore": """
             WITH c AS (

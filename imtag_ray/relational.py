@@ -703,6 +703,55 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """First-order event-type transition matrix over per-user event
+    sequences (ordered by ts, event_id) → (from_type, to_type, n) —
+    the Markov-chain table behavioral analytics starts from.
+
+    Scale shape: events hash-bucketed by user (256 coarse buckets, so
+    every user's sequence is co-located without a per-user map_groups),
+    each bucket sorts its users' events and counts adjacent pairs
+    vectorized; the final groupby key space is |types|²."""
+    from ray.data.aggregate import Sum
+
+    from .util import _mix_to_bucket
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", pa.array(
+            _mix_to_bucket([col_np(t, "user_id").astype(np.int64)], 256)
+        ))
+
+    def pairs_of_block(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"u": col_np(g, "user_id"),
+             "ts": g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+             "eid": col_np(g, "event_id"),
+             "et": np.asarray(g.column("event_type"), dtype=object)}
+        ).sort_values(["u", "ts", "eid"], kind="stable")
+        same = df["u"].to_numpy()[:-1] == df["u"].to_numpy()[1:]
+        frm = df["et"].to_numpy()[:-1][same]
+        to = df["et"].to_numpy()[1:][same]
+        cnt = pd.DataFrame({"f": frm, "t": to}).value_counts().reset_index(
+            name="n"
+        )
+        return pa.table(
+            {"from_type": pa.array(cnt["f"].astype(str), pa.string()),
+             "to_type": pa.array(cnt["t"].astype(str), pa.string()),
+             "n": pa.array(cnt["n"].to_numpy(np.int64))}
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_of_block, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])  # |types|² groups — tiny
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["from_type", "to_type"])
+    )
+
+
 def events_zscore(sf_dir: str) -> "ray.data.Dataset":
     """Windowed anomaly detection: per event type, the z-score of each
     1-hour window's event count against that type's own distribution
