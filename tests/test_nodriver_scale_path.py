@@ -95,3 +95,69 @@ def test_pagerank_nodriver_dangling_star():
     rb = dict(zip(b["vid"], b["rank"]))
     for v in ra:
         assert rb[v] == pytest.approx(ra[v], abs=1e-12)
+
+
+# --- round-4 session ops: forced no-driver paths ---------------------------
+
+
+def test_katz_nodriver_matches_broadcast():
+    from imtag_ray.pipelines.traversal import katz_centrality
+
+    g = build_graph(ray.data.from_arrow(named_graph_edges("gnp")))
+    bc = katz_centrality(
+        g, EngineConfig(num_partitions=4), iterations=6, mode="broadcast"
+    ).to_pandas()
+    sh = katz_centrality(g, nodriver_cfg(), iterations=6).to_pandas()
+    assert dict(zip(bc["url"], bc["score"])) == dict(
+        zip(sh["url"], sh["score"])
+    )  # dyadic α ⇒ bit equality
+
+
+def test_lpa_nodriver_matches_broadcast():
+    from imtag_ray.pipelines.labelprop import lpa_communities
+    from imtag_ray.util import dataset_to_numpy as d2n
+
+    g = build_graph(ray.data.from_arrow(named_graph_edges("barbell")))
+    bc = d2n(
+        lpa_communities(g, EngineConfig(num_partitions=4), rounds=4,
+                        mode="broadcast"),
+        "url", "community",
+    )
+    sh = d2n(lpa_communities(g, nodriver_cfg(), rounds=4), "url", "community")
+    assert dict(zip(bc["url"], bc["community"])) == dict(
+        zip(sh["url"], sh["community"])
+    )
+
+
+def test_kshells_nodriver_matches_broadcast():
+    from imtag_ray.pipelines.traversal import kshells
+    from imtag_ray.util import dataset_to_numpy as d2n
+
+    g = build_graph(ray.data.from_arrow(named_graph_edges("gnp")))
+    bc = kshells(
+        g, EngineConfig(num_partitions=4), k_max=4, rounds=6,
+        mode="broadcast",
+    )
+    sh = kshells(g, nodriver_cfg(), k_max=4, rounds=6)
+    b = d2n(bc, "url", "shell")
+    s = d2n(sh, "url", "shell")
+    assert dict(zip(b["url"], b["shell"])) == dict(zip(s["url"], s["shell"]))
+
+
+def test_quotient_nodriver_runs():
+    """quotient_edges has no driver mode at all — verify it completes
+    under the forced-shuffle config and weights sum to E."""
+    from imtag_ray.pipelines.labelprop import label_propagation
+    from imtag_ray.pipelines.quotient import quotient_edges
+
+    tbl = named_graph_edges("two_cliques")
+    g = build_graph(ray.data.from_arrow(tbl), nodriver_cfg())
+    labels = label_propagation(
+        g, {"https://g.example/v000000": "a", "https://g.example/v000005": "b"},
+        nodriver_cfg(),
+    ).select_columns(["vid", "label"])
+    out = quotient_edges(g, labels, nodriver_cfg())
+    t = out if isinstance(out, pa.Table) else pa.concat_tables(
+        [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    )
+    assert sum(t.column("weight").to_pylist()) == tbl.num_rows
