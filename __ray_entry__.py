@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_quotient": q.geo_quotient_q,
         "geo_percolation": q.geo_percolation_q,
         "doc_hits8": q.doc_hits8_q,
+        "doc_salsa": q.doc_salsa_q,
         "doc_scc": q.doc_scc_q,
         "doc_bowtie": q.doc_bowtie_q,
         "doc_scc_cond": q.doc_scc_cond_q,
@@ -1825,6 +1826,34 @@ def oracle_sql() -> dict[str, str]:
         "geo_labelprop": _lp_unrolled_sql(6),
         "geo_modularity": _geo_modularity_sql(6),
         "geo_quotient": _geo_quotient_sql(6),
+        "doc_salsa": f"""
+            WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+            e AS MATERIALIZED (SELECT DISTINCT doc_id AS s, tgt AS d
+                    FROM targets WHERE tgt != doc_id),
+            ind AS MATERIALIZED (SELECT d AS v,
+                    CAST(count(*) AS BIGINT) AS din FROM e GROUP BY d),
+            na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ind),
+            cop AS MATERIALIZED (SELECT DISTINCT a.d AS u, b.d AS w
+                    FROM e a JOIN e b ON b.s = a.s AND b.d > a.d),
+            und AS (SELECT u, w FROM cop UNION SELECT w, u FROM cop),
+            reach(v, l) AS (
+                SELECT v, v FROM ind
+                UNION
+                SELECT u.w, r.l FROM reach r JOIN und u ON u.u = r.v),
+            minl AS MATERIALIZED (SELECT v, min(l) AS ml
+                    FROM reach GROUP BY v),
+            cs AS MATERIALIZED (
+                SELECT ml, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(din) AS BIGINT) AS sd
+                FROM minl JOIN ind ON ind.v = minl.v GROUP BY ml)
+            SELECT {_DURL.format(c='minl.v')} AS url,
+                   round(CAST(cs.cnt * ind.din AS DOUBLE)
+                         / CAST((SELECT n FROM na) * cs.sd AS DOUBLE), 9)
+                       AS score
+            FROM minl JOIN ind ON ind.v = minl.v
+                      JOIN cs ON cs.ml = minl.ml
+            ORDER BY url
+        """,
         "geo_percolation": _geo_percolation_sql(),
         "doc_hits8": _hits_unrolled_sql(8),
         # strongly connected components: closure oracle — mutual

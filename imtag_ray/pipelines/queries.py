@@ -423,6 +423,132 @@ def doc_anchor_index_q(sf_dir: str) -> "ray.data.Dataset":
     ).sort(["dst_url", "anchor"])
 
 
+def doc_salsa_q(sf_dir: str) -> "ray.data.Dataset":
+    """SALSA authority scores (Lempel–Moran) over the doc graph via the
+    EXACT closed form of the stationary distribution: within each
+    connected component C of the authority co-citation graph (two
+    authorities adjacent iff they share an in-neighbor),
+    score(v) = (|C| · indeg(v)) / (|V_a| · Σ_{u∈C} indeg(u)) — all
+    integer sufficient statistics, ONE float division per vertex, so
+    the oracle reproduces identical doubles (no power iteration, no
+    order-dependent float sums). → (url, score), authorities only.
+
+    Scale shape: co-citation pairs via a src-keyed self-join +
+    bucketed distinct (the copart construction); components via the
+    gated CC kernel; per-component stats one bucketed aggregation;
+    |V_a| a scalar count. The wedge volume is Σ outdeg² — hub-gated in
+    the same way as ball2/adamic on power-law graphs."""
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_aggregate, bucketed_sum_aggregate, compact_nonempty
+    from .cc import connected_components
+
+    e = doc_edges_q(sf_dir).materialize()
+    # in-degrees per authority (distinct-edge in-degree)
+    ind = compact_nonempty(
+        bucketed_aggregate(
+            e.select_columns(["dst_url"]),
+            key_cols=["dst_url"], aggs=[("dst_url", "count", "din")],
+        )
+    )
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "score": pa.array([], pa.float64())}
+    )
+    if ind is None:
+        return ray.data.from_arrow(empty)
+    n_auth = ind.count()
+    # co-citation pairs (a < b share an in-neighbor)
+    right = e.rename_columns({"dst_url": "d2"})
+    joined = e.join(
+        right, join_type="inner", num_partitions=QCFG.num_partitions,
+        on=("src_url",), right_on=("src_url",),
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("dst_url"), dtype=object)
+        b = np.asarray(t.column("d2"), dtype=object)
+        m = a < b
+        return pa.table(
+            {"src_url": pa.array(a[m], pa.string()),
+             "dst_url": pa.array(b[m], pa.string())}
+        )
+
+    cop = compact_nonempty(
+        bucketed_sum_aggregate(
+            joined.map_batches(canon, batch_format="pyarrow"),
+            key_cols=["src_url", "dst_url"], sum_cols=[],
+        )
+    )
+    if cop is None:
+        labels = ind.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("dst_url"), "comp": t.column("dst_url")}
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        g2 = build_graph(cop, QCFG)
+        cc2 = (
+            connected_components(g2, QCFG)
+            .select_columns(["url", "component_id"])
+            .materialize()
+        )
+        # singleton authorities (no co-citation partner) keep their own
+        # url as the component label
+        labels = ind.select_columns(["dst_url"]).join(
+            cc2.rename_columns({"url": "u2"}),
+            join_type="left_outer", num_partitions=QCFG.num_partitions,
+            on=("dst_url",), right_on=("u2",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"url": t.column("dst_url"),
+                 "comp": pa.array(
+                     [
+                         u if c is None else f"c{int(c)}"
+                         for u, c in zip(
+                             t.column("dst_url").to_pylist(),
+                             t.column("component_id").to_pylist(),
+                         )
+                     ],
+                     pa.string(),
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+    tagged = compact_nonempty(
+        labels.join(
+            ind.rename_columns({"dst_url": "u3"}),
+            join_type="inner", num_partitions=QCFG.num_partitions,
+            on=("url",), right_on=("u3",),
+        ).materialize()
+    )
+    stats = compact_nonempty(
+        bucketed_aggregate(
+            tagged.select_columns(["comp", "din"]),
+            key_cols=["comp"],
+            aggs=[("din", "sum", "sum_din"), ("din", "count", "n_members")],
+        )
+    )
+    out = tagged.join(
+        stats, join_type="inner", num_partitions=QCFG.num_partitions,
+        on=("comp",), right_on=("comp",),
+    )
+
+    def score(t: pa.Table, _na=n_auth) -> pa.Table:
+        c = np.asarray(t.column("n_members"), dtype=np.int64)
+        d = np.asarray(t.column("din"), dtype=np.int64)
+        s = np.asarray(t.column("sum_din"), dtype=np.int64)
+        sc = np.round(
+            (c * d).astype(np.float64) / (_na * s).astype(np.float64), 9
+        )
+        return pa.table(
+            {"url": t.column("url"), "score": pa.array(sc, pa.float64())}
+        )
+
+    return out.map_batches(score, batch_format="pyarrow").sort("url")
+
+
 def doc_edges_q(sf_dir: str) -> "ray.data.Dataset":
     """Full extraction pipeline on synthesized doc pages → distinct
     (src_url, dst_url). The DuckDB oracle reconstructs the link formula
