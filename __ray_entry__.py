@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_texts": q.doc_texts_q,
         # --- graph analytics ----------------------------------------------
         "copart_edges": q.copart_edges_q,
+        "copart_weighted": q.copart_weighted_q,
         "copart_degree": q.copart_degree_q,
         "copart_top20": q.copart_top20_q,
         "copart_triangles": q.copart_triangles_q,
@@ -1760,6 +1761,17 @@ def oracle_sql() -> dict[str, str]:
             WITH pairs AS ({_COPART_PAIRS})
             SELECT {purl_a} AS src_url, {purl_b} AS dst_url
             FROM pairs ORDER BY src_url, dst_url
+        """,
+        "copart_weighted": f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem)
+            SELECT {_PURL.format(c='a.l_partkey')} AS src_url,
+                   {_PURL.format(c='b.l_partkey')} AS dst_url,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 ORDER BY src_url, dst_url
         """,
         "copart_degree": f"""
             WITH pairs AS ({_COPART_PAIRS}),

@@ -111,6 +111,57 @@ def copart_edge_urls(sf_dir: str) -> "ray.data.Dataset":
     return out
 
 
+def copart_weighted_q(sf_dir: str) -> "ray.data.Dataset":
+    """WEIGHTED bipartite projection: undirected co-purchase pairs with
+    multiplicity → (src_url, dst_url, weight = #orders containing both
+    parts). The weighted form of copart_edges (projection weights are
+    what similarity/backbone-extraction algorithms consume). One
+    hash-partitioned self-join + ONE bucketed pair count — pair
+    cardinality is E so Ray's groupby never sees it raw."""
+    from ..util import bucketed_sum_aggregate
+
+    li = bucketed_sum_aggregate(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        key_cols=["l_orderkey", "l_partkey"], sum_cols=[],
+    )  # distinct (order, part): weight counts ORDERS, not lineitem rows
+    right = li.rename_columns({"l_partkey": "p2"})
+    pairs = li.join(
+        right, join_type="inner", num_partitions=QCFG.num_partitions,
+        on=("l_orderkey",),
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = col_np(t, "l_partkey")
+        b = col_np(t, "p2")
+        m = a < b
+        key = a[m].astype(np.int64) * (1 << 32) + b[m]
+        # within-batch combiner: (pair, count) partials
+        from ..util import sparse_sum_reduce
+
+        k, c = sparse_sum_reduce(key, np.ones(len(key), dtype=np.int64))
+        return table_from_arrays(
+            pk_a=k >> 32, pk_b=k & ((1 << 32) - 1), weight=c
+        )
+
+    agg = bucketed_sum_aggregate(
+        pairs.map_batches(canon, batch_format="pyarrow"),
+        key_cols=["pk_a", "pk_b"], sum_cols=["weight"],
+    )
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_url": part_url(col_np(t, "pk_a")),
+                "dst_url": part_url(col_np(t, "pk_b")),
+                "weight": t.column("weight").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(to_urls, batch_format="pyarrow").sort(
+        ["src_url", "dst_url"]
+    )
+
+
 def copart_graph(sf_dir: str) -> Graph:
     key = (sf_dir, "plain")
     if key not in _GRAPH_CACHE:
