@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- graph analytics ----------------------------------------------
         "copart_edges": q.copart_edges_q,
         "copart_weighted": q.copart_weighted_q,
+        "copart_backbone": q.copart_backbone_q,
         "copart_degree": q.copart_degree_q,
         "copart_top20": q.copart_top20_q,
         "copart_triangles": q.copart_triangles_q,
@@ -784,6 +785,38 @@ def _lpa_unrolled_sql(rounds: int = 4) -> str:
     SELECT {_PURL.format(c='v')} AS url,
            {_PURL.format(c='lab')} AS community
     FROM s{rounds} ORDER BY url"""
+
+
+def _backbone_sql(min_weight: int = 2, rounds: int = 8) -> str:
+    """Backbone component-size-histogram oracle: weighted projection →
+    weight filter → `rounds` unrolled hash-min rounds (identical to
+    dedup.cluster.minlabel_clusters) → label-count histogram —
+    pipelines.queries.copart_backbone_q's exact trajectory."""
+    parts = [
+        "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM lineitem),",
+        f"wp AS MATERIALIZED (SELECT a.l_partkey AS pa_, b.l_partkey AS pb_,"
+        f" count(*) AS w FROM op a JOIN op b"
+        f" ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        f" GROUP BY 1, 2 HAVING count(*) >= {min_weight}),",
+        "e AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM wp"
+        " UNION ALL SELECT pb_, pa_ FROM wp),",
+        "l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"l{r} AS MATERIALIZED ("
+            f" SELECT l.v, least(l.lbl, coalesce(min(p.lbl), l.lbl)) AS lbl"
+            f" FROM l{r-1} l LEFT JOIN e ON e.s = l.v"
+            f" LEFT JOIN l{r-1} p ON p.v = e.d"
+            f" GROUP BY l.v, l.lbl),"
+        )
+    parts.append(
+        f"sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz"
+        f" FROM l{rounds} GROUP BY lbl)")
+    return "\n".join(parts) + """
+    SELECT sz AS component_size, CAST(count(*) AS BIGINT) AS n_components
+    FROM sz GROUP BY sz ORDER BY component_size"""
 
 
 def _kshells_sql(k_max: int = 6, rounds: int = 8) -> str:
@@ -1959,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "copart_shells6": _kshells_sql(6, 8),
         "copart_lpa4": _lpa_unrolled_sql(4),
         "copart_wl2": _wl_sql(2),
+        "copart_backbone": _backbone_sql(2, 8),
         "copart_jdm": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
             und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs

@@ -162,6 +162,63 @@ def copart_weighted_q(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def copart_backbone_q(sf_dir: str, min_weight: int = 2) -> "ray.data.Dataset":
+    """Weighted-graph BACKBONE: drop projection edges with weight <
+    min_weight (parts co-purchased in ≥2 distinct orders), then hash-min
+    components over the surviving backbone (8 fixed rounds — the
+    fixed-round contract the unrolled oracle replays) and report the
+    component-size histogram → (component_size, n_components). The
+    multiplicity-threshold backbone is the standard noise filter before
+    community detection on projection graphs."""
+    from ray.data.aggregate import Count
+
+    from ..dedup.cluster import minlabel_clusters
+    from ..util import bucketed_aggregate, compact_nonempty
+
+    w = copart_weighted_q(sf_dir)
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.greater_equal(t.column("weight"), min_weight))
+        pre = len("part://")
+        a = pc.utf8_slice_codeunits(keep.column("src_url"), pre).cast(
+            pa.int64()
+        )
+        b = pc.utf8_slice_codeunits(keep.column("dst_url"), pre).cast(
+            pa.int64()
+        )
+        return pa.table({"id_a": a, "id_b": b})
+
+    pairs = compact_nonempty(w.map_batches(to_ids, batch_format="pyarrow"))
+    empty = pa.table(
+        {"component_size": pa.array([], pa.int64()),
+         "n_components": pa.array([], pa.int64())}
+    )
+    if pairs is None:
+        return ray.data.from_arrow(empty)
+    labels = minlabel_clusters(pairs, rounds=8)
+    sizes = compact_nonempty(
+        bucketed_aggregate(
+            labels, key_cols=["lbl"], aggs=[("lbl", "count", "sz")]
+        )
+    )
+    if sizes is None:
+        return ray.data.from_arrow(empty)
+    return (
+        sizes.groupby("sz")
+        .aggregate(Count(alias_name="n_components"))
+        .map_batches(
+            lambda t: pa.table(
+                {"component_size": t.column("sz").cast(pa.int64()),
+                 "n_components": t.column("n_components").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("component_size")
+    )
+
+
 def copart_graph(sf_dir: str) -> Graph:
     key = (sf_dir, "plain")
     if key not in _GRAPH_CACHE:
