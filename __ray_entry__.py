@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": r.orders_cube,
         "events_zscore": r.events_zscore,
         "events_transitions": r.events_transitions,
+        "events_gaps": r.events_gaps,
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
         "copart_deg_hist": q.copart_deg_hist_q,
@@ -2492,6 +2493,20 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_orders
                 FROM orders GROUP BY ROLLUP(o_year, o_orderpriority)
             ) ORDER BY o_year, o_orderpriority
+        """,
+        "events_gaps": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )) AS BIGINT) AS gap
+                FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us
+            FROM s WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "events_transitions": """
             WITH s AS (

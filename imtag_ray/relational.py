@@ -752,6 +752,61 @@ def events_transitions(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_gaps(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user inter-arrival statistics over the (ts, event_id)-ordered
+    event sequence → (user_id, n_gaps, min_gap_us, max_gap_us,
+    sum_gap_us) — all exact int64 microseconds (the sessionization /
+    bot-detection precursor). Users with a single event have no gaps
+    and are excluded (matching the SQL lag semantics).
+
+    Scale shape = events_transitions': 256 coarse user-hash buckets
+    co-locate each user's events, per-bucket vectorized sort + diff,
+    then a bucketed per-user min/max/sum/count reduction."""
+    from .util import _mix_to_bucket, bucketed_aggregate
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", pa.array(
+            _mix_to_bucket([col_np(t, "user_id").astype(np.int64)], 256)
+        ))
+
+    def gaps_of_block(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"u": col_np(g, "user_id"),
+             "ts": g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+             "eid": col_np(g, "event_id")}
+        ).sort_values(["u", "ts", "eid"], kind="stable")
+        u = df["u"].to_numpy()
+        ts = df["ts"].to_numpy()
+        same = u[:-1] == u[1:]
+        gap = (ts[1:] - ts[:-1])[same]
+        gu = u[1:][same]
+        return pa.table(
+            {"user_id": pa.array(gu.astype(np.int64)),
+             "gap": pa.array(gap.astype(np.int64))}
+        )
+
+    gaps = (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(gaps_of_block, batch_format="pyarrow")
+    )
+    out = bucketed_aggregate(
+        gaps, key_cols=["user_id"],
+        aggs=[("gap", "count", "n_gaps"), ("gap", "min", "min_gap_us"),
+              ("gap", "max", "max_gap_us"), ("gap", "sum", "sum_gap_us")],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {c: t.column(c).cast(pa.int64()) for c in
+             ["user_id", "n_gaps", "min_gap_us", "max_gap_us",
+              "sum_gap_us"]}
+        ),
+        batch_format="pyarrow",
+    ).sort("user_id")
+
+
 def events_zscore(sf_dir: str) -> "ray.data.Dataset":
     """Windowed anomaly detection: per event type, the z-score of each
     1-hour window's event count against that type's own distribution
