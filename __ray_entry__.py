@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_percolation": q.geo_percolation_q,
         "doc_hits8": q.doc_hits8_q,
         "doc_salsa": q.doc_salsa_q,
+        "doc_salsa_hubs": q.doc_salsa_hubs_q,
         "doc_scc": q.doc_scc_q,
         "doc_bowtie": q.doc_bowtie_q,
         "doc_scc_cond": q.doc_scc_cond_q,
@@ -1872,6 +1873,34 @@ def oracle_sql() -> dict[str, str]:
         "geo_labelprop": _lp_unrolled_sql(6),
         "geo_modularity": _geo_modularity_sql(6),
         "geo_quotient": _geo_quotient_sql(6),
+        "doc_salsa_hubs": f"""
+            WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+            e AS MATERIALIZED (SELECT DISTINCT doc_id AS s, tgt AS d
+                    FROM targets WHERE tgt != doc_id),
+            odeg AS MATERIALIZED (SELECT s AS v,
+                    CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY s),
+            nh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM odeg),
+            cop AS MATERIALIZED (SELECT DISTINCT a.s AS u, b.s AS w
+                    FROM e a JOIN e b ON b.d = a.d AND b.s > a.s),
+            und AS (SELECT u, w FROM cop UNION SELECT w, u FROM cop),
+            reach(v, l) AS (
+                SELECT v, v FROM odeg
+                UNION
+                SELECT u.w, r.l FROM reach r JOIN und u ON u.u = r.v),
+            minl AS MATERIALIZED (SELECT v, min(l) AS ml
+                    FROM reach GROUP BY v),
+            cs AS MATERIALIZED (
+                SELECT ml, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(dg) AS BIGINT) AS sd
+                FROM minl JOIN odeg ON odeg.v = minl.v GROUP BY ml)
+            SELECT {_DURL.format(c='minl.v')} AS url,
+                   round(CAST(cs.cnt * odeg.dg AS DOUBLE)
+                         / CAST((SELECT n FROM nh) * cs.sd AS DOUBLE), 9)
+                       AS score
+            FROM minl JOIN odeg ON odeg.v = minl.v
+                      JOIN cs ON cs.ml = minl.ml
+            ORDER BY url
+        """,
         "doc_salsa": f"""
             WITH RECURSIVE targets AS ({_DOC_TARGETS}),
             e AS MATERIALIZED (SELECT DISTINCT doc_id AS s, tgt AS d

@@ -531,50 +531,51 @@ def doc_anchor_index_q(sf_dir: str) -> "ray.data.Dataset":
     ).sort(["dst_url", "anchor"])
 
 
-def doc_salsa_q(sf_dir: str) -> "ray.data.Dataset":
-    """SALSA authority scores (Lempel–Moran) over the doc graph via the
-    EXACT closed form of the stationary distribution: within each
-    connected component C of the authority co-citation graph (two
-    authorities adjacent iff they share an in-neighbor),
-    score(v) = (|C| · indeg(v)) / (|V_a| · Σ_{u∈C} indeg(u)) — all
-    integer sufficient statistics, ONE float division per vertex, so
-    the oracle reproduces identical doubles (no power iteration, no
-    order-dependent float sums). → (url, score), authorities only.
+def _salsa_scores(sf_dir: str, side: str) -> "ray.data.Dataset":
+    """Shared SALSA kernel (Lempel–Moran closed form): scores over the
+    chosen side's projection graph — ``authority``: score vertices by
+    IN-degree, two authorities adjacent iff they share an in-neighbor
+    (co-citation); ``hub``: score vertices by OUT-degree, two hubs
+    adjacent iff they share an out-neighbor (bibliographic coupling).
+    Within each projection component C:
+    score(v) = (|C| · deg(v)) / (|V_side| · Σ_{u∈C} deg(u)) — integer
+    sufficient statistics, ONE float division per vertex, identical
+    doubles in the oracle.
 
-    Scale shape: co-citation pairs via a src-keyed self-join +
-    bucketed distinct (the copart construction); components via the
-    gated CC kernel; per-component stats one bucketed aggregation;
-    |V_a| a scalar count. The wedge volume is Σ outdeg² — hub-gated in
-    the same way as ball2/adamic on power-law graphs."""
-    from ray.data.aggregate import Sum
-
+    Scale shape: projection pairs via a key-keyed self-join + bucketed
+    distinct (the copart construction); components via the gated CC
+    kernel; per-component stats one bucketed aggregation. Wedge volume
+    is Σ deg(shared side)² — hub-gated like ball2/adamic on power-law
+    graphs."""
     from ..util import bucketed_aggregate, bucketed_sum_aggregate, compact_nonempty
     from .cc import connected_components
 
+    share_col, score_col = (
+        ("src_url", "dst_url") if side == "authority"
+        else ("dst_url", "src_url")
+    )
     e = doc_edges_q(sf_dir).materialize()
-    # in-degrees per authority (distinct-edge in-degree)
-    ind = compact_nonempty(
+    deg = compact_nonempty(
         bucketed_aggregate(
-            e.select_columns(["dst_url"]),
-            key_cols=["dst_url"], aggs=[("dst_url", "count", "din")],
+            e.select_columns([score_col]),
+            key_cols=[score_col], aggs=[(score_col, "count", "din")],
         )
     )
     empty = pa.table(
         {"url": pa.array([], pa.string()),
          "score": pa.array([], pa.float64())}
     )
-    if ind is None:
+    if deg is None:
         return ray.data.from_arrow(empty)
-    n_auth = ind.count()
-    # co-citation pairs (a < b share an in-neighbor)
-    right = e.rename_columns({"dst_url": "d2"})
+    n_side = deg.count()
+    right = e.rename_columns({score_col: "d2"})
     joined = e.join(
         right, join_type="inner", num_partitions=QCFG.num_partitions,
-        on=("src_url",), right_on=("src_url",),
+        on=(share_col,), right_on=(share_col,),
     )
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = np.asarray(t.column("dst_url"), dtype=object)
+    def canon(t: pa.Table, _sc=score_col) -> pa.Table:
+        a = np.asarray(t.column(_sc), dtype=object)
         b = np.asarray(t.column("d2"), dtype=object)
         m = a < b
         return pa.table(
@@ -589,9 +590,9 @@ def doc_salsa_q(sf_dir: str) -> "ray.data.Dataset":
         )
     )
     if cop is None:
-        labels = ind.map_batches(
-            lambda t: pa.table(
-                {"url": t.column("dst_url"), "comp": t.column("dst_url")}
+        labels = deg.map_batches(
+            lambda t, _sc=score_col: pa.table(
+                {"url": t.column(_sc), "comp": t.column(_sc)}
             ),
             batch_format="pyarrow",
         )
@@ -602,20 +603,20 @@ def doc_salsa_q(sf_dir: str) -> "ray.data.Dataset":
             .select_columns(["url", "component_id"])
             .materialize()
         )
-        # singleton authorities (no co-citation partner) keep their own
-        # url as the component label
-        labels = ind.select_columns(["dst_url"]).join(
+        # vertices with no projection partner keep their own url as the
+        # component label (singleton components)
+        labels = deg.select_columns([score_col]).join(
             cc2.rename_columns({"url": "u2"}),
             join_type="left_outer", num_partitions=QCFG.num_partitions,
-            on=("dst_url",), right_on=("u2",),
+            on=(score_col,), right_on=("u2",),
         ).map_batches(
-            lambda t: pa.table(
-                {"url": t.column("dst_url"),
+            lambda t, _sc=score_col: pa.table(
+                {"url": t.column(_sc),
                  "comp": pa.array(
                      [
                          u if c is None else f"c{int(c)}"
                          for u, c in zip(
-                             t.column("dst_url").to_pylist(),
+                             t.column(_sc).to_pylist(),
                              t.column("component_id").to_pylist(),
                          )
                      ],
@@ -626,7 +627,7 @@ def doc_salsa_q(sf_dir: str) -> "ray.data.Dataset":
         )
     tagged = compact_nonempty(
         labels.join(
-            ind.rename_columns({"dst_url": "u3"}),
+            deg.rename_columns({score_col: "u3"}),
             join_type="inner", num_partitions=QCFG.num_partitions,
             on=("url",), right_on=("u3",),
         ).materialize()
@@ -643,7 +644,7 @@ def doc_salsa_q(sf_dir: str) -> "ray.data.Dataset":
         on=("comp",), right_on=("comp",),
     )
 
-    def score(t: pa.Table, _na=n_auth) -> pa.Table:
+    def score(t: pa.Table, _na=n_side) -> pa.Table:
         c = np.asarray(t.column("n_members"), dtype=np.int64)
         d = np.asarray(t.column("din"), dtype=np.int64)
         s = np.asarray(t.column("sum_din"), dtype=np.int64)
@@ -655,6 +656,21 @@ def doc_salsa_q(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return out.map_batches(score, batch_format="pyarrow").sort("url")
+
+
+def doc_salsa_q(sf_dir: str) -> "ray.data.Dataset":
+    """SALSA authority scores (Lempel–Moran) over the doc graph via the
+    EXACT closed form of the stationary distribution — see
+    _salsa_scores; no power iteration, no order-dependent float sums.
+    → (url, score), authorities only."""
+    return _salsa_scores(sf_dir, "authority")
+
+
+def doc_salsa_hubs_q(sf_dir: str) -> "ray.data.Dataset":
+    """SALSA hub scores: the symmetric closed form over the
+    bibliographic-coupling projection (hubs adjacent iff they share an
+    out-neighbor), scored by out-degree. → (url, score), hubs only."""
+    return _salsa_scores(sf_dir, "hub")
 
 
 def doc_edges_q(sf_dir: str) -> "ray.data.Dataset":
