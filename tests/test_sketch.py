@@ -170,3 +170,23 @@ def test_hll_by_group_matches_scalar_per_group():
         assert got[gv] == want, gv
         truth = len(set(keys.tolist()))
         assert abs(got[gv] - truth) / truth < 0.25  # p=8 ⇒ ~6.5% σ
+
+
+def test_estimate_from_hist_equals_register_form():
+    """_estimate_from_hist (vectorized-exact histogram form) must equal
+    hll_estimate_from_registers bit-for-bit on random registers."""
+    import numpy as np
+
+    from imtag_ray.pipelines.sketch import (
+        _estimate_from_hist,
+        hll_estimate_from_registers,
+    )
+
+    rng = np.random.default_rng(59)
+    for p in (8, 12):
+        W = 64 - p + 1
+        for _ in range(5):
+            reg = rng.integers(0, W + 1, size=1 << p).astype(np.int64)
+            hist = np.bincount(reg, minlength=W + 1)
+            assert _estimate_from_hist(hist, p) == \
+                hll_estimate_from_registers(reg, p)
