@@ -178,6 +178,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
         "copart_deg_hist": q.copart_deg_hist_q,
+        "copart_squares": q.copart_squares_q,
+        "copart_avg_nbr_deg": q.copart_avg_nbr_deg_q,
+        "doc_degree_corr": q.doc_degree_corr_q,
+        "events_pivot": r.events_pivot,
+        "embed_cov": s.embed_cov_q,
+        "embed_pca8": s.embed_pca8_q,
+        "embed_knn_cc": d.embed_knn_cc_q,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
         "events_hll_hourly": sk.events_hll_hourly_q,
@@ -1000,6 +1007,70 @@ def _near_keep_sql(rounds: int = 6) -> str:
     SELECT d.doc_id FROM documents d
     LEFT JOIN dropped ON dropped.v = d.doc_id
     WHERE dropped.v IS NULL ORDER BY d.doc_id"""
+
+
+def _knn_cc_sql(rounds: int = 8, k: int = 3) -> str:
+    """embed_knn_cc oracle: the embed_knn_graph top-k replay as the
+    (undirected) pair graph, then `rounds` unrolled hash-min rounds —
+    dedup.cluster.minlabel_clusters' exact trajectory over k-NN edges."""
+    parts = [
+        f"""WITH ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+             FROM embeddings),
+        sims AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                        list_cosine_similarity(a.ev, b.ev) AS s
+                 FROM ee a, ee b WHERE a.vec_id != b.vec_id),
+        knn AS MATERIALIZED (
+            SELECT qid, nid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY s DESC, nid) AS rn
+                FROM sims)
+            WHERE rn <= {k}),
+        e AS MATERIALIZED (SELECT qid AS s, nid AS d FROM knn
+             UNION ALL SELECT nid, qid FROM knn),
+        l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e),""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"l{r} AS MATERIALIZED ("
+            f" SELECT l.v, least(l.lbl, coalesce(min(p.lbl), l.lbl)) AS lbl"
+            f" FROM l{r-1} l LEFT JOIN e ON e.s = l.v"
+            f" LEFT JOIN l{r-1} p ON p.v = e.d"
+            f" GROUP BY l.v, l.lbl),"
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"""
+    SELECT CAST(v AS BIGINT) AS vec_id, CAST(lbl AS BIGINT) AS cluster
+    FROM l{rounds} ORDER BY vec_id"""
+
+
+def _pca_sql(rounds: int = 8) -> str:
+    """embed_pca8 oracle: the Gram matrix as exact DOUBLE sums, then
+    `rounds` unrolled power-iteration steps (matvec + L2 normalize) —
+    scoring.embed_pca8_q's exact trajectory from v0 = all-ones."""
+    parts = [
+        """WITH ex AS MATERIALIZED (
+          SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        mat AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j, sum(a.v * b.v) / count(*) AS m
+          FROM ex a JOIN ex b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
+        v0 AS (SELECT unnest(range(0, 64)) AS i,
+                      CAST(1.0 AS DOUBLE) AS v),""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT mat.i AS i,"
+            f" sum(mat.m * p.v) AS u"
+            f" FROM mat JOIN v{r-1} p ON p.i = mat.j GROUP BY mat.i),"
+        )
+        parts.append(
+            f"v{r} AS (SELECT i,"
+            f" u / (SELECT sqrt(sum(u * u)) FROM u{r}) AS v FROM u{r}),"
+        )
+    body = "\n".join(parts).rstrip().rstrip(",")
+    return body + f"""
+    SELECT CAST(i AS BIGINT) AS dim, round(v, 6) AS v
+    FROM v{rounds} ORDER BY dim"""
 
 
 def _cluster_sizes_sql(rounds: int = 6) -> str:
@@ -2431,6 +2502,92 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(s, 9) AS cos_sim
             FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
+        """,
+        "embed_knn_cc": _knn_cc_sql(rounds=8, k=3),
+        "embed_cov": """
+            WITH ex AS (
+              SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i))
+            SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+                   round(sum(a.v * b.v) / count(*), 6) AS m
+            FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i ORDER BY i, j
+        """,
+        "embed_pca8": _pca_sql(rounds=8),
+        "copart_squares": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS m, pb_ AS x FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            codeg AS (SELECT a.x AS u, b.x AS w,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM und a JOIN und b ON b.m = a.m AND a.x < b.x
+                      GROUP BY a.x, b.x),
+            red AS (SELECT CAST(count(*) AS BIGINT) AS np_,
+                           CAST(coalesce(sum((c * (c - 1)) // 2), 0)
+                                AS BIGINT) AS wp
+                    FROM codeg)
+            SELECT np_ AS n_codeg_pairs, wp AS n_wedge_pairs,
+                   wp // 2 AS n_squares
+            FROM red
+        """,
+        "copart_avg_nbr_deg": f"""
+            WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS a, pb_ AS b FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            deg AS MATERIALIZED (SELECT a AS v,
+                    CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY a)
+            SELECT da.dg AS degree,
+                   round(CAST(sum(db.dg) AS DOUBLE) / count(*), 9)
+                       AS avg_nbr_deg
+            FROM und JOIN deg da ON da.v = und.a
+                     JOIN deg db ON db.v = und.b
+            GROUP BY da.dg ORDER BY degree
+        """,
+        "doc_degree_corr": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            e AS MATERIALIZED (SELECT DISTINCT doc_id AS s, tgt AS d
+                    FROM targets WHERE tgt != doc_id),
+            verts(v) AS (SELECT s FROM e UNION SELECT d FROM e),
+            din AS (SELECT d AS v, CAST(count(*) AS BIGINT) AS din
+                    FROM e GROUP BY d),
+            dout AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS dout
+                     FROM e GROUP BY s),
+            dd AS (SELECT verts.v, coalesce(din.din, 0) AS x,
+                          coalesce(dout.dout, 0) AS y
+                   FROM verts LEFT JOIN din ON din.v = verts.v
+                              LEFT JOIN dout ON dout.v = verts.v),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x * x) AS BIGINT) AS sxx,
+                          CAST(sum(y * y) AS BIGINT) AS syy,
+                          CAST(sum(x * y) AS BIGINT) AS sxy
+                   FROM dd)
+            SELECT n AS n_vertices,
+                   round((CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (sqrt(CAST(n AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx)
+                            * sqrt(CAST(n AS DOUBLE) * syy
+                                   - CAST(sy AS DOUBLE) * sy)), 9)
+                       AS corr
+            FROM st
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "embed_dup_pairs": """
             WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

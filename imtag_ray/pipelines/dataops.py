@@ -356,6 +356,35 @@ def embed_knn_graph_q(sf_dir: str, k: int = 3) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
 
 
+def embed_knn_cc_q(sf_dir: str, k: int = 3, rounds: int = 8) -> "ray.data.Dataset":
+    """SEMANTIC-cluster discovery — the embedding-side near-dup
+    composition a curation pipeline runs after the text-side one:
+    connected components over the exact k-NN cosine graph (treated
+    undirected), labels = min vec_id within `rounds` hash-min hops.
+    Reuses dedup.cluster.minlabel_clusters (the same disjoint_set
+    relaxation as pipelines/cc, src/disjoint_set.hpp:36-63) over the
+    k-NN pair list, so the whole op is Dataset-native past the bounded
+    fixture knn build; at corpus scale the pair graph comes from the
+    IVF-routed knn instead (see embed_knn_graph_q) and the clustering
+    path is unchanged. Fixed-round semantics keep the DuckDB oracle an
+    exact unrolled-CTE replay."""
+    import ray.data
+
+    from ..dedup.cluster import minlabel_clusters
+
+    graph = embed_knn_graph_q(sf_dir, k=k)
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {"id_a": graph["query_id"], "id_b": graph["neighbor_id"]}
+        )
+    )
+    lab = minlabel_clusters(pairs, rounds=rounds)
+    return lab.map_batches(
+        lambda t: pa.table({"vec_id": t["doc_id"], "cluster": t["lbl"]}),
+        batch_format="pyarrow",
+    ).sort("vec_id")
+
+
 N_CELLS = 16
 N_PROBE = 4
 

@@ -1323,6 +1323,196 @@ def copart_sssp16_q(sf_dir: str) -> "ray.data.Dataset":
     return sssp_distances(g, [seed], wedges, QCFG, rounds=16).sort("url")
 
 
+def copart_avg_nbr_deg_q(sf_dir: str) -> "ray.data.Dataset":
+    """Average-neighbor-degree curve k_nn(k) — the degree-mixing
+    profile (assortative graphs rise, disassortative web/co-purchase
+    graphs fall): for every degree value k, the mean degree of
+    neighbors of degree-k vertices. Complements the scalar Pearson
+    assortativity in copart_stats with the full curve.
+
+    Scale shape: per-vertex degrees come from the Dataset-native
+    degree kernel (no driver arrays), attached to both edge endpoints
+    by two hash joins, then ONE bucketed sum keyed by the (few)
+    distinct degree values. Integer sufficient statistics; the single
+    float division happens after aggregation, so the DuckDB oracle is
+    bit-exact."""
+    from ..stages.graph_build import degree_dataset
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    g = copart_graph(sf_dir)
+    e = g.edges.select_columns(["src", "dst"])
+    und = e.map_batches(
+        lambda t: pa.table({"a": t["src"], "b": t["dst"]}),
+        batch_format="pyarrow",
+    ).union(
+        e.map_batches(
+            lambda t: pa.table({"a": t["dst"], "b": t["src"]}),
+            batch_format="pyarrow",
+        )
+    )
+    deg_nbr = degree_dataset(g, "undirected", col="dnbr")
+    deg_self = degree_dataset(g, "undirected", col="degree")
+    j = (
+        compact_nonempty(und)
+        .join(
+            compact_nonempty(deg_nbr), join_type="inner",
+            num_partitions=QCFG.num_partitions,
+            on=("b",), right_on=("vid",),
+        )
+        .select_columns(["a", "dnbr"])
+        .join(
+            compact_nonempty(deg_self), join_type="inner",
+            num_partitions=QCFG.num_partitions,
+            on=("a",), right_on=("vid",),
+        )
+        .select_columns(["degree", "dnbr"])
+    )
+    agg = bucketed_sum_aggregate(
+        j, key_cols=["degree"], sum_cols=["dnbr"], count_col="c"
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = col_np(t, "dnbr").astype(np.float64)
+        c = col_np(t, "c").astype(np.float64)
+        return pa.table(
+            {
+                "degree": t["degree"],
+                "avg_nbr_deg": pc.round(pa.array(s / c), 9),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("degree")
+
+
+def doc_degree_corr_q(sf_dir: str) -> pa.Table:
+    """Hub-vs-authority degree mixing of the DIRECTED doc link graph:
+    Pearson correlation of (in-degree, out-degree) across vertices —
+    one row (n_vertices, corr). Computed from EXACT integer sufficient
+    statistics (per-batch partials, one scalar aggregation) so the SQL
+    oracle reproduces the identical doubles; same discipline as
+    copart_stats' assortativity."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.graph_build import degree_dataset
+    from ..util import compact_nonempty
+
+    g = doc_graph(sf_dir)
+    dj = compact_nonempty(degree_dataset(g, "in", col="din")).join(
+        compact_nonempty(degree_dataset(g, "out", col="dout")),
+        join_type="inner", num_partitions=QCFG.num_partitions,
+        on=("vid",), right_on=("vid",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = col_np(t, "din").astype(np.int64)
+        y = col_np(t, "dout").astype(np.int64)
+        return table_from_arrays(
+            n=np.array([len(x)], dtype=np.int64),
+            sx=np.array([int(x.sum())], dtype=np.int64),
+            sy=np.array([int(y.sum())], dtype=np.int64),
+            sxx=np.array([int((x * x).sum())], dtype=np.int64),
+            syy=np.array([int((y * y).sum())], dtype=np.int64),
+            sxy=np.array([int((x * y).sum())], dtype=np.int64),
+        )
+
+    agg = dj.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+    )
+    n = float(agg["n"] or 0)
+    sx, sy = float(agg["sx"] or 0), float(agg["sy"] or 0)
+    sxx, syy = float(agg["sxx"] or 0), float(agg["syy"] or 0)
+    sxy = float(agg["sxy"] or 0)
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    corr = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+    return pa.table(
+        {
+            "n_vertices": pa.array([int(agg["n"] or 0)], pa.int64()),
+            "corr": pc.round(pa.array([corr], pa.float64()), 9),
+        }
+    )
+
+
+def copart_squares_q(sf_dir: str) -> pa.Table:
+    """Global 4-cycle (rectangle) census of the co-purchase graph → one
+    row (n_codeg_pairs, n_wedge_pairs, n_squares). The square-counting
+    identity: every unordered vertex pair {u,w} with c common neighbors
+    closes C(c,2) wedge pairs, and each 4-cycle is counted once per
+    diagonal pair → n_squares = Σ C(codeg,2) / 2 (Chiba–Nishizeki
+    rectangle counting, the motif one step past the triangle kernel at
+    stages/graph_build's reference lineage src/imtag.cpp:61-141).
+
+    Scale shape: the codegree table is built exactly like the triangle
+    wedge join — symmetrized edges self-joined on the MIDDLE vertex
+    (hash-partitioned, never broadcast), collapsed by the bucketed
+    Arrow aggregation (pair cardinality can approach V²/2, Ray's raw
+    groupby must not see it), then reduced to three scalars via
+    per-batch integer partials. Nothing vertex- or edge-sized ever
+    lands on the driver; integer sufficient statistics make the DuckDB
+    oracle bit-exact."""
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    g = copart_graph(sf_dir)
+    e = g.edges.select_columns(["src", "dst"])
+    und = e.map_batches(
+        lambda t: pa.table({"m": t["src"], "x": t["dst"]}),
+        batch_format="pyarrow",
+    ).union(
+        e.map_batches(
+            lambda t: pa.table({"m": t["dst"], "x": t["src"]}),
+            batch_format="pyarrow",
+        )
+    )
+    right = e.map_batches(
+        lambda t: pa.table({"m": t["src"], "x2": t["dst"]}),
+        batch_format="pyarrow",
+    ).union(
+        e.map_batches(
+            lambda t: pa.table({"m": t["dst"], "x2": t["src"]}),
+            batch_format="pyarrow",
+        )
+    )
+    wedges = compact_nonempty(und).join(
+        compact_nonempty(right), join_type="inner",
+        num_partitions=QCFG.num_partitions, on=("m",),
+    )
+
+    def ends(t: pa.Table) -> pa.Table:
+        u = col_np(t, "x").astype(np.int64)
+        w = col_np(t, "x2").astype(np.int64)
+        m = u < w
+        return table_from_arrays(u=u[m], w=w[m])
+
+    codeg = bucketed_sum_aggregate(
+        wedges.map_batches(ends, batch_format="pyarrow"),
+        key_cols=["u", "w"], sum_cols=[], count_col="c",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = col_np(t, "c").astype(np.int64)
+        return table_from_arrays(
+            np_=np.array([t.num_rows], dtype=np.int64),
+            wp=np.array([int((c * (c - 1) // 2).sum())], dtype=np.int64),
+        )
+
+    agg = codeg.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("np_", alias_name="np_"), Sum("wp", alias_name="wp")
+    )
+    n_pairs = int(agg["np_"] or 0)
+    wedge_pairs = int(agg["wp"] or 0)
+    return pa.table(
+        {
+            "n_codeg_pairs": pa.array([n_pairs], pa.int64()),
+            "n_wedge_pairs": pa.array([wedge_pairs], pa.int64()),
+            # each 4-cycle has two diagonal pairs → exactly even
+            "n_squares": pa.array([wedge_pairs // 2], pa.int64()),
+        }
+    )
+
+
 def copart_deg_hist_q(sf_dir: str) -> "ray.data.Dataset":
     """Degree DISTRIBUTION of the co-purchase graph → (degree,
     n_vertices). Two-level collapse: per-vertex degrees come from the

@@ -446,6 +446,98 @@ def embed_centroids_q(sf_dir: str) -> "ray.data.Dataset":
     ).sort(["label", "dim"])
 
 
+def gram_matrix(
+    ds: "ray.data.Dataset", vec_col: str, dim: int,
+    upper_only: bool = True,
+) -> "ray.data.Dataset":
+    """Second-moment (Gram) matrix of an embedding corpus → Dataset
+    (i, j, m) with m = Σ_n x_ni·x_nj / N — THE covariance/PCA building
+    block. Scale shape: each batch collapses to a dim² float64 partial
+    (one ``X.T @ X`` einsum, constant size regardless of batch rows)
+    before the only shuffle, so shuffle volume is dim²·blocks —
+    independent of corpus size. float32 elements are cast to float64
+    BEFORE multiplying, exactly like SQL's CAST(e AS DOUBLE)."""
+    from ray.data.aggregate import Sum
+
+    iu, ju = np.triu_indices(dim) if upper_only else (
+        np.repeat(np.arange(dim), dim), np.tile(np.arange(dim), dim)
+    )
+    key = iu.astype(np.int64) * dim + ju
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column(vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        X = vals.reshape(t.num_rows, dim)
+        G = X.T @ X
+        return table_from_arrays(
+            ij=key, s=G[iu, ju],
+            c=np.full(len(key), t.num_rows, dtype=np.int64),
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ij")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"i": pa.array([], pa.int64()),
+                 "j": pa.array([], pa.int64()),
+                 "m": pa.array([], pa.float64())}
+            )
+        ij = col_np(t, "ij").astype(np.int64)
+        s = col_np(t, "s").astype(np.float64)
+        c = col_np(t, "c").astype(np.float64)
+        return table_from_arrays(i=ij // dim, j=ij % dim, m=s / c)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def embed_cov_q(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    out = gram_matrix(ds, "embedding", EMB_DIM, upper_only=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"i": t["i"], "j": t["j"], "m": _pc.round(t["m"], 6)}
+        ),
+        batch_format="pyarrow",
+    ).sort(["i", "j"])
+
+
+def embed_pca8_q(sf_dir: str, rounds: int = 8) -> pa.Table:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION on the distributed Gram matrix: v₀ = 1⃗, v_{t+1} =
+    M·v_t / ‖M·v_t‖₂ for a fixed 8 rounds (fixed-round semantics like
+    pipelines.traversal, so the DuckDB oracle replays the identical
+    trajectory with an unrolled CTE chain). The corpus-sized work — the
+    Gram accumulation — is fully distributed (see gram_matrix); only
+    the dim²-constant matrix and the dim-length iterate live on the
+    driver, the same vertex-state-sized discipline as pipelines/cc."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    gm = gram_matrix(ds, "embedding", EMB_DIM, upper_only=False)
+    M = np.zeros((EMB_DIM, EMB_DIM), dtype=np.float64)
+    for t in gm.iter_batches(batch_format="pyarrow"):
+        M[col_np(t, "i"), col_np(t, "j")] = col_np(t, "m")
+    v = np.ones(EMB_DIM, dtype=np.float64)
+    for _ in range(rounds):
+        u = M @ v
+        v = u / np.sqrt((u * u).sum())
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(EMB_DIM, dtype=np.int64)),
+            "v": pa.array(np.round(v, 6), pa.float64()),
+        }
+    )
+
+
 def doc_curate_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
     """END-TO-END corpus curation: the composition a training-data user
     actually runs — near-dup removal ∩ token-length band ∩ language

@@ -493,6 +493,53 @@ def events_trailing_counts(
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT (crosstab): one row per user with a count column per event
+    type plus the total — the feature-vector shape a churn/propensity
+    model trains on. Per-batch numpy crosstab partials (|users in
+    batch| × |types| integer matrix via one np.add.at) collapse before
+    the only shuffle, a bucketed sum on user_id (user cardinality is
+    data-sized — Ray's raw groupby must not see it). Unknown event
+    types fail loudly rather than silently dropping rows."""
+    from .util import bucketed_sum_aggregate
+
+    types = pa.array(EVENT_TYPES)
+    ncols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = col_np(t, "user_id").astype(np.int64)
+        idx = pc.index_in(
+            t.column("event_type").combine_chunks(), value_set=types
+        )
+        if idx.null_count:
+            raise ValueError("events_pivot: unknown event_type value")
+        ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        mat = np.zeros((len(uu), len(EVENT_TYPES)), dtype=np.int64)
+        np.add.at(mat, (inv, ix), 1)
+        cols = {"user_id": uu}
+        for i, name in enumerate(ncols):
+            cols[name] = mat[:, i]
+        return table_from_arrays(**cols)
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    agg = bucketed_sum_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["user_id"], sum_cols=ncols,
+    )
+
+    def totalize(t: pa.Table) -> pa.Table:
+        tot = np.zeros(t.num_rows, dtype=np.int64)
+        for name in ncols:
+            tot += col_np(t, name).astype(np.int64)
+        return t.append_column("n_total", pa.array(tot))
+
+    return agg.map_batches(totalize, batch_format="pyarrow").sort("user_id")
+
+
 def events_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
     """Grouped EXACT count-distinct: distinct users per event type.
     Stage 1 is a bucketed distinct of (event_type, user_id) —
