@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans": d.embed_kmeans_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
+        "q5_revenue": r.q5_revenue,
         "top_customers": r.top_customers_by_revenue,
         "events_hourly": r.events_hourly_windows,
         "events_sessions": r.events_sessionize,
@@ -2610,6 +2611,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate < TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q5_revenue": """
+            SELECT n.n_name AS n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY n_name
         """,
         "top_customers": """
             SELECT o.o_custkey AS c_custkey, any_value(c.c_name) AS c_name,

@@ -29,6 +29,129 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def q5_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
+    """TPC-H-Q5-style local-supplier volume: revenue by nation for
+    orders whose customer and supplier share a nation, one region, a
+    two-year order window — the canonical six-table join. JOIN PLAN by
+    table size (the 100-TB discipline): region (O(1)) and nation
+    (O(25)) are driver-resolved lookups closed over by map_batches
+    (broadcast once per task, never re-shipped per batch — they are
+    numpy constants in the closure); the three FACT joins
+    (orders⋈customer, lineitem⋈orders, lineitem-side⋈supplier) are
+    hash-partitioned Dataset joins with every predicate and column
+    pruned at or just after the parquet read; the aggregation collapses
+    per-batch to ≤|nations| partial sums before a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from .util import compact_nonempty, sparse_sum_reduce
+
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg[reg.r_name == region].r_regionkey.astype(int))
+    nat = _read(sf_dir, "nation").to_pandas()
+    nat = nat[nat.n_regionkey.astype(int).isin(rkeys)]
+    nkeys = np.sort(nat.n_nationkey.to_numpy().astype(np.int64))
+    nname = dict(
+        zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
+    )
+
+    def cfilt(t: pa.Table) -> pa.Table:
+        nk = col_np(t, "c_nationkey").astype(np.int64)
+        keep = np.isin(nk, nkeys)
+        return table_from_arrays(
+            c_custkey=col_np(t, "c_custkey").astype(np.int64)[keep],
+            c_nationkey=nk[keep],
+        )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cfilt, batch_format="pyarrow")
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        return table_from_arrays(
+            o_orderkey=col_np(t, "o_orderkey").astype(np.int64)[keep],
+            o_custkey=col_np(t, "o_custkey").astype(np.int64)[keep],
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ofilt, batch_format="pyarrow")
+
+    co = (
+        compact_nonempty(orders)
+        .join(
+            compact_nonempty(cust), join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .select_columns(["o_orderkey", "c_nationkey"])
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    lico = compact_nonempty(li).join(
+        compact_nonempty(co), join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def sfilt(t: pa.Table) -> pa.Table:
+        nk = col_np(t, "s_nationkey").astype(np.int64)
+        keep = np.isin(nk, nkeys)
+        return table_from_arrays(
+            s_suppkey=col_np(t, "s_suppkey").astype(np.int64)[keep],
+            s_nationkey=nk[keep],
+        )
+
+    supp = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(sfilt, batch_format="pyarrow")
+
+    j = compact_nonempty(lico).join(
+        compact_nonempty(supp), join_type="inner", num_partitions=8,
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cn = col_np(t, "c_nationkey").astype(np.int64)
+        sn = col_np(t, "s_nationkey").astype(np.int64)
+        keep = cn == sn
+        rev = (
+            col_np(t, "l_extendedprice").astype(np.float64)[keep]
+            * (1.0 - col_np(t, "l_discount").astype(np.float64)[keep])
+        )
+        k, s = sparse_sum_reduce(cn[keep], rev)
+        return table_from_arrays(nk=k, rev=s)
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()),
+                 "revenue": pa.array([], pa.float64())}
+            )
+        nk = col_np(t, "nk").astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array([nname[int(v)] for v in nk]),
+                "revenue": pc.round(
+                    pa.array(col_np(t, "rev").astype(np.float64)), 2
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("n_name")
+
+
 def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped pricing summary over lineitem (column-pruned read,
     vectorized Arrow expressions, partial-then-final aggregation)."""
