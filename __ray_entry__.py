@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_ball2_hll": q.copart_ball2_hll_q,
         "copart_wpagerank8": q.copart_wpagerank8_q,
         "copart_edge_jaccard": q.copart_edge_jaccard_q,
+        "doc_bridges": q.doc_bridges_q,
         "copart_nbr_top3": q.copart_nbr_top3_q,
         "doc_reciprocity": q.doc_reciprocity_q,
         "copart_richclub": q.copart_richclub_q,
@@ -160,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "q5_revenue": r.q5_revenue,
+        "q3_shipping": r.q3_shipping,
+        "q18_large_orders": r.q18_large_orders,
+        "events_hourly_topk": r.events_hourly_topk,
+        "events_rfm": r.events_rfm,
         "top_customers": r.top_customers_by_revenue,
         "events_hourly": r.events_hourly_windows,
         "events_sessions": r.events_sessionize,
@@ -186,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cov": s.embed_cov_q,
         "embed_pca8": s.embed_pca8_q,
         "embed_knn_cc": d.embed_knn_cc_q,
+        "embed_outlier3": d.embed_outlier3_q,
         # --- sketches --------------------------------------------------------
         "events_hll_users": sk.events_hll_users_q,
         "events_hll_hourly": sk.events_hll_hourly_q,
@@ -2254,6 +2260,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cn ON cn.a = p.pa_ AND cn.b = p.pb_
             ORDER BY url_a, url_b
         """,
+        "doc_bridges": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            fil AS (SELECT DISTINCT doc_id AS s, tgt AS d FROM targets
+                    WHERE tgt != doc_id),
+            und AS MATERIALIZED (SELECT s, d FROM fil
+                    UNION SELECT d AS s, s AS d FROM fil),
+            edges AS (SELECT s AS a, d AS b FROM und WHERE s < d),
+            cn AS (SELECT e1.d AS a, e2.d AS b
+                   FROM und e1 JOIN und e2
+                     ON e1.s = e2.s AND e1.d < e2.d
+                   GROUP BY a, b)
+            SELECT least({_DURL.format(c='e.a')}, {_DURL.format(c='e.b')})
+                       AS url_a,
+                   greatest({_DURL.format(c='e.a')}, {_DURL.format(c='e.b')})
+                       AS url_b
+            FROM edges e
+            LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+            WHERE cn.a IS NULL
+            ORDER BY url_a, url_b
+        """,
         "copart_nbr_top3": f"""
             WITH pairs AS MATERIALIZED ({_COPART_PAIRS}),
             wund AS (SELECT pa_ AS s, pb_ AS d,
@@ -2505,6 +2531,22 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
         """,
         "embed_knn_cc": _knn_cc_sql(rounds=8, k=3),
+        "embed_outlier3": """
+            WITH sub AS (SELECT vec_id, embedding AS e FROM embeddings),
+            p AS (
+                SELECT a.vec_id AS q,
+                       list_cosine_similarity(a.e, b.e) AS s
+                FROM sub a, sub b WHERE a.vec_id <> b.vec_id
+            ),
+            r AS (
+                SELECT q, s,
+                       row_number() OVER (PARTITION BY q ORDER BY s DESC)
+                           AS rnk
+                FROM p
+            )
+            SELECT q AS vec_id, round(s, 9) AS knn3_sim
+            FROM r WHERE rnk = 3 ORDER BY vec_id
+        """,
         "embed_cov": """
             WITH ex AS (
               SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
@@ -2628,6 +2670,60 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
             ORDER BY n_name
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250.0
+            )
+            SELECT o.o_custkey AS c_custkey, c.c_name AS c_name,
+                   b.l_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+                   o.o_totalprice AS o_totalprice, b.sum_qty AS sum_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "events_rfm": """
+            SELECT user_id, max(ts) AS last_ts,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q3_shipping": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   max(o.o_orderdate) AS o_orderdate
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1996-06-01'
+              AND l.l_shipdate > TIMESTAMP '1996-06-01'
+            GROUP BY l.l_orderkey
+            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                     o_orderkey
+            LIMIT 10
+        """,
+        "events_hourly_topk": """
+            WITH c AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT window_start, event_type, n,
+                       CAST(row_number() OVER (
+                           PARTITION BY window_start
+                           ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+                FROM c
+            )
+            SELECT window_start, event_type, n, rnk
+            FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
         """,
         "top_customers": """
             SELECT o.o_custkey AS c_custkey, any_value(c.c_name) AS c_name,

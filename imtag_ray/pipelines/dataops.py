@@ -356,6 +356,33 @@ def embed_knn_graph_q(sf_dir: str, k: int = 3) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
 
 
+def embed_outlier3_q(sf_dir: str, k: int = 3) -> pa.Table:
+    """kth-NN-distance outlier scoring (the classic density proxy a
+    curation pipeline uses to flag off-manifold embeddings): per
+    vector, the cosine similarity of its k-th nearest neighbor — low
+    knn3_sim = isolated point. Reuses the exact brute-force k-NN
+    (broadcast query matrix, per-batch matmul, O(queries×k×blocks)
+    merge); at corpus scale the same score routes through the
+    IVF-partitioned index like every other k-NN consumer. The k-th sim
+    is the MIN over the top-k rows — tie-order between equal neighbors
+    never changes the value, so the oracle's row_number is safe."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = ds.sort("vec_id").to_pandas()
+    q = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    qids = emb["vec_id"].to_numpy()
+    out = knn_brute_force(ds, "vec_id", "embedding", q, qids, k=k)
+    # per-query min of the top-k sims == the k-th neighbor's sim
+    res = out.group_by("query_id").aggregate([("cos_sim", "min")])
+    return pa.table(
+        {
+            "vec_id": res["query_id"],
+            "knn3_sim": pc.round(res["cos_sim_min"], 9),
+        }
+    ).sort_by([("vec_id", "ascending")])
+
+
 def embed_knn_cc_q(sf_dir: str, k: int = 3, rounds: int = 8) -> "ray.data.Dataset":
     """SEMANTIC-cluster discovery — the embedding-side near-dup
     composition a curation pipeline runs after the text-side one:

@@ -1228,6 +1228,49 @@ def copart_edge_jaccard_q(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def doc_und_graph(sf_dir: str) -> Graph:
+    """Undirected-canonical doc link graph: the directed link edges
+    collapsed to distinct (lo, hi) url pairs (per-batch Arrow distinct
+    combiner; build_graph's exact-dedup shuffle finishes globally) —
+    the input shape the per-edge neighborhood kernels expect."""
+    key = (sf_dir, "doc_und")
+    if key not in _GRAPH_CACHE:
+
+        def canon(t: pa.Table) -> pa.Table:
+            a = t["src_url"].combine_chunks()
+            b = t["dst_url"].combine_chunks()
+            return pa.table(
+                {
+                    "src_url": pc.min_element_wise(a, b),
+                    "dst_url": pc.max_element_wise(a, b),
+                }
+            ).group_by(["src_url", "dst_url"]).aggregate([])
+
+        und = doc_edges_q(sf_dir).map_batches(canon, batch_format="pyarrow")
+        _GRAPH_CACHE[key] = build_graph(und, QCFG)
+    return _GRAPH_CACHE[key]
+
+
+def doc_bridges_q(sf_dir: str) -> "ray.data.Dataset":
+    """LOCAL BRIDGES (span > 2): link edges whose endpoints share NO
+    common neighbor — removing one disconnects its endpoints beyond
+    distance 2, the classic weak-tie signal on a web link graph.
+    Exactly the cn == 0 rows of the gated per-edge Jaccard kernel
+    (broadcast CSR wedge enumeration below the edge gate, vid-space
+    two-column shuffle above it), so the filter inherits that kernel's
+    scale path for free."""
+    from .linkpred import edge_jaccard
+
+    ej = edge_jaccard(doc_und_graph(sf_dir), QCFG)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["cn"], 0)).select(["url_a", "url_b"])
+
+    return ej.map_batches(keep, batch_format="pyarrow").sort(
+        ["url_a", "url_b"]
+    )
+
+
 def copart_nbr_top3_q(sf_dir: str) -> "ray.data.Dataset":
     """Top-3 neighbors per vertex by (edge weight DESC, neighbor url
     ASC) with a 1..3 rank — the group-wise top-k operator applied to

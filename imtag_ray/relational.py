@@ -152,6 +152,260 @@ def q5_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow").sort("n_name")
 
 
+def q3_shipping(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1996-06-01"
+) -> "ray.data.Dataset":
+    """TPC-H-Q3-style shipping priority: top-10 orders by open revenue
+    for one market segment — orders placed before the cutoff with
+    lineitems shipping after it. JOIN PLAN: both fact joins are
+    hash-partitioned Dataset joins with predicates and columns pruned
+    at the read (customer is NOT broadcast — a segment is ~1/5 of all
+    customers, far too big at corpus scale); lineitem pre-aggregates
+    per orderkey inside each batch (sparse_sum_reduce combiner) so the
+    join and the bucketed final aggregation move one row per
+    (orderkey, block), and the global top-10 is a per-batch partial
+    top-k before one tiny sort+limit."""
+    from .util import bucketed_aggregate, compact_nonempty, sparse_sum_reduce
+
+    cut = np.datetime64(cutoff)
+
+    def cfilt(t: pa.Table) -> pa.Table:
+        keep = col_np(t, "c_mktsegment") == segment
+        return table_from_arrays(
+            c_custkey=col_np(t, "c_custkey").astype(np.int64)[keep]
+        )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cfilt, batch_format="pyarrow")
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = ts < cut
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    col_np(t, "o_orderkey").astype(np.int64)[keep]
+                ),
+                "o_custkey": pa.array(
+                    col_np(t, "o_custkey").astype(np.int64)[keep]
+                ),
+                "o_orderdate": pa.array(ts[keep], pa.timestamp("us")),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ofilt, batch_format="pyarrow")
+
+    co = (
+        compact_nonempty(orders)
+        .join(
+            compact_nonempty(cust), join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .select_columns(["o_orderkey", "o_orderdate"])
+    )
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        ts = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = ts > cut
+        rev = (
+            col_np(t, "l_extendedprice").astype(np.float64)[keep]
+            * (1.0 - col_np(t, "l_discount").astype(np.float64)[keep])
+        )
+        k, s = sparse_sum_reduce(
+            col_np(t, "l_orderkey").astype(np.int64)[keep], rev
+        )
+        return table_from_arrays(l_orderkey=k, rev=s)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(lfilt, batch_format="pyarrow")
+
+    j = compact_nonempty(li).join(
+        compact_nonempty(co), join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    # orderkey-cardinality keys → bucketed, never raw Ray groupby
+    agg = bucketed_aggregate(
+        j, key_cols=["l_orderkey"],
+        aggs=[("rev", "sum", "rev"), ("o_orderdate", "max", "o_orderdate")],
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        rev = col_np(t, "rev").astype(np.float64)
+        ok = col_np(t, "l_orderkey").astype(np.int64)
+        order = np.lexsort((ok, -rev))[:10]
+        return t.take(pa.array(order, pa.int64()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "revenue": pc.round(t["rev"], 2),
+                "o_orderdate": t["o_orderdate"],
+            }
+        )
+
+    return (
+        agg.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["rev", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def q18_large_orders(
+    sf_dir: str, qty_threshold: float = 250.0
+) -> "ray.data.Dataset":
+    """TPC-H-Q18-style large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold, joined back to order and
+    customer attributes, top-100 by order value. The HAVING semi-join
+    never materializes an ID list on the driver: the per-order
+    quantity sum is a bucketed aggregation (orderkey-cardinality keys
+    bypass Ray's per-group overhead), the threshold is a pure filter
+    on that Dataset, and the survivors — a tiny fraction of orders —
+    flow through two hash-partitioned joins. Per-batch partial top-100
+    bounds the final sort."""
+    from .util import bucketed_aggregate, compact_nonempty, sparse_sum_reduce
+
+    def lpart(t: pa.Table) -> pa.Table:
+        k, s = sparse_sum_reduce(
+            col_np(t, "l_orderkey").astype(np.int64),
+            col_np(t, "l_quantity").astype(np.float64),
+        )
+        return table_from_arrays(l_orderkey=k, qty=s)
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(lpart, batch_format="pyarrow")
+
+    qsum = bucketed_aggregate(
+        li, key_cols=["l_orderkey"], aggs=[("qty", "sum", "sum_qty")]
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["sum_qty"], qty_threshold))
+
+    big = qsum.map_batches(thresh, batch_format="pyarrow")
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    jo = compact_nonempty(big).join(
+        compact_nonempty(orders), join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j = compact_nonempty(jo).join(
+        compact_nonempty(cust), join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        tp = col_np(t, "o_totalprice").astype(np.float64)
+        ok = col_np(t, "l_orderkey").astype(np.int64)
+        order = np.lexsort((ok, -tp))[:100]
+        return t.take(pa.array(order, pa.int64()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "o_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_totalprice": t["o_totalprice"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    return (
+        j.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["o_totalprice", "l_orderkey"], descending=[True, False])
+        .limit(100)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def events_rfm(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user RFM table (recency / frequency / monetary) — the
+    canonical user-value summary a selection pipeline joins against:
+    last event time, event count, total and mean value. One bucketed
+    aggregation over user-cardinality keys; no driver state."""
+    from .util import bucketed_aggregate
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    agg = bucketed_aggregate(
+        ev, key_cols=["user_id"],
+        aggs=[
+            ("ts", "max", "last_ts"),
+            ("user_id", "count", "n_events"),
+            ("value", "sum", "total_value"),
+            ("value", "mean", "avg_value"),
+        ],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "last_ts": t["last_ts"],
+                "n_events": t["n_events"],
+                "total_value": pc.round(t["total_value"], 2),
+                "avg_value": pc.round(t["avg_value"], 6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+def events_hourly_topk(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Windowed heavy hitters (the streaming 'trending now' shape):
+    top-k event types per 1-hour tumbling window by count, rank 1..k.
+    Counting is bucketed (window×type cardinality is data-sized);
+    ranking reuses scoring.top_k_per_group's partial-top-k shuffle
+    bound (k rows per window per block)."""
+    from .pipelines.scoring import top_k_per_group
+    from .util import bucketed_aggregate
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
+        return pa.table({"wstart_us": hour, "event_type": t["event_type"]})
+
+    counts = bucketed_aggregate(
+        ev.map_batches(add_window, batch_format="pyarrow"),
+        key_cols=["wstart_us", "event_type"],
+        aggs=[("event_type", "count", "n")],
+    )
+    top = top_k_per_group(
+        counts, group_col="wstart_us", order_col="n",
+        tiebreak_col="event_type", k=k,
+        keep_cols=["wstart_us", "event_type", "n"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t["wstart_us"].cast(pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "rnk": t["rnk"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow").sort(
+        ["window_start", "rnk"]
+    )
+
+
 def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped pricing summary over lineitem (column-pruned read,
     vectorized Arrow expressions, partial-then-final aggregation)."""
