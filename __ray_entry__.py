@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": d.doc_tfidf_q,
         "doc_cooccur": d.doc_cooccur_q,
         "doc_dup_ngrams": d.doc_dup_ngrams_q,
+        "doc_dup_coverage": d.doc_dup_coverage_q,
         "doc_zipf": d.doc_zipf_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
         # --- dedup ---------------------------------------------------------
@@ -3182,6 +3183,26 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(n.n / df) * tf, 9) AS tfidf_mass
             FROM agg CROSS JOIN n
             ORDER BY tfidf_mass DESC, term LIMIT 30
+        """,
+        "doc_dup_coverage": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            tk AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM d),
+            g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                         array_to_string(list_slice(a, i, i + 4), ' ') AS gram
+                  FROM d, unnest(range(1, len(a) - 3)) AS t(i)),
+            dup AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS cp
+                    FROM g s JOIN dup USING (gram),
+                         (SELECT unnest([0, 1, 2, 3, 4]) AS o) o),
+            c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+                  FROM cov GROUP BY doc_id)
+            SELECT tk.doc_id, tk.n_tokens,
+                   coalesce(c.dup_tokens, 0) AS dup_tokens
+            FROM tk LEFT JOIN c USING (doc_id) ORDER BY tk.doc_id
         """,
         "doc_dup_ngrams": r"""
             WITH tok AS (

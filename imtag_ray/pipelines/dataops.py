@@ -874,3 +874,173 @@ def doc_dup_ngrams_q(sf_dir: str, n: int = 5, k: int = 50) -> "ray.data.Dataset"
         .sort(["df", "n_occ", "gram"], descending=[True, True, False])
         .limit(k)
     )
+
+
+def doc_dup_coverage_q(sf_dir: str, n: int = 5) -> "ray.data.Dataset":
+    """ExactSubstr-style per-document duplicated-passage coverage
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): → (doc_id, n_tokens, dup_tokens) where dup_tokens counts
+    the token positions covered by at least one token n-gram (n=5)
+    that occurs in ≥ 2 DISTINCT documents — the per-doc removal signal
+    passage-level dedup thresholds on (doc_dup_ngrams is the corpus
+    view of the same statistic; this is the curation view). Documents
+    that are empty after trim are excluded, matching the oracle.
+
+    Scale shape: ONE materialized (doc_id, pos, gram) stream feeds
+    both sides — the gram-df reduction (per-doc dedup batch-side, docs
+    are single rows, then bucketed Arrow hash agg; the huge df=1 tail
+    dies before any join) and a string-keyed hash join back onto the
+    stream; covered positions expand ×n and collapse via a bucketed
+    (doc_id, pos) distinct + count, so no stage ever sees a Python doc
+    loop or a V-cardinality Ray groupby."""
+    import pyarrow.compute as pc
+
+    from ..util import (
+        bucketed_aggregate,
+        bucketed_sum_aggregate,
+        compact_nonempty,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty_g = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "pos": pa.array([], pa.int64()),
+         "gram": pa.array([], pa.string())}
+    )
+
+    def grams(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("")
+        ids = col_np(t, "doc_id")
+        toks = texts.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        if len(ex) < n:
+            return empty_g
+        did = ex.index.to_numpy()
+        tok = ex.to_numpy().astype(str)
+        w = len(tok) - n + 1
+        same_doc = did[:w] == did[n - 1:]
+        if not same_doc.any():
+            return empty_g
+        g = tok[:w]
+        for i in range(1, n):
+            g = np.char.add(np.char.add(g, " "), tok[i:w + i])
+        # 1-based token position within each doc (matches the SQL
+        # oracle's range index): global index minus forward-filled
+        # doc-start index (explode keeps tokens of a doc contiguous)
+        idx = np.arange(len(did), dtype=np.int64)
+        first = np.empty(len(did), dtype=bool)
+        first[0] = True
+        np.not_equal(did[1:], did[:-1], out=first[1:])
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        pos = (idx - start + 1)[:w][same_doc]
+        return pa.table(
+            {"doc_id": pa.array(ids[did[:w][same_doc]], pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "gram": pa.array(g[same_doc], pa.string())}
+        )
+
+    def tokens(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip()
+        keep = texts != ""
+        return pa.table(
+            {"doc_id": pa.array(col_np(t, "doc_id")[keep], pa.int64()),
+             "n_tokens": pa.array(
+                 texts[keep].str.split().str.len().to_numpy(np.int64)
+             )}
+        )
+
+    tk = docs.map_batches(tokens, batch_format="pyarrow")
+    stream = compact_nonempty(
+        docs.map_batches(grams, batch_format="pyarrow").materialize()
+    )
+
+    def finish(counts: "ray.data.Dataset | None") -> "ray.data.Dataset":
+        # zero-row blocks break Ray 2.49's hash join (schema broadcast
+        # skips empty shuffle blocks — see util.compact_nonempty)
+        left = compact_nonempty(tk.materialize())
+        if left is None:
+            return ray.data.from_arrow(
+                pa.table(
+                    {c: pa.array([], pa.int64())
+                     for c in ["doc_id", "n_tokens", "dup_tokens"]}
+                )
+            )
+        if counts is None:
+            return left.map_batches(
+                lambda t: t.append_column(
+                    "dup_tokens", pa.array(np.zeros(len(t), np.int64))
+                ),
+                batch_format="pyarrow",
+            ).sort("doc_id")
+        joined = left.join(
+            counts, join_type="left_outer", num_partitions=8,
+            on=("doc_id",), right_on=("doc_id",),
+        )
+        return joined.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("doc_id").cast(pa.int64()),
+                 "n_tokens": t.column("n_tokens").cast(pa.int64()),
+                 "dup_tokens": pc.fill_null(
+                     t.column("dup_tokens"), 0
+                 ).cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+
+    if stream is None:
+        return finish(None)
+
+    # corpus df per gram: per-(doc, gram) dedup batch-side (docs are
+    # single rows → batch dedup IS doc dedup), bucketed sum, df ≥ 2
+    def per_doc_distinct(t: pa.Table) -> pa.Table:
+        uniq = pd.DataFrame(
+            {"d": col_np(t, "doc_id"),
+             "g": t.column("gram").to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        cnt = uniq["g"].value_counts()
+        return pa.table(
+            {"gram": pa.array(cnt.index.astype(str), pa.string()),
+             "df": pa.array(cnt.to_numpy(np.int64))}
+        )
+
+    dup = compact_nonempty(
+        bucketed_sum_aggregate(
+            stream.map_batches(per_doc_distinct, batch_format="pyarrow"),
+            key_cols=["gram"], sum_cols=["df"],
+        ).map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("df").cast(pa.int64()), 2)
+            ).select(["gram"]),
+            batch_format="pyarrow",
+        )
+    )
+    if dup is None:
+        return finish(None)
+
+    hits = stream.join(
+        dup, join_type="inner", num_partitions=8,
+        on=("gram",), right_on=("gram",),
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = np.repeat(
+            np.asarray(t.column("doc_id"), dtype=np.int64), n
+        )
+        p = np.repeat(np.asarray(t.column("pos"), dtype=np.int64), n)
+        p += np.tile(np.arange(n, dtype=np.int64), len(t))
+        return pa.table(
+            {"doc_id": pa.array(d), "cp": pa.array(p)}
+        )
+
+    covered = bucketed_sum_aggregate(
+        hits.map_batches(expand, batch_format="pyarrow"),
+        key_cols=["doc_id", "cp"], sum_cols=[],
+    )
+    counts = compact_nonempty(
+        bucketed_aggregate(
+            covered, key_cols=["doc_id"],
+            aggs=[("cp", "count", "dup_tokens")],
+        )
+    )
+    return finish(counts)
