@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_edges": q.doc_edges_q,
         "doc_anchors": q.doc_anchors_q,
         "doc_anchor_index": q.doc_anchor_index_q,
+        "doc_source_graph": q.doc_source_graph_q,
+        "doc_source_cut": q.doc_source_cut_q,
+        "doc_cocitation": q.doc_cocitation_q,
         "doc_texts": q.doc_texts_q,
         # --- graph analytics ----------------------------------------------
         "copart_edges": q.copart_edges_q,
@@ -131,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": d.doc_dup_ngrams_q,
         "doc_dup_coverage": d.doc_dup_coverage_q,
         "doc_zipf": d.doc_zipf_q,
+        "doc_ttr": d.doc_ttr_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
@@ -184,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": r.events_gaps,
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
+        "events_dau_wau": r.events_dau_wau,
         "copart_deg_hist": q.copart_deg_hist_q,
         "copart_squares": q.copart_squares_q,
         "copart_avg_nbr_deg": q.copart_avg_nbr_deg_q,
@@ -1857,6 +1862,54 @@ def oracle_sql() -> dict[str, str]:
                    {_DURL.format(c='tgt')} AS dst_url
             FROM fil ORDER BY src_url, dst_url
         """,
+        "doc_source_graph": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            e AS (SELECT DISTINCT doc_id AS src_id, tgt AS dst_id
+                  FROM targets WHERE tgt != doc_id)
+            SELECT da.source AS src_source, db.source AS dst_source,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM e JOIN documents da ON da.doc_id = e.src_id
+                   JOIN documents db ON db.doc_id = e.dst_id
+            GROUP BY 1, 2 ORDER BY src_source, dst_source
+        """,
+        "doc_source_cut": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            e AS (SELECT DISTINCT doc_id AS src_id, tgt AS dst_id
+                  FROM targets WHERE tgt != doc_id),
+            m AS (SELECT da.source AS s, db.source AS t,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM e JOIN documents da ON da.doc_id = e.src_id
+                         JOIN documents db ON db.doc_id = e.dst_id
+                  GROUP BY 1, 2),
+            sides AS (
+                SELECT s AS source,
+                       CASE WHEN s = t THEN n ELSE 0 END AS n_internal,
+                       CASE WHEN s != t THEN n ELSE 0 END AS n_out_cut,
+                       CAST(0 AS BIGINT) AS n_in_cut
+                FROM m
+                UNION ALL
+                SELECT t, 0, 0, n FROM m WHERE s != t
+            )
+            SELECT source,
+                   CAST(sum(n_internal) AS BIGINT) AS n_internal,
+                   CAST(sum(n_out_cut) AS BIGINT) AS n_out_cut,
+                   CAST(sum(n_in_cut) AS BIGINT) AS n_in_cut,
+                   CAST(2 * sum(n_internal) + sum(n_out_cut)
+                        + sum(n_in_cut) AS BIGINT) AS volume
+            FROM sides GROUP BY source ORDER BY source
+        """,
+        "doc_cocitation": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            e AS (SELECT DISTINCT doc_id AS src_id, tgt AS dst_id
+                  FROM targets WHERE tgt != doc_id)
+            SELECT {_DURL.format(c='x.dst_id')} AS url_a,
+                   {_DURL.format(c='y.dst_id')} AS url_b,
+                   CAST(count(*) AS BIGINT) AS n_cociting
+            FROM e x JOIN e y
+              ON x.src_id = y.src_id AND x.dst_id < y.dst_id
+            GROUP BY 1, 2
+            ORDER BY n_cociting DESC, url_a, url_b LIMIT 50
+        """,
         "doc_texts": f"""
             WITH targets AS ({_DOC_TARGETS}),
             fil AS (SELECT doc_id, ord, tgt FROM targets WHERE tgt != doc_id),
@@ -2879,6 +2932,20 @@ def oracle_sql() -> dict[str, str]:
             FROM tri GROUP BY cohort_date, day_offset
             ORDER BY cohort_date, day_offset
         """,
+        "events_dau_wau": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               date_trunc('day', ts) AS day FROM events),
+            days AS (SELECT DISTINCT day FROM ud),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM ud GROUP BY day),
+            wau AS (SELECT d.day,
+                           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+                    FROM days d JOIN ud u
+                      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+                    GROUP BY d.day)
+            SELECT dau.day AS day, dau.dau, wau.wau
+            FROM dau JOIN wau ON wau.day = dau.day ORDER BY day
+        """,
         "copart_deg_hist": f"""
             WITH pairs AS ({_COPART_PAIRS}),
             und AS (SELECT pa_ AS u FROM pairs UNION ALL SELECT pb_ FROM pairs),
@@ -3153,6 +3220,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c.c) AS BIGINT) AS max_df
             FROM perdoc p JOIN corpus c ON c.gram = p.gram
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "doc_ttr": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            tok AS (SELECT doc_id, unnest(a) AS w FROM d),
+            tf AS (SELECT doc_id, w, count(*) AS c
+                   FROM tok GROUP BY doc_id, w)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM tf GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_zipf": r"""
             WITH tk AS (

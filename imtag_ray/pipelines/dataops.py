@@ -1044,3 +1044,43 @@ def doc_dup_coverage_q(sf_dir: str, n: int = 5) -> "ray.data.Dataset":
         )
     )
     return finish(counts)
+
+
+def doc_ttr_q(sf_dir: str) -> "ray.data.Dataset":
+    """Lexical-diversity statistics per document → (doc_id, n_tokens,
+    n_types, n_hapax): token count, distinct-type count, and
+    hapax-legomena count (types occurring exactly once in the doc) over
+    whitespace-split lowercased tokens. Type-token and hapax ratios are
+    standard corpus-quality / boilerplate signals (a page of repeated
+    nav text has a collapsing TTR). Purely per-document — each doc is a
+    single row, so the whole statistic completes batch-side with one
+    pandas hash aggregation per batch; the only shuffle is the output
+    sort. Empty-after-trim documents are excluded, matching the oracle.
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip().str.lower()
+        keep = texts != ""
+        ids = col_np(t, "doc_id")  # indexed by ORIGINAL batch position
+        toks = texts[keep].str.split()
+        ex = toks.explode()
+        did = ex.index.to_numpy()
+        tf = (
+            pd.DataFrame({"d": did, "w": ex.to_numpy()})
+            .groupby(["d", "w"], sort=False).size()
+        )
+        per = tf.groupby(level=0, sort=False)
+        n_tokens = per.sum()
+        n_types = per.size()
+        n_hapax = (tf == 1).groupby(level=0, sort=False).sum()
+        # positional: groupby(level=0) preserves first-seen doc order of
+        # the exploded index, which is the batch row order of kept docs
+        return pa.table(
+            {"doc_id": pa.array(ids[n_tokens.index.to_numpy()], pa.int64()),
+             "n_tokens": pa.array(n_tokens.to_numpy(np.int64)),
+             "n_types": pa.array(n_types.to_numpy(np.int64)),
+             "n_hapax": pa.array(n_hapax.to_numpy(np.int64))}
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow").sort("doc_id")

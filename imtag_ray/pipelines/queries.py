@@ -1714,3 +1714,212 @@ def copart_diam16_q(sf_dir: str) -> pa.Table:
             "diameter": pa.array([int(far2["dist"])], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# host/source-level graph aggregation (the Common-Crawl "domain graph")
+# ---------------------------------------------------------------------------
+
+
+def _url_doc_ids(arr: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """doc_id parsed from 'https://docs.example/d<ID>' urls, vectorized
+    (pyarrow slice + cast — no per-row Python)."""
+    pre = len("https://docs.example/d")
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return pc.cast(
+        pc.utf8_slice_codeunits(a, pre, 1 << 30), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+
+
+def _source_edge_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct doc-graph edges attributed to their endpoint SOURCES →
+    (src_source, dst_source, n_links): the domain-graph aggregation web
+    corpora publish (Common Crawl's host/domain-level graph). The
+    doc→source map is V-sized, so attribution is TWO hash-partitioned
+    joins against the documents table — never a driver-side lookup —
+    and the final matrix is |sources|² rows.
+
+    Reference tie-in: this is the quotient-graph shape of
+    imtag's component summarization (rows_to_components collapses
+    pixel-level structure to component level; here links collapse to
+    source level)."""
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    edges = doc_edges_q(sf_dir)
+
+    def ids(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            src_id=_url_doc_ids(t.column("src_url")),
+            dst_id=_url_doc_ids(t.column("dst_url")),
+        )
+
+    eids = compact_nonempty(
+        edges.map_batches(ids, batch_format="pyarrow").materialize()
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    src_map = compact_nonempty(
+        docs.map_batches(
+            lambda t: pa.table(
+                {"src_id": t.column("doc_id").cast(pa.int64()),
+                 "src_source": t.column("source").cast(pa.string())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    dst_map = compact_nonempty(
+        docs.map_batches(
+            lambda t: pa.table(
+                {"dst_id": t.column("doc_id").cast(pa.int64()),
+                 "dst_source": t.column("source").cast(pa.string())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    attributed = (
+        eids.join(
+            src_map, join_type="inner",
+            num_partitions=QCFG.num_partitions, on=("src_id",),
+        )
+        .materialize()  # two fused JoinOperators can deadlock (Ray 2.49)
+        .join(
+            dst_map, join_type="inner",
+            num_partitions=QCFG.num_partitions, on=("dst_id",),
+        )
+    )
+    out = bucketed_sum_aggregate(
+        attributed.select_columns(["src_source", "dst_source"]),
+        key_cols=["src_source", "dst_source"],
+        sum_cols=[], count_col="n_links",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"src_source": t.column("src_source"),
+             "dst_source": t.column("dst_source"),
+             "n_links": t.column("n_links").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def doc_source_graph_q(sf_dir: str) -> "ray.data.Dataset":
+    """→ (src_source, dst_source, n_links), ordered: the source-level
+    (domain-level) aggregation of the extracted doc link graph."""
+    return _source_edge_matrix(sf_dir).sort(["src_source", "dst_source"])
+
+
+def doc_source_cut_q(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source partition cut statistics → (source, n_internal,
+    n_out_cut, n_in_cut, volume): the conductance ingredients
+    (cut / volume) for the partition of the doc graph induced by the
+    source column — the standard "how self-contained is each domain"
+    curation signal. Derived entirely from the |sources|² source
+    matrix, so the per-source reduction shuffles O(|sources|²) rows
+    regardless of E."""
+    from ..util import bucketed_aggregate
+
+    m = _source_edge_matrix(sf_dir)
+
+    def sides(t: pa.Table) -> pa.Table:
+        s = t.column("src_source").to_numpy(zero_copy_only=False)
+        d = t.column("dst_source").to_numpy(zero_copy_only=False)
+        n = col_np(t, "n_links").astype(np.int64)
+        internal = s == d
+        z = np.zeros(len(n), dtype=np.int64)
+        # src perspective: internal counts once, else an out-cut edge
+        src_rows = pa.table(
+            {"source": pa.array(s, pa.string()),
+             "n_internal": pa.array(np.where(internal, n, z)),
+             "n_out_cut": pa.array(np.where(internal, z, n)),
+             "n_in_cut": pa.array(z)}
+        )
+        # dst perspective for CROSS edges only (internal already booked)
+        x = ~internal
+        dst_rows = pa.table(
+            {"source": pa.array(d[x], pa.string()),
+             "n_internal": pa.array(z[x]),
+             "n_out_cut": pa.array(z[x]),
+             "n_in_cut": pa.array(n[x])}
+        )
+        return pa.concat_tables([src_rows, dst_rows])
+
+    agg = bucketed_aggregate(
+        m.map_batches(sides, batch_format="pyarrow"),
+        key_cols=["source"],
+        aggs=[("n_internal", "sum", "n_internal"),
+              ("n_out_cut", "sum", "n_out_cut"),
+              ("n_in_cut", "sum", "n_in_cut")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = col_np(t, "n_internal").astype(np.int64)
+        o = col_np(t, "n_out_cut").astype(np.int64)
+        e = col_np(t, "n_in_cut").astype(np.int64)
+        return pa.table(
+            {"source": t.column("source"),
+             "n_internal": pa.array(i), "n_out_cut": pa.array(o),
+             "n_in_cut": pa.array(e), "volume": pa.array(2 * i + o + e)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+def doc_cocitation_q(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
+    """Top-k CO-CITED page pairs → (url_a, url_b, n_cociting): pairs of
+    targets linked by the same source page, weighted by the number of
+    distinct co-citing pages (Small 1973 — the similarity signal SALSA's
+    authority projection walks; doc_salsa consumes this same projection
+    implicitly). Hash-partitioned self-join on the citing page + a
+    bucketed two-column pair count (no arithmetic a*V+b key, so no
+    int64 overflow at web-scale V)."""
+    from ..util import bucketed_sum_aggregate
+
+    edges = doc_edges_q(sf_dir)
+
+    def ids(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            src_id=_url_doc_ids(t.column("src_url")),
+            a=_url_doc_ids(t.column("dst_url")),
+        )
+
+    eids = edges.map_batches(ids, batch_format="pyarrow").materialize()
+    right = eids.map_batches(
+        lambda t: pa.table({"src_id": t.column("src_id"),
+                            "b": t.column("a")}),
+        batch_format="pyarrow",
+    )
+    pairs = eids.join(
+        right, join_type="inner",
+        num_partitions=QCFG.num_partitions, on=("src_id",),
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = col_np(t, "a").astype(np.int64)
+        b = col_np(t, "b").astype(np.int64)
+        m = a < b
+        # within-batch combiner: ONE Arrow C++ hash group-by
+        part = pa.table({"a": pa.array(a[m]), "b": pa.array(b[m])})
+        return part.group_by(["a", "b"]).aggregate([([], "count_all")]
+        ).rename_columns(["a", "b", "w"])
+
+    agg = bucketed_sum_aggregate(
+        pairs.map_batches(canon, batch_format="pyarrow"),
+        key_cols=["a", "b"], sum_cols=["w"],
+    )
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        ida = col_np(t, "a").astype(np.int64)
+        idb = col_np(t, "b").astype(np.int64)
+        ua = np.char.add("https://docs.example/d", ida.astype(str))
+        ub = np.char.add("https://docs.example/d", idb.astype(str))
+        return pa.table(
+            {"url_a": pa.array(ua, pa.string()),
+             "url_b": pa.array(ub, pa.string()),
+             "n_cociting": t.column("w").cast(pa.int64())}
+        )
+
+    return (
+        agg.map_batches(to_urls, batch_format="pyarrow")
+        .sort(["n_cociting", "url_a", "url_b"],
+              descending=[True, False, False])
+        .limit(k)
+    )

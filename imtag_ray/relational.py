@@ -1677,3 +1677,74 @@ def events_conversion_window(
         .materialize()
         .sort("signup_id")
     )
+
+
+def events_dau_wau(sf_dir: str) -> "ray.data.Dataset":
+    """Exact rolling active-user counts → (day, dau, wau): per observed
+    event day, the distinct users active that day (DAU) and over the
+    trailing 7-day window (WAU) — the activity/stickiness table every
+    event warehouse maintains (events_hll_users is the sketched
+    cousin; this is the exact one).
+
+    Scale shape: the range-window distinct is turned into a BOUNDED
+    static expansion — distinct (user, day) rows (≤ users × days, the
+    natural compressed activity table) fan out ×7 into the windows they
+    contribute to, then a second bucketed distinct + per-day count.
+    Shuffles carry the compressed activity table, never raw events; no
+    stage holds per-user state on the driver. The final join restricts
+    window ends to OBSERVED days (both sides are |days|-sized)."""
+    from .util import bucketed_sum_aggregate, compact_nonempty
+
+    DAY_US = 86_400_000_000
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        ts = col_np(t, "ts").astype("datetime64[us]").view(np.int64)
+        day = (ts // DAY_US) * DAY_US
+        # map-side combiner: within-batch distinct (Arrow C++ hash)
+        part = pa.table(
+            {"user_id": t.column("user_id").cast(pa.int64()),
+             "day_us": pa.array(day)}
+        )
+        return part.group_by(["user_id", "day_us"]).aggregate([])
+
+    active = bucketed_sum_aggregate(
+        ev.map_batches(to_days, batch_format="pyarrow"),
+        key_cols=["user_id", "day_us"], sum_cols=[],
+    ).materialize()
+
+    dau = bucketed_sum_aggregate(
+        active, key_cols=["day_us"], sum_cols=[], count_col="dau"
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = np.repeat(col_np(t, "user_id").astype(np.int64), 7)
+        w = np.repeat(col_np(t, "day_us").astype(np.int64), 7)
+        w += np.tile(np.arange(7, dtype=np.int64) * DAY_US, t.num_rows)
+        return pa.table({"user_id": pa.array(u), "wday_us": pa.array(w)})
+
+    wau = bucketed_sum_aggregate(
+        bucketed_sum_aggregate(
+            active.map_batches(expand, batch_format="pyarrow"),
+            key_cols=["user_id", "wday_us"], sum_cols=[],
+        ),
+        key_cols=["wday_us"], sum_cols=[], count_col="wau",
+    ).map_batches(
+        lambda t: pa.table({"day_us": t.column("wday_us"),
+                            "wau": t.column("wau").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    joined = compact_nonempty(dau.materialize()).join(
+        compact_nonempty(wau.materialize()), join_type="inner",
+        num_partitions=8, on=("day_us",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": t.column("day_us").cast(pa.timestamp("us")),
+             "dau": t.column("dau").cast(pa.int64()),
+             "wau": t.column("wau").cast(pa.int64())}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("day")
