@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_coverage": d.doc_dup_coverage_q,
         "doc_zipf": d.doc_zipf_q,
         "doc_ttr": d.doc_ttr_q,
+        "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": d.dedup_exact_q,
@@ -3235,6 +3236,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_hapax
             FROM tf GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_pack512": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS off
+              FROM tk)
+            SELECT doc_id, n_tokens,
+                   CAST(off // 512 AS BIGINT) AS pack_id,
+                   CAST(off % 512 AS BIGINT) AS pack_off
+            FROM s ORDER BY doc_id
         """,
         "doc_zipf": r"""
             WITH tk AS (

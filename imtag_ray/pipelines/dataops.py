@@ -1084,3 +1084,52 @@ def doc_ttr_q(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return docs.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_pack512_q(sf_dir: str, capacity: int = 512) -> "ray.data.Dataset":
+    """Deterministic token-stream sharding for training-example packing
+    → (doc_id, n_tokens, pack_id, pack_off): documents in doc_id order
+    form one conceptual token stream; each doc is assigned to the
+    fixed-size pack (capacity 512 tokens) its stream offset falls in,
+    with its offset within that pack. This is the deterministic
+    sequence-sharding step an LLM data pipeline runs before example
+    assembly (the doc→shard map is reproducible from counts alone — no
+    RNG, no sequential packer state).
+
+    Scale shape: a DISTRIBUTED exclusive prefix scan
+    (util.exclusive_prefix_sum) — per-block token sums via tiny remote
+    tasks, a P-length fold on the driver (P = #blocks, never data),
+    parallel per-block relabel. The only all-to-all is the doc_id sort
+    that fixes stream order. Empty-after-trim docs are excluded,
+    matching the oracle."""
+    from ..util import exclusive_prefix_sum
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip()
+        keep = (texts != "").to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(col_np(t, "doc_id")[keep], pa.int64()),
+             "n_tokens": pa.array(
+                 texts[keep].str.split().str.len().to_numpy(np.int64)
+             )}
+        )
+
+    ordered = docs.map_batches(tokens, batch_format="pyarrow").sort(
+        "doc_id"
+    )
+    scanned = exclusive_prefix_sum(ordered, "n_tokens", out_col="off")
+
+    def finish(t: pa.Table) -> pa.Table:
+        off = col_np(t, "off").astype(np.int64)
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "n_tokens": t.column("n_tokens").cast(pa.int64()),
+             "pack_id": pa.array(off // capacity),
+             "pack_off": pa.array(off % capacity)}
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow").sort(
+        "doc_id"
+    )

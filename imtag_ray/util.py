@@ -202,6 +202,46 @@ def zip_with_index(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def exclusive_prefix_sum(
+    ds: "ray.data.Dataset", val_col: str, out_col: str = "offset"
+) -> "ray.data.Dataset":
+    """Attach the EXCLUSIVE global running sum of ``val_col`` in the
+    dataset's current (materialized) block order — the weighted
+    generalization of zip_with_index, same two-phase distributed-scan
+    shape: per-block sums via tiny remote tasks, a P-length fold on the
+    driver (P integers, never data), then every block relabels in
+    parallel. Post-sort zero-row blocks are schema-less in Ray 2.49 and
+    are dropped (they contribute no rows and no sum)."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _summary(t: pa.Table) -> tuple:
+        if t.num_rows == 0:
+            return 0, 0
+        v = np.asarray(t.column(val_col), dtype=np.int64)
+        return t.num_rows, int(v.sum())
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    keep = [r for r, (n, _) in zip(refs, summaries) if n]
+    sums = np.array([s for n, s in summaries if n], dtype=np.int64)
+    if not keep:
+        return mat
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.25)
+    def _attach(t: pa.Table, off: int) -> pa.Table:
+        v = np.asarray(t.column(val_col), dtype=np.int64)
+        excl = off + np.concatenate([[0], np.cumsum(v)[:-1]]).astype(
+            np.int64
+        )
+        return t.append_column(out_col, pa.array(excl))
+
+    return ray.data.from_arrow_refs(
+        [_attach.remote(r, int(o)) for r, o in zip(keep, offsets)]
+    )
+
+
 def _strip_meta(t: pa.Table) -> pa.Table:
     """Drop schema/field metadata (zero-copy). Pandas-written parquet
     carries a b'pandas' schema-metadata dict that makes pa.Schema

@@ -79,3 +79,43 @@ def test_degrees():
     assert list(ind) == [2, 1, 1]
     und = degrees(g, "undirected")
     assert list(und) == [4, 2, 2]
+
+
+def test_exclusive_prefix_sum_matches_numpy():
+    from imtag_ray.util import exclusive_prefix_sum
+
+    rng = np.random.default_rng(100)
+    vals = rng.integers(0, 50, size=1000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"id": np.arange(1000, dtype=np.int64), "v": vals})
+    ).repartition(7).sort("id")
+    out = exclusive_prefix_sum(ds, "v", out_col="off")
+    got = dataset_to_numpy(out, "id", "v", "off")
+    order = np.argsort(got["id"])
+    expect = np.concatenate([[0], np.cumsum(vals)[:-1]])
+    assert np.array_equal(got["off"][order], expect)
+    assert np.array_equal(got["v"][order], vals)
+
+
+def test_exclusive_prefix_sum_empty_blocks():
+    from imtag_ray.util import exclusive_prefix_sum
+
+    # a filter that empties some blocks: post-filter zero-row blocks
+    # must be dropped, not crash the scan or skew the offsets
+    ds = (
+        ray.data.range(100)
+        .repartition(10)
+        .filter(lambda r: r["id"] < 30)
+        .map_batches(
+            lambda t: pa.table(
+                {"id": t.column("id"),
+                 "v": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("id")
+    )
+    out = exclusive_prefix_sum(ds, "v", out_col="off")
+    got = dataset_to_numpy(out, "id", "off")
+    order = np.argsort(got["id"])
+    assert np.array_equal(got["off"][order], np.arange(30))
