@@ -64,10 +64,17 @@ def _pick_mode(graph: Graph, cfg: EngineConfig) -> str:
 
 
 def _cc_broadcast(
-    graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None
+    graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
     V = graph.num_vertices
-    labels = np.arange(V, dtype=np.int64)
+    # warm start (incremental CC): any labeling where label[v] is a
+    # member of v's component with label[v] <= v and label[root] == root
+    # is a valid upper bound of the fixpoint — hash-min only decreases
+    labels = (
+        np.arange(V, dtype=np.int64) if init is None
+        else np.asarray(init, dtype=np.int64).copy()
+    )
     edges = graph.edges
 
     start_round = 0
@@ -262,10 +269,15 @@ def _shortcut_labels(
     return labels, cur_sum
 
 
-def _cc_shuffle(graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None) -> "ray.data.Dataset":
+def _cc_shuffle(
+    graph: Graph, cfg: EngineConfig, on_round=None, ckpt=None,
+    init_labels: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
     P = cfg.num_partitions
     labels = (
-        graph.vertices.select_columns(["vid"])
+        init_labels.materialize()
+        if init_labels is not None
+        else graph.vertices.select_columns(["vid"])
         .map_batches(
             lambda t: table_from_arrays(
                 vid=col_np(t, "vid"), label=col_np(t, "vid")
@@ -424,27 +436,14 @@ def connected_components(
         )
     if mode == "broadcast":
         raw = _cc_broadcast(graph, cfg, on_round=on_round, ckpt=ckpt)
+        return _output_from_raw(graph, raw)
     elif mode == "shuffle":
         labels_ds = _cc_shuffle(graph, cfg, on_round=on_round, ckpt=ckpt)
-        if graph.num_vertices > cfg.broadcast_max_vertices:
-            # scale path end-to-end: distributed dense relabel, then a
-            # vid-unique hash join to attach urls — no O(V) driver array
-            comp_ds = canonical_relabel_ds(labels_ds)
-            return (
-                graph.vertices.join(
-                    comp_ds, join_type="inner",
-                    num_partitions=cfg.num_partitions,
-                    on=("vid",), right_on=("vid",),
-                )
-                .select_columns(["vid", "url", "component_id"])
-                .materialize()
-            )
-        res = dataset_to_numpy(labels_ds, "vid", "label")
-        raw = np.empty(graph.num_vertices, dtype=np.int64)
-        raw[res["vid"]] = res["label"]
-    else:
-        raise ValueError(mode)
+        return _output_from_labels_ds(graph, cfg, labels_ds)
+    raise ValueError(mode)
 
+
+def _output_from_raw(graph: Graph, raw: np.ndarray) -> "ray.data.Dataset":
     comp = canonical_relabel(raw)
     comp_ref = ray.put(comp)
 
@@ -454,6 +453,174 @@ def connected_components(
         return batch.append_column("component_id", pa.array(c[vid]))
 
     return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
+def _output_from_labels_ds(
+    graph: Graph, cfg: EngineConfig, labels_ds: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    if graph.num_vertices > cfg.broadcast_max_vertices:
+        # scale path end-to-end: distributed dense relabel, then a
+        # vid-unique hash join to attach urls — no O(V) driver array
+        comp_ds = canonical_relabel_ds(labels_ds)
+        return (
+            graph.vertices.join(
+                comp_ds, join_type="inner",
+                num_partitions=cfg.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["vid", "url", "component_id"])
+            .materialize()
+        )
+    res = dataset_to_numpy(labels_ds, "vid", "label")
+    raw = np.empty(graph.num_vertices, dtype=np.int64)
+    raw[res["vid"]] = res["label"]
+    return _output_from_raw(graph, raw)
+
+
+def connected_components_urls(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mode: str | None = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (url, root_url): component membership keyed by URL,
+    labeled by the component's canonical min-url. This is the
+    RESUMABLE form — vid-free, so it survives vertex renumbering when
+    the next crawl adds pages — that connected_components_incremental
+    consumes as its warm start. (vids are assigned in url sort order,
+    so the min-vid label IS the min-url member.)"""
+    mode = mode or _pick_mode(graph, cfg)
+    if mode == "broadcast":
+        raw = _cc_broadcast(graph, cfg)
+        ref = ray.put(raw)
+
+        def attach(t: pa.Table, _ref=ref) -> pa.Table:
+            lab = ray.get(_ref)
+            return table_from_arrays(
+                vid=col_np(t, "vid"), label=lab[col_np(t, "vid")]
+            )
+
+        labels_ds = graph.vertices.select_columns(["vid"]).map_batches(
+            attach, batch_format="pyarrow"
+        )
+    else:
+        labels_ds = _cc_shuffle(graph, cfg)
+    from ..util import compact_nonempty
+
+    labels_c = compact_nonempty(labels_ds.materialize())
+    roots = compact_nonempty(
+        graph.vertices.map_batches(
+            lambda t: pa.table(
+                {"label": t.column("vid").cast(pa.int64()),
+                 "root_url": t.column("url")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    verts = compact_nonempty(graph.vertices.materialize())
+    first = compact_nonempty(
+        labels_c.join(
+            roots, join_type="inner", num_partitions=cfg.num_partitions,
+            on=("label",),
+        ).materialize()  # two fused JoinOperators can deadlock (Ray 2.49)
+    )
+    return first.join(
+        verts, join_type="inner",
+        num_partitions=cfg.num_partitions, on=("vid",),
+    ).select_columns(["url", "root_url"])
+
+
+def connected_components_incremental(
+    graph: Graph,
+    prior: "ray.data.Dataset",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mode: str | None = None,
+    on_round=None,
+) -> "ray.data.Dataset":
+    """Warm-started connected components — the distributed analogue of
+    the reference's per-frame incremental relabel (SegmentImageImpl
+    caches its merge table and update() re-labels against it,
+    src/SegmentImageImpl.cpp:27-31): re-running CC on the next crawl's
+    graph starts from the previous crawl's labels, so only merges
+    induced by the DELTA edges iterate.
+
+    ``graph`` must be an ADDITIVE superset of the graph that produced
+    ``prior`` (edges and vertices added, none removed — removals make
+    prior labels over-merged and stale). ``prior`` is the url-keyed
+    (url, root_url) output of connected_components_urls; urls absent
+    from it (new pages) start as their own components. The result is
+    EXACTLY connected_components(graph): warm labels are valid upper
+    bounds of the hash-min fixpoint, so convergence target is
+    unchanged — only the round count shrinks.
+
+    Output contract matches connected_components: (vid, url,
+    component_id) with canonical dense ids."""
+    from ..util import compact_nonempty
+
+    mode = mode or _pick_mode(graph, cfg)
+    v = graph.vertices  # (vid, url)
+    pri = compact_nonempty(
+        prior.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("url"),
+                 "root_url": t.column("root_url")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    if pri is None:
+        return connected_components(graph, cfg, mode=mode, on_round=on_round)
+    root_vids = compact_nonempty(
+        v.map_batches(
+            lambda t: pa.table(
+                {"root_url": t.column("url"),
+                 "root_vid": t.column("vid").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    tagged = compact_nonempty(
+        pri.join(
+            root_vids, join_type="inner",
+            num_partitions=cfg.num_partitions, on=("root_url",),
+        ).materialize()
+    )
+    v_c = compact_nonempty(v.materialize())
+    if tagged is None:
+        return connected_components(graph, cfg, mode=mode, on_round=on_round)
+    known = tagged.join(
+        v_c, join_type="right_outer",
+        num_partitions=cfg.num_partitions,
+        on=("url",), right_on=("url",),
+    )
+
+    def init_of(t: pa.Table) -> pa.Table:
+        vid = col_np(t, "vid").astype(np.int64)
+        rv = t.column("root_vid").to_numpy(zero_copy_only=False)
+        lab = np.where(_pd_isnull(rv), vid, rv).astype(np.int64)
+        return table_from_arrays(vid=vid, label=lab)
+
+    init_labels = compact_nonempty(
+        known.map_batches(init_of, batch_format="pyarrow").materialize()
+    )
+    if init_labels is None:
+        return connected_components(graph, cfg, mode=mode, on_round=on_round)
+
+    if mode == "broadcast":
+        res = dataset_to_numpy(init_labels, "vid", "label")
+        init = np.arange(graph.num_vertices, dtype=np.int64)
+        init[res["vid"]] = res["label"]
+        raw = _cc_broadcast(graph, cfg, on_round=on_round, init=init)
+        return _output_from_raw(graph, raw)
+    labels_ds = _cc_shuffle(
+        graph, cfg, on_round=on_round, init_labels=init_labels
+    )
+    return _output_from_labels_ds(graph, cfg, labels_ds)
+
+
+def _pd_isnull(a) -> np.ndarray:
+    import pandas as pd
+
+    return pd.isnull(a)
 
 
 def component_sizes(cc: "ray.data.Dataset") -> "ray.data.Dataset":
