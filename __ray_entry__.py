@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": d.doc_langid_q,
         "doc_fingerprint": d.doc_fingerprint_q,
         "doc_tfidf": d.doc_tfidf_q,
+        "doc_keywords": d.doc_keywords_q,
         "doc_cooccur": d.doc_cooccur_q,
         "doc_dup_ngrams": d.doc_dup_ngrams_q,
         "doc_dup_coverage": d.doc_dup_coverage_q,
@@ -3236,6 +3237,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_hapax
             FROM tf GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_keywords": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            tok AS (SELECT doc_id, unnest(a) AS w FROM d),
+            tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, w),
+            df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM tok GROUP BY w),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents),
+            sc AS (SELECT tf.doc_id, tf.w AS term,
+                          round(ln(n.c / df.df) * tf.tf, 9) AS score
+                   FROM tf JOIN df ON df.w = tf.w CROSS JOIN n),
+            r AS (SELECT doc_id, term, score,
+                         row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY score DESC, term) AS rnk
+                  FROM sc)
+            SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score
+            FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
         "doc_pack512": r"""
             WITH tk AS (

@@ -1133,3 +1133,93 @@ def doc_pack512_q(sf_dir: str, capacity: int = 512) -> "ray.data.Dataset":
     return scanned.map_batches(finish, batch_format="pyarrow").sort(
         "doc_id"
     )
+
+
+def doc_keywords_q(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-document keyword extraction → (doc_id, rnk, term, score):
+    each doc's top-k terms by tf(doc, term) · ln(N / df(term)),
+    rank-ordered (ties → term ascending) — the classic TF-IDF keyword
+    table (doc_tfidf is the corpus view; this is the per-doc view a
+    tagging/labeling pipeline consumes).
+
+    Scale shape: the (doc, term, tf) stream completes batch-side (docs
+    are single rows); df comes from the SAME stream via batch-partial
+    df counts + bucketed vocab aggregation (Ray's groupby never sees
+    raw term keys); idf attaches by ONE vocab-keyed hash join back onto
+    the stream; the per-doc top-k bounds the final shuffle at k rows
+    per doc per block (scoring.top_k_per_group)."""
+    import pyarrow.compute as pc
+
+    from ..util import bucketed_aggregate, compact_nonempty
+    from .scoring import top_k_per_group
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def tf_stream(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("")
+        toks = texts.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        ids = col_np(t, "doc_id")
+        g = (
+            pd.DataFrame({"d": ex.index.to_numpy(), "t": ex.to_numpy()})
+            .groupby(["d", "t"], sort=False).size()
+        )
+        idx = g.index
+        return pa.table(
+            {"doc_id": pa.array(
+                 ids[idx.get_level_values(0).to_numpy()], pa.int64()),
+             "term": pa.array(
+                 idx.get_level_values(1).to_numpy().astype(str),
+                 pa.string()),
+             "tf": pa.array(g.to_numpy(np.int64))}
+        )
+
+    stream = compact_nonempty(
+        docs.map_batches(tf_stream, batch_format="pyarrow").materialize()
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "rnk": pa.array([], pa.int64()),
+         "term": pa.array([], pa.string()),
+         "score": pa.array([], pa.float64())}
+    )
+    if stream is None:
+        return ray.data.from_arrow(empty)
+
+    # df per term: the stream already holds one row per (doc, term)
+    df_tbl = compact_nonempty(
+        bucketed_aggregate(
+            stream.select_columns(["term"]),
+            key_cols=["term"], aggs=[("term", "count", "df")],
+        )
+    )
+    scored = stream.join(
+        df_tbl, join_type="inner", num_partitions=8, on=("term",),
+    ).map_batches(
+        lambda t, _n=n_docs: t.append_column(
+            "score",
+            pa.array(np.round(
+                np.log(_n / np.asarray(t.column("df"), dtype=np.float64))
+                * np.asarray(t.column("tf"), dtype=np.float64), 9
+            ), pa.float64()),
+        ),
+        batch_format="pyarrow",
+    )
+    out = top_k_per_group(
+        scored, group_col="doc_id", order_col="score",
+        tiebreak_col="term", k=k,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "rnk": t.column("rnk").cast(pa.int64()),
+             "term": t.column("term"),
+             "score": t.column("score").cast(pa.float64())}
+        ),
+        batch_format="pyarrow",
+    ).sort(["doc_id", "rnk"])
