@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_nf4": q.doc_nf4_q,
         "doc_effdiam4": q.doc_effdiam4_q,
         "copart_bfs12": q.copart_bfs12_q,
+        "copart_bfs_tree12": q.copart_bfs_tree12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
         "copart_shells6": q.copart_shells6_q,
@@ -2130,6 +2131,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_PURL.format(c='v')} AS url,
                    CAST(min(dist) AS BIGINT) AS dist
             FROM walk GROUP BY v ORDER BY url
+        """,
+        "copart_bfs_tree12": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            seed AS (SELECT min(s) AS v FROM und),
+            walk(it, v, dist) AS (
+                SELECT 0, v, 0 FROM seed
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM walk w JOIN und u ON u.s = w.v
+                WHERE w.it < 12
+                GROUP BY w.it, u.d
+            ),
+            dst AS MATERIALIZED (
+                SELECT v, CAST(min(dist) AS BIGINT) AS dist
+                FROM walk GROUP BY v),
+            par AS (
+                SELECT dd.v, min(u.s) AS parent
+                FROM dst dd JOIN und u ON u.d = dd.v
+                JOIN dst dp ON dp.v = u.s AND dp.dist = dd.dist - 1
+                WHERE dd.dist > 0 GROUP BY dd.v)
+            SELECT {_PURL.format(c='dst.v')} AS url, dst.dist,
+                   {_PURL.format(c='coalesce(par.parent, dst.v)')}
+                       AS parent_url
+            FROM dst LEFT JOIN par ON par.v = dst.v ORDER BY url
         """,
         "copart_sssp16": f"""
             WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),

@@ -1923,3 +1923,134 @@ def doc_cocitation_q(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
               descending=[True, False, False])
         .limit(k)
     )
+
+
+def copart_bfs_tree12_q(sf_dir: str) -> "ray.data.Dataset":
+    """BFS shortest-path TREE from the lexicographically smallest part
+    url, 12 fixed relaxation rounds → (url, dist, parent_url) over
+    reached vertices: parent = the lexicographically smallest neighbor
+    one hop closer to the seed (the deterministic predecessor a path
+    reconstruction walks; the seed points at itself). copart_bfs12 is
+    the distance view; this adds the routing structure.
+
+    Scale shape: distances from the gated bfs_distances kernel; the
+    parent choice is ONE pass over the (both-direction) edge stream —
+    two vid-keyed hash joins attach endpoint distances, a batch-side
+    min combiner + bucketed vid min pick the parent (min vid == min
+    url: part urls are zero-padded) — then vid-unique joins attach
+    urls. No driver state, no string shuffle keys."""
+    from ray.data.aggregate import Min
+
+    from ..util import bucketed_aggregate, compact_nonempty
+    from .traversal import bfs_distances
+
+    g = copart_graph(sf_dir)
+    seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
+    dist = bfs_distances(g, [seed], QCFG, rounds=12)
+    dvert = compact_nonempty(g.vertices.materialize())
+    distv = compact_nonempty(
+        dist.join(
+            dvert, join_type="inner", num_partitions=QCFG.num_partitions,
+            on=("url",),
+        ).materialize()
+    )  # (url, dist, vid)
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "dist": pa.array([], pa.int64()),
+         "parent_url": pa.array([], pa.string())}
+    )
+    if distv is None:
+        return ray.data.from_arrow(empty)
+
+    p_side = distv.map_batches(
+        lambda t: table_from_arrays(
+            u=col_np(t, "vid"), udist=col_np(t, "dist")
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    c_side = distv.map_batches(
+        lambda t: table_from_arrays(
+            v=col_np(t, "vid"), vdist=col_np(t, "dist")
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    und = g.edges.map_batches(
+        lambda t: table_from_arrays(
+            u=np.concatenate([col_np(t, "src"), col_np(t, "dst")]),
+            v=np.concatenate([col_np(t, "dst"), col_np(t, "src")]),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    j = (
+        compact_nonempty(und)
+        .join(compact_nonempty(p_side), join_type="inner",
+              num_partitions=QCFG.num_partitions, on=("u",))
+        .materialize()
+        .join(compact_nonempty(c_side), join_type="inner",
+              num_partitions=QCFG.num_partitions, on=("v",))
+    )
+
+    def cand(t: pa.Table) -> pa.Table:
+        u = col_np(t, "u")
+        v = col_np(t, "v")
+        ud = col_np(t, "udist")
+        vd = col_np(t, "vdist")
+        m = ud == vd - 1
+        # within-batch combiner: min parent per child
+        from ..util import sparse_min_reduce
+
+        k, p = sparse_min_reduce(v[m], u[m])
+        return table_from_arrays(vid=k, parent_vid=p)
+
+    parent = compact_nonempty(
+        bucketed_aggregate(
+            j.map_batches(cand, batch_format="pyarrow"),
+            key_cols=["vid"],
+            aggs=[("parent_vid", "min", "parent_vid")],
+        )
+    )
+    purls = dvert.map_batches(
+        lambda t: pa.table(
+            {"parent_vid": t.column("vid").cast(pa.int64()),
+             "parent_url": t.column("url")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if parent is not None:
+        withp = compact_nonempty(
+            parent.join(
+                compact_nonempty(purls), join_type="inner",
+                num_partitions=QCFG.num_partitions, on=("parent_vid",),
+            ).select_columns(["vid", "parent_url"]).materialize()
+        )
+    else:
+        withp = None
+
+    if withp is None:
+        out = distv.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("url"),
+                 "dist": t.column("dist").cast(pa.int64()),
+                 "parent_url": t.column("url")}
+            ),
+            batch_format="pyarrow",
+        )
+        return out.sort("url")
+
+    joined = distv.join(
+        withp, join_type="left_outer",
+        num_partitions=QCFG.num_partitions, on=("vid",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": t.column("url"),
+             "dist": t.column("dist").cast(pa.int64()),
+             "parent_url": pc.coalesce(
+                 t.column("parent_url"), t.column("url")
+             )}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("url")
