@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_triangles": q.copart_triangles_q,
         "copart_pagerank12": q.copart_pagerank12_q,
         "geo_components": q.geo_components_q,
+        "doc_components_inc": q.doc_components_inc_q,
         "geo_component_sizes": q.geo_component_sizes_q,
         "geo_labelprop": q.geo_labelprop_q,
         "geo_modularity": q.geo_modularity_q,
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_effdiam4": q.doc_effdiam4_q,
         "copart_bfs12": q.copart_bfs12_q,
         "copart_bfs_tree12": q.copart_bfs_tree12_q,
+        "copart_bipartite12": q.copart_bipartite12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
         "copart_shells6": q.copart_shells6_q,
@@ -137,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_coverage": d.doc_dup_coverage_q,
         "doc_zipf": d.doc_zipf_q,
         "doc_ttr": d.doc_ttr_q,
+        "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
         # --- dedup ---------------------------------------------------------
@@ -170,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": r.q1_pricing_summary,
         "q5_revenue": r.q5_revenue,
         "q3_shipping": r.q3_shipping,
+        "q6_forecast": r.q6_forecast,
         "q18_large_orders": r.q18_large_orders,
         "events_hourly_topk": r.events_hourly_topk,
         "events_rfm": r.events_rfm,
@@ -192,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
         "events_dau_wau": r.events_dau_wau,
+        "events_session_hist": r.events_session_hist,
+        "events_concurrency": r.events_concurrency,
         "copart_deg_hist": q.copart_deg_hist_q,
         "copart_squares": q.copart_squares_q,
         "copart_avg_nbr_deg": q.copart_avg_nbr_deg_q,
@@ -2005,6 +2011,25 @@ def oracle_sql() -> dict[str, str]:
                        AS component_id
             FROM minl ORDER BY url
         """,
+        "doc_components_inc": f"""
+            WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT doc_id AS s, tgt AS d FROM targets
+                WHERE tgt != doc_id AND (doc_id + tgt) % 3 != 0),
+            und AS MATERIALIZED (
+                SELECT s, d FROM e UNION SELECT d, s FROM e),
+            verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM und),
+            reach(v, l) AS (
+                SELECT v, {_DURL.format(c='v')} FROM verts
+                UNION
+                SELECT u.d, r.l FROM reach r JOIN und u ON u.s = r.v),
+            minl AS MATERIALIZED (SELECT v, min(l) AS ml
+                    FROM reach GROUP BY v)
+            SELECT {_DURL.format(c='v')} AS url,
+                   CAST(dense_rank() OVER (ORDER BY ml) - 1 AS BIGINT)
+                       AS component_id
+            FROM minl ORDER BY url
+        """,
         "geo_labelprop": _lp_unrolled_sql(6),
         "geo_modularity": _geo_modularity_sql(6),
         "geo_quotient": _geo_quotient_sql(6),
@@ -2157,6 +2182,33 @@ def oracle_sql() -> dict[str, str]:
                    {_PURL.format(c='coalesce(par.parent, dst.v)')}
                        AS parent_url
             FROM dst LEFT JOIN par ON par.v = dst.v ORDER BY url
+        """,
+        "copart_bipartite12": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            seed AS (SELECT min(s) AS v FROM und),
+            walk(it, v, dist) AS (
+                SELECT 0, v, 0 FROM seed
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM walk w JOIN und u ON u.s = w.v
+                WHERE w.it < 12
+                GROUP BY w.it, u.d
+            ),
+            dst AS MATERIALIZED (
+                SELECT v, min(dist) % 2 AS p FROM walk GROUP BY v)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM dst) AS n_reached,
+                   (SELECT CAST(count(*) AS BIGINT) FROM dst WHERE p = 0)
+                       AS n_even,
+                   (SELECT CAST(count(*) AS BIGINT) FROM dst WHERE p = 1)
+                       AS n_odd,
+                   CAST(coalesce(sum(CASE WHEN a.p = b.p THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_same_parity_edges,
+                   CAST(coalesce(sum(CASE WHEN a.p != b.p THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_cross_parity_edges
+            FROM pairs JOIN dst a ON a.v = pairs.pa_
+                       JOIN dst b ON b.v = pairs.pb_
         """,
         "copart_sssp16": f"""
             WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
@@ -2776,6 +2828,15 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY user_id ORDER BY user_id
         """,
+        "q6_forecast": """
+            SELECT round(coalesce(sum(l_extendedprice * l_discount),
+                                  0.0), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
         "q3_shipping": """
             SELECT l.l_orderkey AS o_orderkey,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
@@ -2960,6 +3021,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM tri GROUP BY cohort_date, day_offset
             ORDER BY cohort_date, day_offset
+        """,
+        "events_session_hist": """
+            WITH x AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            y AS (
+                SELECT user_id,
+                       CAST(sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM x
+            ),
+            sess AS (SELECT user_id, session_id,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM y GROUP BY user_id, session_id)
+            SELECT n AS session_len, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM sess GROUP BY n ORDER BY session_len
+        """,
+        "events_concurrency": """
+            WITH x AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            y AS (
+                SELECT user_id, ts,
+                       CAST(sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM x
+            ),
+            sess AS (SELECT user_id, session_id,
+                            min(ts) AS session_start, max(ts) AS session_end
+                     FROM y GROUP BY user_id, session_id),
+            b AS (SELECT session_start AS t, CAST(1 AS BIGINT) AS delta,
+                         user_id, session_id FROM sess
+                  UNION ALL
+                  SELECT session_end, CAST(-1 AS BIGINT), user_id, session_id
+                  FROM sess),
+            o AS (SELECT t, delta, user_id, session_id,
+                         CAST(sum(delta) OVER (
+                             ORDER BY t, delta DESC, user_id, session_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS concurrency
+                  FROM b)
+            SELECT t, delta, user_id, session_id, concurrency
+            FROM o ORDER BY t, delta DESC, user_id, session_id
         """,
         "events_dau_wau": """
             WITH ud AS (SELECT DISTINCT user_id,
@@ -3264,6 +3378,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_hapax
             FROM tf GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_oov100": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            tok AS (SELECT doc_id, unnest(a) AS w FROM d),
+            ctf AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+            top AS (SELECT w FROM ctf ORDER BY tf DESC, w LIMIT 100)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM tok LEFT JOIN top ON top.w = tok.w
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_keywords": r"""
             WITH d AS (

@@ -231,6 +231,43 @@ def cmd_full(args) -> dict:
                          if isinstance(v, dict)})
 
 
+def cmd_cc_inc(args) -> dict:
+    """Incremental connected components: warm-start from a previous
+    run's url-keyed labels (``--prior``, parquet of (url, root_url) —
+    either the ``labels`` output of a previous cc-inc job or
+    cc.connected_components_urls) over the NEW graph; writes the
+    component table AND the refreshed labels the next crawl delta
+    consumes. Resubmit-safe like every other stage."""
+    import ray.data
+
+    from .pipelines.cc import (
+        connected_components_incremental,
+        labels_urls_from_components,
+    )
+    from .util import read_parquet_clean
+
+    cfg = _cfg_from(args)
+    mlog = _MetricsLog(args.output, "cc-inc")
+    comp_t = os.path.join(args.output, "components")
+    labels_t = os.path.join(args.output, "labels")
+    if not _done(comp_t):
+        graph = _load_graph(args, cfg)
+        prior = read_parquet_clean(args.prior, columns=["url", "root_url"])
+        out = connected_components_incremental(
+            graph, prior, cfg,
+            on_round=mlog.iter_cb(cfg.checkpoint_dir, "label_sum"),
+        )
+        rows = _write_result(out, comp_t, cfg)
+    else:
+        rows = ray.data.read_parquet(comp_t).count()
+    if not _done(labels_t):
+        lab = labels_urls_from_components(
+            ray.data.read_parquet(comp_t), cfg
+        )
+        _write_result(lab, labels_t, cfg)
+    return mlog.final(rows=rows, components=comp_t, labels=labels_t)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m imtag_ray",
@@ -256,12 +293,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     for name, fn in (("extract", cmd_extract),
                      ("pagerank", None), ("cc", None),
+                     ("cc-inc", cmd_cc_inc),
                      ("labelprop", None), ("triangles", None),
                      ("full", cmd_full)):
         sp = sub.add_parser(name)
         common(sp)
         if name == "pagerank":
             sp.add_argument("--damping", type=float, default=None)
+        if name == "cc-inc":
+            sp.add_argument("--prior", required=True,
+                            help="parquet of (url, root_url) from a "
+                                 "previous run's labels output")
         if name == "labelprop":
             sp.add_argument("--seed", action="append",
                             help="URL=LABEL (repeatable)")

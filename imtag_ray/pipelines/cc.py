@@ -623,6 +623,36 @@ def _pd_isnull(a) -> np.ndarray:
     return pd.isnull(a)
 
 
+def labels_urls_from_components(
+    comp: "ray.data.Dataset", cfg: EngineConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    """(vid|url, component_id) component table → the url-keyed
+    resumable form (url, root_url) WITHOUT re-running CC: one bucketed
+    min-url per component (component cardinality ≤ V) + one
+    component-keyed join back. This is how a job derives the labels the
+    NEXT crawl delta warm-starts from, from the output it already
+    wrote."""
+    from ..util import compact_nonempty
+
+    c = compact_nonempty(
+        comp.select_columns(["url", "component_id"]).materialize()
+    )
+    if c is None:
+        return ray.data.from_arrow(
+            pa.table({"url": pa.array([], pa.string()),
+                      "root_url": pa.array([], pa.string())})
+        )
+    roots = compact_nonempty(
+        bucketed_aggregate(
+            c, key_cols=["component_id"], aggs=[("url", "min", "root_url")]
+        )
+    )
+    return c.join(
+        roots, join_type="inner", num_partitions=cfg.num_partitions,
+        on=("component_id",),
+    ).select_columns(["url", "root_url"])
+
+
 def component_sizes(cc: "ray.data.Dataset") -> "ray.data.Dataset":
     """(component_id, size) — the analogue of per-component npixels
     (include/imtag_statistics.hpp:59-66)."""

@@ -1223,3 +1223,66 @@ def doc_keywords_q(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     ).sort(["doc_id", "rnk"])
+
+
+def doc_oov100_q(sf_dir: str, vocab_k: int = 100) -> "ray.data.Dataset":
+    """Out-of-vocabulary rate per document → (doc_id, n_tokens, n_oov):
+    tokens outside the corpus's top-100 vocabulary (by tf, ties → term
+    asc — doc_zipf's exact ordering). The CCNet-style proxy quality
+    signal when no language model is available: high OOV share flags
+    gibberish/boilerplate against the corpus's own head vocabulary.
+
+    Scale shape: corpus term counts via the zipf trajectory (per-batch
+    value_counts partials + bucketed vocab aggregation); the top-k
+    vocabulary is k rows — a BROADCAST side (ray.put once, read
+    zero-copy per batch), never a shuffle join; the per-doc count is
+    then pure batch-side work."""
+    from ..util import bucketed_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("")
+        toks = texts.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        tf = ex.to_frame("t")["t"].value_counts()
+        return pa.table(
+            {"term": pa.array(tf.index.astype(str), pa.string()),
+             "tf": pa.array(tf.to_numpy(np.int64))}
+        )
+
+    top = (
+        bucketed_aggregate(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            key_cols=["term"], aggs=[("tf", "sum", "tf")],
+        )
+        .sort(["tf", "term"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+    import ray
+
+    vocab_ref = ray.put(frozenset(r["term"] for r in top))
+
+    def per_doc(t: pa.Table, _ref=vocab_ref) -> pa.Table:
+        vocab = ray.get(_ref)
+        texts = _texts(t).fillna("").str.strip().str.lower()
+        keep = texts != ""
+        ids = col_np(t, "doc_id")
+        toks = texts[keep].str.split()
+        ex = toks.explode()
+        oov = ~ex.isin(vocab)
+        n_tok = toks.str.len()
+        n_oov = oov.groupby(level=0, sort=False).sum()
+        idx = n_tok.index.to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(ids[idx], pa.int64()),
+             "n_tokens": pa.array(n_tok.to_numpy(np.int64)),
+             "n_oov": pa.array(
+                 n_oov.reindex(n_tok.index).fillna(0).to_numpy(np.int64))}
+        )
+
+    return docs.map_batches(per_doc, batch_format="pyarrow").sort("doc_id")

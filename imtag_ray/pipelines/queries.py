@@ -2054,3 +2054,127 @@ def copart_bfs_tree12_q(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("url")
+
+
+def copart_bipartite12_q(sf_dir: str) -> pa.Table:
+    """Bipartiteness census of the 12-round BFS ball around the
+    smallest part url → ONE row (n_reached, n_even, n_odd,
+    n_same_parity_edges, n_cross_parity_edges): 2-color by BFS-level
+    parity and count edges whose endpoints agree vs differ — every
+    same-parity edge witnesses an odd cycle (the ball is bipartite iff
+    n_same_parity_edges = 0; the co-purchase graph is triangle-rich,
+    so the census is non-degenerate).
+
+    Scale shape: parity rides the gated bfs_distances output; edge
+    classification is two vid-keyed hash joins over the canonical edge
+    stream (each undirected edge once) + per-batch indicator partials,
+    so the driver only ever sees five integers."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..util import compact_nonempty
+    from .traversal import bfs_distances
+
+    g = copart_graph(sf_dir)
+    seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
+    dist = bfs_distances(g, [seed], QCFG, rounds=12)
+    distv = compact_nonempty(
+        dist.join(
+            compact_nonempty(g.vertices.materialize()),
+            join_type="inner", num_partitions=QCFG.num_partitions,
+            on=("url",),
+        ).materialize()
+    )
+    if distv is None:
+        z = pa.array([0], pa.int64())
+        return pa.table(
+            {"n_reached": z, "n_even": z, "n_odd": z,
+             "n_same_parity_edges": z, "n_cross_parity_edges": z}
+        )
+    n_reached = distv.count()
+    n_odd = int(
+        distv.map_batches(
+            lambda t: pa.table(
+                {"odd": pa.array(
+                    [int((col_np(t, "dist") % 2).sum())], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Sum("odd", alias_name="s"))["s"]
+    )
+    pa_side = distv.map_batches(
+        lambda t: table_from_arrays(
+            src=col_np(t, "vid"), ps=col_np(t, "dist") % 2
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    pb_side = distv.map_batches(
+        lambda t: table_from_arrays(
+            dst=col_np(t, "vid"), pd_=col_np(t, "dist") % 2
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j = (
+        compact_nonempty(g.edges.materialize())
+        .join(compact_nonempty(pa_side), join_type="inner",
+              num_partitions=QCFG.num_partitions, on=("src",))
+        .materialize()
+        .join(compact_nonempty(pb_side), join_type="inner",
+              num_partitions=QCFG.num_partitions, on=("dst",))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        same = int((col_np(t, "ps") == col_np(t, "pd_")).sum())
+        return pa.table(
+            {"same": pa.array([same], pa.int64()),
+             "cross": pa.array([t.num_rows - same], pa.int64())}
+        )
+
+    agg = j.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("same", alias_name="s"), Sum("cross", alias_name="c")
+    )
+    return pa.table(
+        {"n_reached": pa.array([n_reached], pa.int64()),
+         "n_even": pa.array([n_reached - n_odd], pa.int64()),
+         "n_odd": pa.array([n_odd], pa.int64()),
+         "n_same_parity_edges": pa.array([int(agg["s"] or 0)], pa.int64()),
+         "n_cross_parity_edges": pa.array([int(agg["c"] or 0)], pa.int64())}
+    )
+
+
+def doc_components_inc_q(sf_dir: str) -> "ray.data.Dataset":
+    """Connected components of the (undirected) bowtie doc graph,
+    computed INCREMENTALLY: a base graph holding ~4/5 of the edges is
+    labeled first, its url-keyed labels (connected_components_urls)
+    warm-start the full graph's relabeling via
+    connected_components_incremental — the crawl-delta workflow, graded
+    by the driver against the FULL graph's closure oracle (warm starts
+    must not change the fixpoint, only the round count).
+    → (url, component_id), canonical min-url-ranked dense ids."""
+    from .cc import connected_components_incremental, connected_components_urls
+
+    def ids_of(t: pa.Table):
+        return (
+            _url_doc_ids(t.column("src_url")),
+            _url_doc_ids(t.column("dst_url")),
+        )
+
+    def keep_bowtie(t: pa.Table) -> pa.Table:
+        s, d = ids_of(t)
+        return t.filter(pa.array((s + d) % 3 != 0))
+
+    def keep_base(t: pa.Table) -> pa.Table:
+        s, d = ids_of(t)
+        return t.filter(pa.array((s * 7 + d) % 5 != 0))
+
+    full_edges = doc_edges_q(sf_dir).map_batches(
+        keep_bowtie, batch_format="pyarrow"
+    ).materialize()
+    g_base = build_graph(
+        full_edges.map_batches(keep_base, batch_format="pyarrow"), QCFG
+    )
+    prior = connected_components_urls(g_base, QCFG)
+    g_full = doc_bowtie_graph(sf_dir)
+    return (
+        connected_components_incremental(g_full, prior, QCFG)
+        .select_columns(["url", "component_id"])
+        .sort("url")
+    )

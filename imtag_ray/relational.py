@@ -1748,3 +1748,134 @@ def events_dau_wau(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+def events_session_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Session-length histogram → (session_len, n_sessions): how many
+    30-minute-gap sessions contain exactly N events — the shape report
+    behind engagement dashboards (events_sessions is the per-session
+    table; this is its distribution). One bucketed count over the
+    session table's n_events column (session-length cardinality is
+    tiny, but the SESSION table is user×session-sized, so the combiner
+    collapses it batch-side before any shuffle)."""
+    from .util import bucketed_aggregate
+
+    sess = events_sessionize(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = col_np(t, "n_events").astype(np.int64)
+        from .util import sparse_sum_reduce
+
+        k, c = sparse_sum_reduce(n, np.ones(len(n), dtype=np.int64))
+        return table_from_arrays(session_len=k, n_sessions=c)
+
+    agg = bucketed_aggregate(
+        sess.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["session_len"],
+        aggs=[("n_sessions", "sum", "n_sessions")],
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"session_len": t.column("session_len").cast(pa.int64()),
+             "n_sessions": t.column("n_sessions").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sort("session_len")
+
+
+def events_concurrency(sf_dir: str) -> "ray.data.Dataset":
+    """Active-session concurrency curve → (t, delta, user_id,
+    session_id, concurrency): +1/−1 boundary events at each session's
+    start/end (30-minute-gap sessions), globally time-ordered (ties:
+    opens before closes, then user, then session), with the running
+    number of concurrently open sessions AFTER each boundary — the
+    load curve capacity planning reads off an events warehouse.
+
+    Scale shape: boundaries are built batch-side from the sessionized
+    table (2 rows per session); ONE global sort fixes the sweep order;
+    the running count is util.exclusive_prefix_sum — the distributed
+    two-phase scan (per-block sums → P-integer driver fold → parallel
+    relabel), so no sequential pass over the boundary stream exists
+    anywhere."""
+    from .util import exclusive_prefix_sum
+
+    sess = events_sessionize(sf_dir)
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        u = col_np(t, "user_id").astype(np.int64)
+        sid = col_np(t, "session_id").astype(np.int64)
+        st = col_np(t, "session_start").astype("datetime64[us]").view(np.int64)
+        en = col_np(t, "session_end").astype("datetime64[us]").view(np.int64)
+        return pa.table(
+            {"t_us": pa.array(np.concatenate([st, en])),
+             "delta": pa.array(np.concatenate(
+                 [np.ones(len(u), np.int64), -np.ones(len(u), np.int64)])),
+             "user_id": pa.array(np.concatenate([u, u])),
+             "session_id": pa.array(np.concatenate([sid, sid]))}
+        )
+
+    ordered = (
+        sess.map_batches(boundaries, batch_format="pyarrow")
+        .sort(["t_us", "delta", "user_id", "session_id"],
+              descending=[False, True, False, False])
+    )
+    scanned = exclusive_prefix_sum(ordered, "delta", out_col="run")
+
+    def finish(t: pa.Table) -> pa.Table:
+        run = col_np(t, "run").astype(np.int64)
+        d = col_np(t, "delta").astype(np.int64)
+        return pa.table(
+            {"t": t.column("t_us").cast(pa.timestamp("us")),
+             "delta": pa.array(d),
+             "user_id": t.column("user_id").cast(pa.int64()),
+             "session_id": t.column("session_id").cast(pa.int64()),
+             "concurrency": pa.array(run + d)}
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow").sort(
+        ["t", "delta", "user_id", "session_id"],
+        descending=[False, True, False, False],
+    )
+
+
+def q6_forecast(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q6-shaped revenue forecast: ONE filtered scalar aggregate
+    over lineitem → (revenue). The scan-efficiency benchmark shape —
+    the read is pruned to the 4 referenced columns and every batch
+    reduces to a single partial before the one-row final sum (nothing
+    but P floats ever shuffles)."""
+    import datetime
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    )
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        f = t.filter(m)
+        rev = pc.sum(
+            pc.multiply(f["l_extendedprice"], f["l_discount"])
+        ).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="s")
+    )
+    return ray.data.from_arrow(
+        pa.table({"revenue": pa.array(
+            [round(float(agg["s"] or 0.0), 2)], pa.float64())})
+    )

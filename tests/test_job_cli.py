@@ -147,3 +147,79 @@ def test_checkpointed_job_resumes(pages_path, tmp_path):
 def test_missing_input_errors():
     with pytest.raises(SystemExit):
         main(["pagerank", "--output", "/tmp/nope"])
+
+
+def test_cc_inc_job_matches_cold_cc(pages_path, tmp_path):
+    """cc-inc: run cc on a base edge subset, feed its labels as --prior
+    to an incremental run over the full edges; components must equal a
+    cold cc run, and the refreshed labels output must be loadable as
+    the next run's prior."""
+    import pyarrow as pa
+
+    from imtag_ray.pipelines.cc import connected_components_urls
+    from imtag_ray.stages.graph_build import build_graph
+    from imtag_ray.pipelines.extraction import extract_edges
+    from imtag_ray.config import EngineConfig
+    from imtag_ray.sources.pages import read_pages
+
+    cfg = EngineConfig(num_partitions=4)
+    pages = read_pages(pages_path, columns=["url", "html"])
+    edges = extract_edges(pages, cfg).materialize()
+    full_path = str(tmp_path / "edges_full.parquet")
+    base_path = str(tmp_path / "edges_base.parquet")
+    t = pa.concat_tables(
+        [b for b in edges.iter_batches(batch_format="pyarrow")]
+    ).combine_chunks()
+    pq.write_table(t.select(["src_url", "dst_url"]), full_path)
+    keep = (
+        np.arange(t.num_rows) % 4 != 0
+    )  # deterministic 3/4 base subset
+    pq.write_table(
+        t.select(["src_url", "dst_url"]).filter(pa.array(keep)), base_path
+    )
+
+    g_base = build_graph(
+        ray.data.read_parquet(base_path, columns=["src_url", "dst_url"]),
+        cfg,
+    )
+    prior_path = str(tmp_path / "prior")
+    connected_components_urls(g_base, cfg).write_parquet(prior_path)
+
+    out = str(tmp_path / "inc_out")
+    summary = main([
+        "cc-inc", "--edges", full_path, "--prior", prior_path,
+        "--output", out, "--num-partitions", "4",
+    ])
+    assert summary["event"] == "done" and summary["rows"] > 0
+    assert os.path.exists(os.path.join(out, "components") + "._SUCCESS")
+    assert os.path.exists(os.path.join(out, "labels") + "._SUCCESS")
+
+    cold_out = str(tmp_path / "cold_out")
+    main([
+        "cc", "--edges", full_path, "--output", cold_out,
+        "--num-partitions", "4",
+    ])
+    inc = dataset_to_numpy(
+        ray.data.read_parquet(os.path.join(out, "components")),
+        "url", "component_id",
+    )
+    cold = dataset_to_numpy(
+        ray.data.read_parquet(os.path.join(cold_out, "cc")),
+        "url", "component_id",
+    )
+    mi = dict(zip([str(u) for u in inc["url"]], inc["component_id"]))
+    mc = dict(zip([str(u) for u in cold["url"]], cold["component_id"]))
+    assert mi == mc
+
+    # refreshed labels are consistent: every url maps to a root in its
+    # own component, and roots map to themselves
+    lab = dataset_to_numpy(
+        ray.data.read_parquet(os.path.join(out, "labels")),
+        "url", "root_url",
+    )
+    lm = dict(zip([str(u) for u in lab["url"]],
+                  [str(r) for r in lab["root_url"]]))
+    assert set(lm) == set(mi)
+    for u, r in lm.items():
+        assert mi[u] == mi[r]
+        assert lm[r] == r
