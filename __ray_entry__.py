@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_coverage": d.doc_dup_coverage_q,
         "doc_zipf": d.doc_zipf_q,
         "doc_ttr": d.doc_ttr_q,
+        "doc_gopher": d.doc_gopher_q,
         "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
@@ -3363,6 +3364,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c.c) AS BIGINT) AS max_df
             FROM perdoc p JOIN corpus c ON c.gram = p.gram
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "doc_gopher": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            tok AS (SELECT doc_id, unnest(a) AS w FROM tk),
+            base AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN w IN
+                        ('the','a','and','of','to','in','is')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+              FROM tok GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id,
+                     list_element(a, i) || ' ' || list_element(a, i + 1)
+                         AS gram
+              FROM tk, unnest(range(1, len(a))) AS r(i)),
+            bgc AS (SELECT doc_id, gram, count(*) AS k
+                    FROM bg GROUP BY doc_id, gram),
+            top AS (
+              SELECT doc_id, k, gram FROM (
+                SELECT doc_id, k, gram, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY k DESC, gram) AS rn
+                FROM bgc) WHERE rn = 1),
+            g3 AS (
+              SELECT doc_id,
+                     list_element(a, i) || ' ' || list_element(a, i+1) ||
+                     ' ' || list_element(a, i+2) AS gram
+              FROM tk, unnest(range(1, len(a) - 1)) AS r(i)),
+            g3c AS (SELECT doc_id, gram, count(*) AS k
+                    FROM g3 GROUP BY doc_id, gram),
+            dup AS (SELECT doc_id,
+                           CAST(sum(CASE WHEN k >= 2 THEN k ELSE 0 END)
+                                AS BIGINT) AS dup3_pos
+                    FROM g3c GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens, b.n_stop,
+                   CAST(coalesce(t.k, 0) AS BIGINT) AS top2_count,
+                   CAST(coalesce(t.k * length(t.gram), 0) AS BIGINT)
+                       AS top2_chars,
+                   CAST(coalesce(dup.dup3_pos, 0) AS BIGINT) AS dup3_pos
+            FROM base b
+            LEFT JOIN top t USING (doc_id)
+            LEFT JOIN dup USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "doc_ttr": r"""
             WITH d AS (

@@ -1086,6 +1086,99 @@ def doc_ttr_q(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(stats, batch_format="pyarrow").sort("doc_id")
 
 
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition / quality signals per document (Rae et
+    al. 2021, "Scaling Language Models", table A1 repetition filters),
+    re-expressed as EXACT integers so the oracle compare is bit-stable:
+    → (doc_id, n_tokens, n_stop, top2_count, top2_chars, dup3_pos)
+    where n_stop counts occurrences of a fixed 7-word stopword list
+    (the "has ≥2 stop words" rule), top2_count / top2_chars are the
+    occurrence count and character coverage (count × gram length) of
+    the doc's most frequent word 2-gram (ties → lexicographically
+    smallest gram, so the statistic is order-free), and dup3_pos is the
+    number of 3-gram positions whose 3-gram occurs ≥2 times WITHIN the
+    doc (the within-doc duplicate-n-gram rule, n=3 from Gopher's
+    n∈{2..10} family; cross-doc duplication is doc_dup_coverage's
+    job). The classic use: drop docs whose top2_chars / n_chars or
+    dup3_pos / (n_tokens-2) exceeds a threshold.
+
+    Scale shape: purely per-document — docs are single rows, so every
+    statistic completes batch-side with vectorized shift-joins and two
+    pandas hash aggregations per batch (no corpus state, no shuffle but
+    the output sort). Empty-after-trim docs are excluded like the
+    oracle; docs with < 2 (< 3) tokens get zero 2-gram (3-gram) stats.
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = frozenset(_GOPHER_STOPWORDS)
+
+    def signals(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip().str.lower()
+        ids = col_np(t, "doc_id")
+        toks = texts[(texts != "").to_numpy()].str.split()
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64())}
+            | {c: pa.array([], pa.int64())
+               for c in ["n_tokens", "n_stop", "top2_count",
+                         "top2_chars", "dup3_pos"]}
+        )
+        if not len(toks):
+            return empty
+        ex = toks.explode()
+        d = ex.index.to_numpy()  # original batch row per token, doc-contiguous
+        w = ex.to_numpy(dtype=object)
+        rows = pd.unique(d)  # first-seen == batch order of kept docs
+        base = pd.DataFrame(
+            {"n_tokens": np.ones(len(d), np.int64),
+             "n_stop": np.fromiter((x in stop for x in w), np.int64, len(w))},
+            index=d,
+        ).groupby(level=0, sort=False).sum().reindex(rows)
+
+        def grams(n: int) -> pd.DataFrame:
+            """(row, gram, k) counts of word n-grams, doc-bounded."""
+            if len(d) < n:
+                return pd.DataFrame({"d": [], "g": [], "k": []})
+            ok = d[: len(d) - n + 1] == d[n - 1 :]
+            g = w[: len(d) - n + 1].astype(str)
+            for j in range(1, n):
+                g = np.char.add(np.char.add(g, " "),
+                                w[j : len(d) - n + 1 + j].astype(str))
+            cnt = (
+                pd.DataFrame({"d": d[: len(d) - n + 1][ok], "g": g[ok]})
+                .value_counts(sort=False).reset_index(name="k")
+            )
+            return cnt
+
+        g2 = grams(2)
+        top = (
+            g2.sort_values(["d", "k", "g"], ascending=[True, False, True])
+            .drop_duplicates("d").set_index("d")
+            if len(g2) else pd.DataFrame({"g": [], "k": []})
+        )
+        top2_count = top["k"].reindex(rows).fillna(0).to_numpy(np.int64)
+        top2_chars = (
+            (top["k"] * top["g"].str.len()).reindex(rows).fillna(0)
+            .to_numpy(np.int64)
+        )
+        g3 = grams(3)
+        dup3 = (
+            g3[g3["k"] >= 2].groupby("d")["k"].sum().reindex(rows).fillna(0)
+            if len(g3) else pd.Series(0, index=rows)
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids[rows], pa.int64()),
+             "n_tokens": pa.array(base["n_tokens"].to_numpy(np.int64)),
+             "n_stop": pa.array(base["n_stop"].to_numpy(np.int64)),
+             "top2_count": pa.array(top2_count),
+             "top2_chars": pa.array(top2_chars),
+             "dup3_pos": pa.array(dup3.to_numpy(np.int64))}
+        )
+
+    return docs.map_batches(signals, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_pack512_q(sf_dir: str, capacity: int = 512) -> "ray.data.Dataset":
     """Deterministic token-stream sharding for training-example packing
     → (doc_id, n_tokens, pack_id, pack_off): documents in doc_id order
