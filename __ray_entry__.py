@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_zipf": d.doc_zipf_q,
         "doc_ttr": d.doc_ttr_q,
         "doc_gopher": d.doc_gopher_q,
+        "doc_cosine_pairs": d.doc_cosine_pairs_q,
         "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
@@ -3364,6 +3365,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c.c) AS BIGINT) AS max_df
             FROM perdoc p JOIN corpus c ON c.gram = p.gram
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "doc_cosine_pairs": r"""
+            WITH dd AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            tok AS (SELECT doc_id, unnest(a) AS w FROM dd),
+            tf AS (SELECT doc_id, w, count(*) AS k
+                   FROM tok GROUP BY doc_id, w),
+            n AS (SELECT doc_id, sum(k * k) AS s2 FROM tf GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sum(a.k * b.k) AS dot
+              FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(dot / sqrt(na.s2 * nb.s2), 9) AS cosine
+            FROM dots
+            JOIN n na ON na.doc_id = dots.id_a
+            JOIN n nb ON nb.doc_id = dots.id_b
+            WHERE dot / sqrt(na.s2 * nb.s2) >= 0.85
+            ORDER BY id_a, id_b
         """,
         "doc_gopher": r"""
             WITH tk AS (

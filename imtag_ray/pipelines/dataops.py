@@ -1089,6 +1089,114 @@ def doc_ttr_q(sf_dir: str) -> "ray.data.Dataset":
 _GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
 
+def doc_cosine_pairs_q(sf_dir: str, threshold: float = 0.85) -> pa.Table:
+    """Exact sparse TF-cosine similarity join over the corpus →
+    (id_a, id_b, cosine) for every unordered doc pair with
+    cos(tf_a, tf_b) ≥ threshold — the term-VECTOR near-dup metric that
+    complements the set-based family (minhash Jaccard / simhash
+    Hamming / ngram): it sees copies with re-weighted term counts that
+    Jaccard scores low. cosine = Σ_t tf_a(t)·tf_b(t) /
+    √(Σ tf_a² · Σ tf_b²), exact integers until the final division.
+
+    Scale shape: classic inverted-index join. Per-(doc, term, tf)
+    partials complete batch-side; per-doc squared norms are ONE
+    bucketed sum; candidate dot products come from the tf table
+    self-joined on term (hash-partitioned, never a driver structure)
+    and reduced with ONE bucketed (id_a, id_b) sum. The candidate
+    volume is Σ_t df(t)² — the known cost of exact threshold joins; at
+    corpus scale the standard mitigations (prefix filtering, df-capped
+    index + residual verification) drop in between the join and the
+    reduction without changing this dataflow. Empty-after-trim docs
+    vanish (no terms, no norm)."""
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_part(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip().str.lower()
+        ids = col_np(t, "doc_id")
+        toks = texts[(texts != "").to_numpy()].str.split()
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.string()),
+                             "k": pa.array([], pa.int64())})
+        cnt = (
+            pd.DataFrame({"d": ids[ex.index.to_numpy()], "w": ex.to_numpy()})
+            .value_counts(sort=False).reset_index(name="k")
+        )
+        return pa.table(
+            {"doc_id": pa.array(cnt["d"].to_numpy(np.int64)),
+             "w": pa.array(cnt["w"].astype(str), pa.string()),
+             "k": pa.array(cnt["k"].to_numpy(np.int64))}
+        )
+
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    tf = compact_nonempty(docs.map_batches(tf_part, batch_format="pyarrow"))
+    if tf is None:
+        return empty
+
+    def sq(t: pa.Table) -> pa.Table:
+        k = col_np(t, "k")
+        return pa.table({"doc_id": t["doc_id"], "k2": pa.array(k * k)})
+
+    norms = compact_nonempty(
+        bucketed_sum_aggregate(
+            tf.map_batches(sq, batch_format="pyarrow"),
+            key_cols=["doc_id"], sum_cols=["k2"],
+        )
+    )
+    ta = tf.rename_columns({"doc_id": "id_a", "k": "ka"})
+    tb = tf.rename_columns({"doc_id": "id_b", "k": "kb", "w": "wb"})
+    joined = ta.join(
+        tb, join_type="inner", num_partitions=8, on=("w",), right_on=("wb",),
+    )
+
+    def prods(t: pa.Table) -> pa.Table:
+        a = col_np(t, "id_a")
+        b = col_np(t, "id_b")
+        keep = a < b
+        return pa.table(
+            {"id_a": pa.array(a[keep]),
+             "id_b": pa.array(b[keep]),
+             "dot": pa.array(col_np(t, "ka")[keep] * col_np(t, "kb")[keep])}
+        )
+
+    dots = compact_nonempty(
+        bucketed_sum_aggregate(
+            joined.map_batches(prods, batch_format="pyarrow"),
+            key_cols=["id_a", "id_b"], sum_cols=["dot"],
+        )
+    )
+    if dots is None:
+        return empty
+    na = norms.rename_columns({"doc_id": "da", "k2": "s2a"})
+    nb = norms.rename_columns({"doc_id": "db", "k2": "s2b"})
+    scored = dots.join(
+        na, join_type="inner", num_partitions=8, on=("id_a",), right_on=("da",),
+    ).materialize().join(
+        nb, join_type="inner", num_partitions=8, on=("id_b",), right_on=("db",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = col_np(t, "dot") / np.sqrt(col_np(t, "s2a") * col_np(t, "s2b"))
+        keep = c >= threshold
+        return pa.table(
+            {"id_a": pa.array(col_np(t, "id_a")[keep]),
+             "id_b": pa.array(col_np(t, "id_b")[keep]),
+             "cosine": pa.array(np.round(c[keep], 9))}
+        )
+
+    out = compact_nonempty(scored.map_batches(finish, batch_format="pyarrow"))
+    if out is None:
+        return empty
+    return out.sort(["id_a", "id_b"])
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),
