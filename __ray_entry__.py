@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": d.doc_ttr_q,
         "doc_gopher": d.doc_gopher_q,
         "doc_cosine_pairs": d.doc_cosine_pairs_q,
+        "doc_buckets10": d.doc_buckets10_q,
         "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
@@ -3365,6 +3366,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c.c) AS BIGINT) AS max_df
             FROM perdoc p JOIN corpus c ON c.gram = p.gram
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "doc_buckets10": r"""
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS bucket
+            FROM documents ORDER BY doc_id
         """,
         "doc_cosine_pairs": r"""
             WITH dd AS (

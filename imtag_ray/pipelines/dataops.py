@@ -1197,6 +1197,42 @@ def doc_cosine_pairs_q(sf_dir: str, threshold: float = 0.85) -> pa.Table:
     return out.sort(["id_a", "id_b"])
 
 
+def doc_buckets10_q(sf_dir: str, n_buckets: int = 10) -> "ray.data.Dataset":
+    """Length-curriculum decile assignment → (doc_id, n_chars, bucket):
+    every document's exact ntile(10) bucket in the corpus ordered by
+    (n_chars, doc_id) — the deterministic shard split a curriculum /
+    length-bucketed training schedule consumes (bucket 1 = shortest
+    tenth). Exact SQL ntile semantics: the first N mod 10 buckets get
+    one extra row.
+
+    Scale shape: a 2-column pruned read, ONE global range-partitioned
+    sort on the curriculum key, then the distributed rank
+    (util.zip_with_index: per-block counts → P-integer driver fold →
+    parallel relabel) and a closed-form vectorized rank→ntile map.
+    Nothing V-sized ever touches the driver."""
+    from ..util import zip_with_index
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ranked = zip_with_index(
+        docs.sort(["n_chars", "doc_id"]), index_name="rnk"
+    )
+    n = ranked.count()  # metadata on the materialized dataset
+    q, r = divmod(n, n_buckets)
+    cut = r * (q + 1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        rk = col_np(t, "rnk").astype(np.int64)
+        lo = rk // (q + 1) + 1
+        hi = (rk - cut) // max(q, 1) + r + 1
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "n_chars": t.column("n_chars").cast(pa.int64()),
+             "bucket": pa.array(np.where(rk < cut, lo, hi).astype(np.int64))}
+        )
+
+    return ranked.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),
