@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher": d.doc_gopher_q,
         "doc_cosine_pairs": d.doc_cosine_pairs_q,
         "doc_buckets10": d.doc_buckets10_q,
+        "doc_winnow": d.doc_winnow_q,
         "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
@@ -3366,6 +3367,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c.c) AS BIGINT) AS max_df
             FROM perdoc p JOIN corpus c ON c.gram = p.gram
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "doc_winnow": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            g AS (
+              SELECT doc_id, i,
+                     substring(md5(list_element(a, i) || ' ' ||
+                                   list_element(a, i+1) || ' ' ||
+                                   list_element(a, i+2)), 1, 16) AS h
+              FROM tk, unnest(range(1, len(a) - 1)) AS r(i)),
+            win AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS fp
+              FROM g)
+            SELECT DISTINCT doc_id, fp FROM win ORDER BY doc_id, fp
         """,
         "doc_buckets10": r"""
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -1233,6 +1233,74 @@ def doc_buckets10_q(sf_dir: str, n_buckets: int = 10) -> "ray.data.Dataset":
     return ranked.map_batches(assign, batch_format="pyarrow").sort("doc_id")
 
 
+def doc_winnow_q(sf_dir: str, w: int = 4) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting algorithm) → distinct
+    (doc_id, fp): hash every word 3-gram (md5 prefix, 16 hex chars)
+    and keep the MINIMUM hash of each length-w sliding window of
+    consecutive 3-grams (trailing partial windows included, so every
+    doc with ≥1 gram fingerprints). Winnowing guarantees any shared
+    passage of ≥ w+2 tokens yields a shared fingerprint while storing
+    ~2/(w+1) of the grams — the position-robust dedup sketch (MinHash
+    is whole-doc; this is per-passage).
+
+    Scale shape: docs are rows, so gram hashing (per-batch UNIQUE grams
+    only) and the vectorized shifted-min window both complete
+    batch-side; the distinct (doc, fp) set is batch-local too. Only the
+    output sort shuffles. Lexicographic min over fixed-width lowercase
+    hex == numeric min over the u64 hash, which is what the SQL
+    window-min oracle computes."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "fp": pa.array([], pa.string())}
+    )
+
+    def fps(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip().str.lower()
+        ids = col_np(t, "doc_id")
+        toks = texts[(texts != "").to_numpy()].str.split()
+        ex = toks.explode().dropna()
+        m = len(ex)
+        if m < 3:
+            return empty
+        d = ex.index.to_numpy()
+        wd = ex.to_numpy(dtype=object)
+        ok = d[: m - 2] == d[2:]
+        gd = d[: m - 2][ok]
+        g = wd[: m - 2].astype(str)
+        g = np.char.add(np.char.add(g, " "), wd[1 : m - 1].astype(str))
+        g = np.char.add(np.char.add(g, " "), wd[2:m].astype(str))[ok]
+        if not len(g):
+            return empty
+        uniq, inv = np.unique(g, return_inverse=True)
+        hu = np.array(
+            [hashlib.md5(s.encode("utf-8")).hexdigest()[:16] for s in uniq],
+            dtype="U16",
+        )
+        h = hu[inv]
+        n = len(h)
+        fp = h.copy()
+        for j in range(1, w):
+            if n <= j:
+                break
+            cand = np.full(n, "z" * 16, dtype="U16")  # 'z' > any hex digit
+            same = gd[: n - j] == gd[j:]
+            cand[: n - j][same] = h[j:][same]
+            fp = np.where(cand < fp, cand, fp)
+        out = pd.DataFrame({"doc_id": ids[gd], "fp": fp}).drop_duplicates()
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+             "fp": pa.array(out["fp"].astype(str), pa.string())}
+        )
+
+    return docs.map_batches(fps, batch_format="pyarrow").sort(
+        ["doc_id", "fp"]
+    )
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),
