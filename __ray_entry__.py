@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cosine_pairs": d.doc_cosine_pairs_q,
         "doc_buckets10": d.doc_buckets10_q,
         "doc_winnow": d.doc_winnow_q,
+        "winnow_pairs": d.winnow_pairs_q,
         "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
@@ -3367,6 +3368,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c.c) AS BIGINT) AS max_df
             FROM perdoc p JOIN corpus c ON c.gram = p.gram
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "winnow_pairs": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            g AS (
+              SELECT doc_id, i,
+                     substring(md5(list_element(a, i) || ' ' ||
+                                   list_element(a, i+1) || ' ' ||
+                                   list_element(a, i+2)), 1, 16) AS h
+              FROM tk, unnest(range(1, len(a) - 1)) AS r(i)),
+            win AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS fp
+              FROM g),
+            fps AS (SELECT DISTINCT doc_id, fp FROM win)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY id_a, id_b
         """,
         "doc_winnow": r"""
             WITH tk AS (

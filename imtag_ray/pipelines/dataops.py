@@ -1301,6 +1301,66 @@ def doc_winnow_q(sf_dir: str, w: int = 4) -> "ray.data.Dataset":
     )
 
 
+def winnow_pairs_q(sf_dir: str, min_shared: int = 3) -> pa.Table:
+    """Passage-level near-duplicate pairs via winnowing fingerprints →
+    (id_a, id_b, n_shared): unordered doc pairs sharing ≥ min_shared
+    winnow fingerprints (doc_winnow's distinct (doc, fp) sets). This is
+    the MOSS detector itself: chance fingerprint collisions give 1-2
+    shared fps, a copied passage gives a run of them, so the threshold
+    separates cleanly — and unlike MinHash it localizes to passages, so
+    a page quoting a paragraph of another page pairs up even when
+    whole-doc Jaccard is low.
+
+    Scale shape: the fp table self-joins on the fingerprint (hash
+    partitioned — candidate volume Σ_fp df(fp)², bounded because
+    winnowing keeps ~2/(w+1) of grams and true-dup fps have small df)
+    then ONE bucketed (id_a, id_b) count; hub fps (boilerplate
+    passages) are the documented skew — cap df like any inverted-index
+    join when a corpus has site-wide templates."""
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "n_shared": pa.array([], pa.int64())}
+    )
+    fps = compact_nonempty(doc_winnow_q(sf_dir))
+    if fps is None:
+        return empty
+    fa = fps.rename_columns({"doc_id": "id_a"})
+    fb = fps.rename_columns({"doc_id": "id_b", "fp": "fpb"})
+    joined = fa.join(
+        fb, join_type="inner", num_partitions=8, on=("fp",), right_on=("fpb",),
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a = col_np(t, "id_a")
+        b = col_np(t, "id_b")
+        keep = a < b
+        return pa.table(
+            {"id_a": pa.array(a[keep]),
+             "id_b": pa.array(b[keep]),
+             "n_shared": pa.array(np.ones(int(keep.sum()), np.int64))}
+        )
+
+    counts = compact_nonempty(
+        bucketed_sum_aggregate(
+            joined.map_batches(pairs, batch_format="pyarrow"),
+            key_cols=["id_a", "id_b"], sum_cols=["n_shared"],
+        )
+    )
+    if counts is None:
+        return empty
+    out = compact_nonempty(
+        counts.filter(
+            expr=f"n_shared >= {min_shared}"
+        )
+    )
+    if out is None:
+        return empty
+    return out.sort(["id_a", "id_b"])
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),
