@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_bipartite12": q.copart_bipartite12_q,
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
+        "copart_densest4": q.copart_densest4_q,
         "copart_shells6": q.copart_shells6_q,
         "copart_lpa4": q.copart_lpa4_q,
         "copart_jdm": q.copart_jdm_q,
@@ -787,6 +788,42 @@ def _kcore_unrolled_sql(k: int = 3, rounds: int = 8) -> str:
     SELECT {_PURL.format(c='a.v')} AS url,
            CAST(coalesce(dfin.c, 0) AS BIGINT) AS core_degree
     FROM a{rounds} a LEFT JOIN dfin ON dfin.v = a.v ORDER BY url"""
+
+
+def _densest_sql(rounds: int = 4) -> str:
+    """Densest-subgraph peel-census oracle: R Bahmani (ε = 1/2) rounds
+    unrolled — survivor test deg·nv > 3·ne in exact integers, one
+    census row per round while nv > 0 — exactly
+    pipelines.traversal.densest_census's fixed-round semantics."""
+    parts = [f"WITH e0 AS MATERIALIZED ({_COPART_PAIRS}),",
+             "v0 AS MATERIALIZED (SELECT pa_ AS v FROM e0"
+             " UNION SELECT pb_ FROM e0),"]
+    for r in range(rounds - 1):
+        # MATERIALIZED is load-bearing: each round references the
+        # previous sets repeatedly (2^rounds inlined-plan blowup)
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT (SELECT count(*) FROM v{r}) AS nv,"
+            f" (SELECT count(*) FROM e{r}) AS ne),")
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT v, count(*) AS deg FROM"
+            f" (SELECT pa_ AS v FROM e{r} UNION ALL SELECT pb_ FROM e{r})"
+            f" GROUP BY v),")
+        parts.append(
+            f"v{r+1} AS MATERIALIZED (SELECT d.v FROM d{r} d, n{r}"
+            f" WHERE d.deg * n{r}.nv > 3 * n{r}.ne),")
+        parts.append(
+            f"e{r+1} AS MATERIALIZED (SELECT pa_, pb_ FROM e{r}"
+            f" WHERE pa_ IN (SELECT v FROM v{r+1})"
+            f" AND pb_ IN (SELECT v FROM v{r+1})),")
+    last = rounds - 1
+    parts.append(
+        f"n{last} AS (SELECT (SELECT count(*) FROM v{last}) AS nv,"
+        f" (SELECT count(*) FROM e{last}) AS ne)")
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, CAST(nv AS BIGINT) AS n_vertices,"
+        f" CAST(ne AS BIGINT) AS n_edges FROM n{i} WHERE nv > 0"
+        for i in range(rounds))
+    return "\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY rnd"
 
 
 def _lpa_unrolled_sql(rounds: int = 4) -> str:
@@ -2237,6 +2274,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY v ORDER BY url
         """,
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
+        "copart_densest4": _densest_sql(4),
         "copart_shells6": _kshells_sql(6, 8),
         "copart_lpa4": _lpa_unrolled_sql(4),
         "copart_wl2": _wl_sql(2),

@@ -985,6 +985,15 @@ def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
     return kcore(g, 3, QCFG, rounds=8).sort("url")
 
 
+def copart_densest4_q(sf_dir: str) -> pa.Table:
+    """Densest-subgraph greedy-peel census (Bahmani et al. 2012,
+    ε = 1/2 integer predicate) over the co-purchase graph → per-round
+    (rnd, n_vertices, n_edges) density trajectory, 4 rounds."""
+    from .traversal import densest_census
+
+    return densest_census(copart_graph(sf_dir), QCFG, rounds=4)
+
+
 def copart_wl2_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
     """Weisfeiler–Leman color-class histogram after 2 refinement
     rounds from degree colors → (wl_color, n_vertices): the structural

@@ -1314,3 +1314,92 @@ def sssp_distances(
         )
 
     return graph.vertices.map_batches(attach, batch_format="pyarrow")
+
+
+def densest_census(
+    graph: Graph, cfg: EngineConfig = DEFAULT_CONFIG, rounds: int = 4
+) -> pa.Table:
+    """Distributed densest-subgraph greedy peeling census (Bahmani,
+    Kumar & Vassilvitskii, VLDB 2012 — the MapReduce (2+2ε)-approx of
+    Charikar's peel): each round removes EVERY vertex whose degree is
+    ≤ 2(1+ε)·density; with ε = 1/2 the survivor test is the exact
+    integer predicate deg(v)·|V_t| > 3·|E_t| (no float density
+    anywhere). → (rnd, n_vertices, n_edges) per round while the
+    subgraph is non-empty: the density trajectory whose max-density
+    prefix is the approximate densest subgraph. Edges are treated as
+    undirected (degree = endpoint multiplicity over the canonical
+    dedup'd edge rows).
+
+    Scale shape: the iterated state is the shrinking alive-vertex and
+    alive-alive-edge DATASETS (kcore's peel exchange — one bucketed
+    degree aggregation + two semi-joins per round); the driver holds
+    two integers per round. O(log V) rounds suffice at any scale
+    (Bahmani Thm 2), so `rounds` is a census horizon, not a cap tune.
+    """
+    P = cfg.num_partitions
+    edges = compact_nonempty(graph.edges.select_columns(["src", "dst"]))
+    V_t, E_t = graph.num_vertices, graph.num_edges if edges is not None else 0
+    out_r, out_v, out_e = [], [], []
+
+    def edge_degrees(eds) -> "ray.data.Dataset":
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # post-join empties are schema-less
+                return pa.table(
+                    {"vid": pa.array([], pa.int64()),
+                     "c": pa.array([], pa.int64())}
+                )
+            keys = np.concatenate([col_np(t, "src"), col_np(t, "dst")])
+            kk, s = sparse_sum_reduce(keys, np.ones(len(keys), np.int64))
+            return table_from_arrays(vid=kk, c=s)
+
+        return bucketed_sum_aggregate(
+            eds.map_batches(partial, batch_format="pyarrow"),
+            key_cols=["vid"], sum_cols=["c"],
+        )
+
+    for r in range(rounds):
+        if V_t == 0:
+            break
+        out_r.append(r)
+        out_v.append(V_t)
+        out_e.append(E_t)
+        if edges is None:
+            V_t, E_t = 0, 0
+            continue
+        nv, ne = V_t, E_t
+
+        def survives(t: pa.Table, _nv=nv, _ne=ne) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"vid": pa.array([], pa.int64())})
+            keep = col_np(t, "c") * _nv > 3 * _ne
+            return pa.table({"vid": t.column("vid").filter(pa.array(keep))})
+
+        alive = compact_nonempty(
+            edge_degrees(edges).map_batches(survives, batch_format="pyarrow")
+        )
+        if alive is None:
+            V_t, E_t, edges = 0, 0, None
+            continue
+        V_t = alive.count()
+        # two semi-joins with a compaction (= materialize) between them
+        # (Ray 2.49: fused JoinOperators deadlock on small CPU budgets)
+        edges = compact_nonempty(
+            edges.join(
+                alive, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            ).select_columns(["src", "dst"])
+        )
+        if edges is not None:
+            edges = compact_nonempty(
+                edges.join(
+                    alive, join_type="inner", num_partitions=P,
+                    on=("dst",), right_on=("vid",),
+                ).select_columns(["src", "dst"])
+            )
+        E_t = edges.count() if edges is not None else 0
+
+    return pa.table(
+        {"rnd": pa.array(out_r, pa.int64()),
+         "n_vertices": pa.array(out_v, pa.int64()),
+         "n_edges": pa.array(out_e, pa.int64())}
+    )
