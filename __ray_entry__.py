@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cosine_pairs": d.doc_cosine_pairs_q,
         "doc_buckets10": d.doc_buckets10_q,
         "doc_winnow": d.doc_winnow_q,
+        "bpe_merge_pairs": d.bpe_merge_pairs_q,
         "winnow_pairs": d.winnow_pairs_q,
         "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
@@ -3406,6 +3407,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c.c) AS BIGINT) AS max_df
             FROM perdoc p JOIN corpus c ON c.gram = p.gram
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "bpe_merge_pairs": r"""
+            WITH dd AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            tok AS (SELECT unnest(a) AS w FROM dd),
+            tf AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+            pairs AS (
+              SELECT substring(w, i, 2) AS pair, n
+              FROM tf, unnest(range(1, length(w))) AS r(i)),
+            agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+                    FROM pairs GROUP BY pair)
+            SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20
         """,
         "winnow_pairs": r"""
             WITH tk AS (

@@ -1361,6 +1361,64 @@ def winnow_pairs_q(sf_dir: str, min_shared: int = 3) -> pa.Table:
     return out.sort(["id_a", "id_b"])
 
 
+def bpe_merge_pairs_q(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """The BPE tokenizer-training inner loop, one step, corpus-wide →
+    (pair, cnt): the top-k most frequent ADJACENT CHARACTER pairs
+    inside whitespace tokens, weighted by token occurrence count —
+    exactly the statistic byte-pair-encoding training maximizes to pick
+    its next merge (Sennrich et al. 2016). Ties → pair ascending, so
+    the winner (the merge BPE would perform) is deterministic.
+
+    Scale shape: per-batch token value_counts collapse the text to the
+    batch VOCABULARY first, char pairs are enumerated per UNIQUE word
+    only (work ∝ batch vocabulary, not token count — the same
+    collapse real BPE trainers do), partials pre-aggregate batch-side,
+    then ONE bucketed pair sum; the final table is char-bigram-vocab
+    sized, so the top-k sort is trivial."""
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    empty = pa.table(
+        {"pair": pa.array([], pa.string()),
+         "cnt": pa.array([], pa.int64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip().str.lower()
+        toks = texts[(texts != "").to_numpy()].str.split()
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return empty
+        uw = ex.value_counts()
+        pairs: list = []
+        cnts: list = []
+        for w_, c_ in zip(uw.index.to_numpy(dtype=object),
+                          uw.to_numpy(np.int64)):
+            for i in range(len(w_) - 1):
+                pairs.append(w_[i : i + 2])
+                cnts.append(c_)
+        if not pairs:
+            return empty
+        agg = (
+            pd.DataFrame({"pair": pairs, "cnt": cnts})
+            .groupby("pair", sort=False)["cnt"].sum()
+        )
+        return pa.table(
+            {"pair": pa.array(agg.index.astype(str), pa.string()),
+             "cnt": pa.array(agg.to_numpy(np.int64))}
+        )
+
+    counts = compact_nonempty(
+        bucketed_sum_aggregate(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            key_cols=["pair"], sum_cols=["cnt"],
+        )
+    )
+    if counts is None:
+        return ray.data.from_arrow(empty)
+    return counts.sort(["cnt", "pair"], descending=[True, False]).limit(k)
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),
