@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": s.doc_sample_q,
         "doc_sample_weighted": s.doc_sample_weighted_q,
         "doc_len_quantiles": s.doc_len_quantiles_q,
+        "events_value_quantiles": s.events_value_quantiles_q,
         # --- similarity search --------------------------------------------
         "embed_knn": d.embed_knn_q,
         "embed_knn_graph": d.embed_knn_graph_q,
@@ -3742,6 +3743,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
                    round(sum(v) / count(*), 6) AS centroid
             FROM ex GROUP BY label, dim ORDER BY label, dim
+        """,
+        "events_value_quantiles": r"""
+            SELECT event_type,
+                   quantile_disc(value, 0.50) AS p50,
+                   quantile_disc(value, 0.90) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "doc_len_quantiles": r"""
             WITH tok AS (

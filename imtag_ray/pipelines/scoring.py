@@ -251,6 +251,54 @@ def sample_stratified(
 # --- exact histogram quantiles ----------------------------------------------
 
 
+def float_quantiles_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    percentiles: list[int],
+) -> "ray.data.Dataset":
+    """Exact type-1 (discrete) quantiles of a FLOAT column per group —
+    int_quantiles_by_group's histogram-collapse shape with double
+    values: per-batch (group, value)→count partials, one small
+    shuffle, per-group cumsum pick at the smallest v with
+    100·cum ≥ pct·n (≡ DuckDB quantile_disc's ceil(p·n)-th order
+    statistic, so the oracle agrees on identical doubles — the value
+    returned IS an input value, never an interpolation). Near-
+    continuous doubles collapse less than integers do, but the shuffle
+    still carries (group, distinct value) rows, bounded by row count.
+    → Dataset (group_col, p{pct}... float64)."""
+    pcts = sorted(percentiles)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {group_col: t.column(group_col).to_numpy(zero_copy_only=False),
+             value_col: t.column(value_col).to_numpy(zero_copy_only=False)}
+        )
+        out = (
+            df.groupby([group_col, value_col], sort=False)
+            .size().rename("c").reset_index()
+        )
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(value_col, sort=True)["c"].sum().sort_index()
+        vals = h.index.to_numpy(dtype=np.float64)
+        cum = h.to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        row = {group_col: [g[group_col].iloc[0]]}
+        for p in pcts:
+            idx = int(np.searchsorted(100 * cum, p * n, side="left"))
+            row[f"p{p}"] = np.array([vals[idx]], dtype=np.float64)
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 def int_quantiles_by_group(
     ds: "ray.data.Dataset",
     group_col: str,
@@ -346,6 +394,16 @@ def doc_sample_q(sf_dir: str) -> "ray.data.Dataset":
     return sample_stratified(
         ds, "doc_id", "lang", SAMPLE_PERMILLE, SAMPLE_DEFAULT_PERMILLE
     ).sort("doc_id")
+
+
+def events_value_quantiles_q(sf_dir: str) -> "ray.data.Dataset":
+    """Exact p50/p90/p99 of the event value per event_type (discrete /
+    type-1 quantiles over near-continuous doubles — the SLO-style
+    percentile report)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return float_quantiles_by_group(
+        ds, "event_type", "value", [50, 90, 99]
+    ).sort("event_type")
 
 
 def doc_len_quantiles_q(sf_dir: str) -> "ray.data.Dataset":
