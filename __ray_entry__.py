@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": d.doc_token_stats_q,
         "doc_bpe_tokens": d.doc_bpe_tokens_q,
         "doc_langid": d.doc_langid_q,
+        "doc_lang_confusion": d.doc_lang_confusion_q,
         "doc_fingerprint": d.doc_fingerprint_q,
         "doc_tfidf": d.doc_tfidf_q,
         "doc_keywords": d.doc_keywords_q,
@@ -177,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs_lsh": d.embed_dup_pairs_lsh_q,
         "embed_centroids": s.embed_centroids_q,
         "embed_kmeans": d.embed_kmeans_q,
+        "embed_sq8": d.embed_sq8_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "q5_revenue": r.q5_revenue,
@@ -372,6 +374,43 @@ _SIMHASH_SQL = rf"""
     WHERE bit_count(xor(a.h, b.h)) <= 8
     ORDER BY id_a, id_b
 """
+
+
+_LANGID_PRED = """
+            WITH t AS (
+                SELECT doc_id,
+                       ' ' || regexp_replace(lower(coalesce(text, '')),
+                                             '\\s+', ' ', 'g') || ' ' AS s
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                    (length(s)-length(replace(s,' der ','')))/5
+                  + (length(s)-length(replace(s,' und ','')))/5
+                  + (length(s)-length(replace(s,' die ','')))/5
+                  + (length(s)-length(replace(s,' nicht ','')))/7 AS c_de,
+                    (length(s)-length(replace(s,' the ','')))/5
+                  + (length(s)-length(replace(s,' and ','')))/5
+                  + (length(s)-length(replace(s,' of ','')))/4
+                  + (length(s)-length(replace(s,' is ','')))/4 AS c_en,
+                    (length(s)-length(replace(s,' el ','')))/4
+                  + (length(s)-length(replace(s,' los ','')))/5
+                  + (length(s)-length(replace(s,' las ','')))/5
+                  + (length(s)-length(replace(s,' una ','')))/5 AS c_es,
+                    (length(s)-length(replace(s,' le ','')))/4
+                  + (length(s)-length(replace(s,' les ','')))/5
+                  + (length(s)-length(replace(s,' des ','')))/5
+                  + (length(s)-length(replace(s,' est ','')))/5 AS c_fr
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN c_de=0 AND c_en=0 AND c_es=0 AND c_fr=0 THEN 'und'
+                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM c 
+        """
 
 
 def _minhash_sql() -> str:
@@ -2633,40 +2672,11 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
-        "doc_langid": """
-            WITH t AS (
-                SELECT doc_id,
-                       ' ' || regexp_replace(lower(coalesce(text, '')),
-                                             '\\s+', ' ', 'g') || ' ' AS s
-                FROM documents
-            ),
-            c AS (
-                SELECT doc_id,
-                    (length(s)-length(replace(s,' der ','')))/5
-                  + (length(s)-length(replace(s,' und ','')))/5
-                  + (length(s)-length(replace(s,' die ','')))/5
-                  + (length(s)-length(replace(s,' nicht ','')))/7 AS c_de,
-                    (length(s)-length(replace(s,' the ','')))/5
-                  + (length(s)-length(replace(s,' and ','')))/5
-                  + (length(s)-length(replace(s,' of ','')))/4
-                  + (length(s)-length(replace(s,' is ','')))/4 AS c_en,
-                    (length(s)-length(replace(s,' el ','')))/4
-                  + (length(s)-length(replace(s,' los ','')))/5
-                  + (length(s)-length(replace(s,' las ','')))/5
-                  + (length(s)-length(replace(s,' una ','')))/5 AS c_es,
-                    (length(s)-length(replace(s,' le ','')))/4
-                  + (length(s)-length(replace(s,' les ','')))/5
-                  + (length(s)-length(replace(s,' des ','')))/5
-                  + (length(s)-length(replace(s,' est ','')))/5 AS c_fr
-                FROM t
-            )
-            SELECT doc_id,
-                   CASE WHEN c_de=0 AND c_en=0 AND c_es=0 AND c_fr=0 THEN 'und'
-                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
-                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
-                        WHEN c_es >= c_fr THEN 'es'
-                        ELSE 'fr' END AS lang_pred
-            FROM c ORDER BY doc_id
+        "doc_langid": _LANGID_PRED + " ORDER BY doc_id",
+        "doc_lang_confusion": "WITH pred AS (" + _LANGID_PRED + """)
+            SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "doc_fingerprint": """
             SELECT doc_id,
@@ -3743,6 +3753,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
                    round(sum(v) / count(*), 6) AS centroid
             FROM ex GROUP BY label, dim ORDER BY label, dim
+        """,
+        "embed_sq8": r"""
+            WITH e AS (
+              SELECT vec_id, i - 1 AS dim,
+                     CAST(list_element(embedding, i) AS DOUBLE) AS x
+              FROM embeddings, unnest(range(1, 65)) AS r(i)),
+            mm AS (SELECT dim, min(x) AS mn, max(x) AS mx
+                   FROM e GROUP BY dim)
+            SELECT vec_id, CAST(e.dim AS BIGINT) AS dim,
+                   CAST(CASE WHEN mx = mn THEN 0
+                        ELSE least(floor((x - mn) * 255.0 / (mx - mn)),
+                                   255) END AS BIGINT) AS code
+            FROM e JOIN mm ON mm.dim = e.dim
+            ORDER BY vec_id, dim
         """,
         "events_value_quantiles": r"""
             SELECT event_type,

@@ -83,6 +83,34 @@ def doc_langid_q(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
+def doc_lang_confusion_q(sf_dir: str) -> "ray.data.Dataset":
+    """Language confusion matrix → (lang, lang_pred, n_docs): declared
+    corpus language crosstabbed against the marker-word language-ID
+    prediction — the QA report a curation run ships to catch mislabeled
+    slices before filtering on either column.
+
+    Scale shape: langid is per-batch vectorized; the groupby key space
+    is |langs|² — intrinsically tiny, so Ray's native groupby is fine
+    (the bucketed-aggregation discipline applies to V/E-cardinality
+    keys, not constant ones)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t["lang"],
+             "lang_pred": pa.array(langid(_texts(t)), pa.string())}
+        )
+
+    return (
+        ds.map_batches(pred, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n_docs"))
+        .sort(["lang", "lang_pred"])
+    )
+
+
 def doc_fingerprint_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1417,6 +1445,71 @@ def bpe_merge_pairs_q(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     if counts is None:
         return ray.data.from_arrow(empty)
     return counts.sort(["cnt", "pair"], descending=[True, False]).limit(k)
+
+
+def embed_sq8_q(sf_dir: str, dim: int = 64) -> "ray.data.Dataset":
+    """Scalar int8 quantization of the embedding corpus (the FAISS
+    SQ8 compression an ANN index applies before sharding) →
+    (vec_id, dim, code): per-dimension min/max trained over the corpus,
+    then code = min(⌊(x − mn)·255 / (mx − mn)⌋, 255) per element
+    (0 when the dimension is constant). 4× memory reduction with exact,
+    replayable integer codes — the storage-side counterpart of the IVF
+    routing index (ann/knn.py:build_ivf_index).
+
+    Scale shape: two streaming passes. Pass 1 collapses each batch to
+    64 (dim, min, max) partial rows — a constant-size aggregate
+    whatever the corpus size (groupby over 64 groups is intrinsically
+    tiny). Pass 2 broadcasts the 64-entry range table inside the batch
+    closure and quantizes vectorized. Identical double expression
+    order on both sides ⇒ bit-equal codes at the bucket boundaries."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        arr = t.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # flatten() (not .values) honors list-array slicing offsets
+        return (
+            arr.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(-1, dim)
+        )
+
+    def mm_part(t: pa.Table) -> pa.Table:
+        m = _mat(t)
+        return pa.table(
+            {"dim": pa.array(np.arange(dim, dtype=np.int64)),
+             "mn": pa.array(m.min(axis=0)),
+             "mx": pa.array(m.max(axis=0))}
+        )
+
+    mm = (
+        ds.map_batches(mm_part, batch_format="pyarrow")
+        .groupby("dim")  # 64 groups — intrinsically tiny
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas().sort_values("dim")
+    )
+    mn = mm["mn"].to_numpy(np.float64)
+    denom = mm["mx"].to_numpy(np.float64) - mn
+    safe = np.where(denom == 0.0, 1.0, denom)
+    dims = np.arange(dim, dtype=np.int64)
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = _mat(t)
+        code = np.minimum(np.floor((m - mn) * 255.0 / safe), 255.0)
+        code = np.where(denom == 0.0, 0.0, code).astype(np.int64)
+        n = m.shape[0]
+        return pa.table(
+            {"vec_id": pa.array(
+                np.repeat(col_np(t, "vec_id").astype(np.int64), dim)),
+             "dim": pa.array(np.tile(dims, n)),
+             "code": pa.array(code.reshape(-1))}
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow").sort(
+        ["vec_id", "dim"]
+    )
 
 
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
