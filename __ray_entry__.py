@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_modularity": q.geo_modularity_q,
         "geo_quotient": q.geo_quotient_q,
         "geo_percolation": q.geo_percolation_q,
+        "geo_attack": q.geo_attack_q,
         "doc_hits8": q.doc_hits8_q,
         "doc_salsa": q.doc_salsa_q,
         "doc_salsa_hubs": q.doc_salsa_hubs_q,
@@ -829,6 +830,50 @@ def _kcore_unrolled_sql(k: int = 3, rounds: int = 8) -> str:
     SELECT {_PURL.format(c='a.v')} AS url,
            CAST(coalesce(dfin.c, 0) AS BIGINT) AS core_degree
     FROM a{rounds} a LEFT JOIN dfin ON dfin.v = a.v ORDER BY url"""
+
+
+def _geo_attack_sql(ks=(0, 4, 8, 16)) -> str:
+    """Targeted-attack oracle: per hub budget k, remove the top-k
+    undirected-degree vertices (ties -> url ascending), recursive-CTE
+    closure over the survivors, census row (k, n_edges, n_components,
+    max_size) — exactly pipelines.queries.geo_attack_q."""
+    parts = [f"WITH RECURSIVE e(s, d) AS ({_GEO_EDGES}),",
+             "de AS MATERIALIZED (SELECT DISTINCT s, d FROM e),",
+             "deg AS MATERIALIZED (SELECT u, count(*) AS dg FROM"
+             " (SELECT s AS u FROM de UNION ALL SELECT d FROM de)"
+             " GROUP BY u),"]
+    for k in ks:
+        parts.append(
+            f"hub{k} AS MATERIALIZED (SELECT u FROM deg"
+            f" ORDER BY dg DESC, u LIMIT {k}),")
+        parts.append(
+            f"ek{k} AS MATERIALIZED (SELECT s, d FROM de"
+            f" WHERE s NOT IN (SELECT u FROM hub{k})"
+            f" AND d NOT IN (SELECT u FROM hub{k})),")
+        parts.append(
+            f"vk{k} AS MATERIALIZED (SELECT u AS v FROM deg"
+            f" WHERE u NOT IN (SELECT u FROM hub{k})),")
+        parts.append(
+            f"und{k} AS MATERIALIZED (SELECT s, d FROM ek{k}"
+            f" UNION SELECT d, s FROM ek{k}),")
+        parts.append(
+            f"reach{k}(v, l) AS (SELECT v, v FROM vk{k}"
+            f" UNION SELECT u.d, r.l FROM reach{k} r"
+            f" JOIN und{k} u ON u.s = r.v),")
+        parts.append(
+            f"minl{k} AS MATERIALIZED (SELECT v, min(l) AS ml"
+            f" FROM reach{k} GROUP BY v),")
+        parts.append(
+            f"stat{k} AS (SELECT (SELECT count(*) FROM ek{k}) AS ne,"
+            f" count(*) AS ncomp, coalesce(max(cnt), 0) AS mx FROM"
+            f" (SELECT ml, count(*) AS cnt FROM minl{k} GROUP BY ml)),")
+    parts[-1] = parts[-1].rstrip(",")
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS k, CAST(ne AS BIGINT) AS n_edges,"
+        f" CAST(ncomp AS BIGINT) AS n_components,"
+        f" CAST(mx AS BIGINT) AS max_size FROM stat{k}"
+        for k in ks)
+    return "\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY k"
 
 
 def _densest_sql(rounds: int = 4) -> str:
@@ -2316,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
         "copart_densest4": _densest_sql(4),
+        "geo_attack": _geo_attack_sql(),
         "copart_shells6": _kshells_sql(6, 8),
         "copart_lpa4": _lpa_unrolled_sql(4),
         "copart_wl2": _wl_sql(2),

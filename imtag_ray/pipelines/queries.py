@@ -985,6 +985,73 @@ def copart_kcore3_q(sf_dir: str) -> "ray.data.Dataset":
     return kcore(g, 3, QCFG, rounds=8).sort("url")
 
 
+def geo_attack_q(sf_dir: str) -> pa.Table:
+    """Targeted-attack resilience curve of the geo graph → per hub
+    budget k ∈ {0, 4, 8, 16}: remove the top-k vertices by undirected
+    degree (ties → url ascending, a deterministic total order), run
+    connected components on the survivors (isolated survivors count as
+    singletons) → (k, n_edges, n_components, max_size). The
+    deliberate-attack complement of geo_percolation's random bond
+    drops: scale-free graphs survive random failure but shatter under
+    hub removal (Albert, Jeong & Barabási 2000).
+
+    Scale shape: the hub list is a top-k (≤16 urls — a legitimate
+    driver-side broadcast, like any top-k report); everything else is
+    the existing distributed CC machinery per budget."""
+    from .cc import component_sizes, connected_components
+    from ..stages.graph_build import degree_dataset
+
+    edges = geo_edge_urls(sf_dir).materialize()
+    g_full = build_graph(edges, QCFG)
+    V = g_full.num_vertices
+    degu = (
+        g_full.vertices.join(
+            degree_dataset(g_full, "undirected"),
+            join_type="inner", num_partitions=QCFG.num_partitions,
+            on=("vid",), right_on=("vid",),
+        )
+        .select_columns(["url", "degree"])
+        .materialize()
+    )
+    rows = []
+    for k in (0, 4, 8, 16):
+        hubs = (
+            frozenset(
+                degu.sort(["degree", "url"], descending=[True, False])
+                .limit(k).to_pandas()["url"]
+            )
+            if k else frozenset()
+        )
+
+        def keep(tb: pa.Table, _h=hubs) -> pa.Table:
+            s = tb.column("src_url").to_pylist()
+            d = tb.column("dst_url").to_pylist()
+            m = np.array(
+                [a not in _h and b not in _h for a, b in zip(s, d)],
+                dtype=bool,
+            )
+            return tb.filter(pa.array(m))
+
+        filt = edges.map_batches(keep, batch_format="pyarrow").materialize()
+        n_surv = V - k
+        if filt.count() == 0:
+            rows.append((k, 0, n_surv, 1 if n_surv else 0))
+            continue
+        g = build_graph(filt, QCFG)
+        sizes = component_sizes(connected_components(g, QCFG)).materialize()
+        n_comp = sizes.count() + (n_surv - g.num_vertices)
+        mx = max(
+            int(sizes.max("size") or 0), 1 if n_surv > g.num_vertices else 0
+        )
+        rows.append((k, g.num_edges, n_comp, mx))
+    return pa.table(
+        {"k": pa.array([r[0] for r in rows], pa.int64()),
+         "n_edges": pa.array([r[1] for r in rows], pa.int64()),
+         "n_components": pa.array([r[2] for r in rows], pa.int64()),
+         "max_size": pa.array([r[3] for r in rows], pa.int64())}
+    )
+
+
 def copart_densest4_q(sf_dir: str) -> pa.Table:
     """Densest-subgraph greedy-peel census (Bahmani et al. 2012,
     ε = 1/2 integer predicate) over the co-purchase graph → per-round
