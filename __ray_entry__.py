@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": d.doc_bpe_tokens_q,
         "doc_langid": d.doc_langid_q,
         "doc_lang_confusion": d.doc_lang_confusion_q,
+        "source_scorecard": d.source_scorecard_q,
         "doc_fingerprint": d.doc_fingerprint_q,
         "doc_tfidf": d.doc_tfidf_q,
         "doc_keywords": d.doc_keywords_q,
@@ -2719,6 +2720,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "doc_langid": _LANGID_PRED + " ORDER BY doc_id",
+        "source_scorecard": "WITH pred AS (" + _LANGID_PRED + """),
+            fp AS (SELECT doc_id, md5(coalesce(text, '')) AS h
+                   FROM documents),
+            cnt AS (SELECT h, count(*) AS c FROM fp GROUP BY h)
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN trim(coalesce(d.text, '')) = ''
+                        THEN 0 ELSE len(regexp_split_to_array(
+                            trim(d.text), '\\s+')) END) AS BIGINT)
+                       AS n_tokens,
+                   CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs,
+                   CAST(sum(CASE WHEN d.lang != p.lang_pred
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch
+            FROM documents d
+            JOIN pred p ON p.doc_id = d.doc_id
+            JOIN fp ON fp.doc_id = d.doc_id
+            JOIN cnt ON cnt.h = fp.h
+            GROUP BY d.source ORDER BY d.source
+        """,
         "doc_lang_confusion": "WITH pred AS (" + _LANGID_PRED + """)
             SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
             FROM documents d JOIN pred p ON p.doc_id = d.doc_id

@@ -111,6 +111,87 @@ def doc_lang_confusion_q(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def source_scorecard_q(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source curation scorecard → (source, n_docs, n_tokens,
+    n_dup_docs, n_lang_mismatch): the one-table QA dashboard a
+    curation run publishes per corpus slice — volume, token mass,
+    exact-duplicate incidence (md5(text) seen ≥ 2× CORPUS-wide, so
+    cross-source copies flag in both slices), and declared-vs-predicted
+    language disagreement. All exact integers.
+
+    Scale shape: one feature pass (tokens, langid, md5 — vectorized /
+    per-row hash batch-side), ONE bucketed fingerprint count, one
+    fp-keyed hash join back, then a |sources|-group aggregate of
+    indicator partials."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..util import bucketed_aggregate, compact_nonempty
+
+    docs = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        texts = _texts(t)
+        filled = texts.fillna("")
+        return pa.table(
+            {"source": t["source"],
+             "n_tokens": pa.array(token_count(texts)),
+             "mism": pa.array(
+                 (t.column("lang").to_numpy(zero_copy_only=False)
+                  != langid(texts)).astype(bool)
+             ),
+             "h": pa.array(
+                 [hashlib.md5(s.encode("utf-8")).hexdigest()
+                  for s in filled],
+                 pa.string(),
+             )}
+        )
+
+    feat = compact_nonempty(docs.map_batches(feats, batch_format="pyarrow"))
+    empty = pa.table(
+        {"source": pa.array([], pa.string())}
+        | {c: pa.array([], pa.int64())
+           for c in ["n_docs", "n_tokens", "n_dup_docs", "n_lang_mismatch"]}
+    )
+    if feat is None:
+        return ray.data.from_arrow(empty)
+    cnt = compact_nonempty(
+        bucketed_aggregate(
+            feat.select_columns(["h"]), key_cols=["h"],
+            aggs=[("h", "count", "c")],
+        )
+    )
+    joined = feat.join(
+        cnt.rename_columns({"h": "hc"}),
+        join_type="inner", num_partitions=8, on=("h",), right_on=("hc",),
+    )
+
+    def inds(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": t["source"],
+             "n_tokens": t.column("n_tokens").cast(pa.int64()),
+             "dup": pa.array(
+                 (col_np(t, "c") >= 2).astype(np.int64)),
+             "mi": pa.array(
+                 col_np(t, "mism").astype(np.int64))}
+        )
+
+    return (
+        joined.map_batches(inds, batch_format="pyarrow")
+        .groupby("source")  # |sources| groups — intrinsically tiny
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("dup", alias_name="n_dup_docs"),
+            Sum("mi", alias_name="n_lang_mismatch"),
+        )
+        .sort("source")
+    )
+
+
 def doc_fingerprint_q(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
