@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_centroids": s.embed_centroids_q,
         "embed_kmeans": d.embed_kmeans_q,
         "embed_sq8": d.embed_sq8_q,
+        "embed_pq4": d.embed_pq4_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "q5_revenue": r.q5_revenue,
@@ -875,6 +876,58 @@ def _geo_attack_sql(ks=(0, 4, 8, 16)) -> str:
         f" CAST(mx AS BIGINT) AS max_size FROM stat{k}"
         for k in ks)
     return "\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY k"
+
+
+def _pq_sql(m: int = 4, sub: int = 16, k: int = 4) -> str:
+    """Product-quantization oracle: one embed_kmeans-style unrolled
+    Lloyd chain (2 assignment rounds, init = lowest vec_ids, same
+    squared-distance formula and lowest-cluster tie-break) per
+    contiguous subspace slice, joined on vec_id — exactly
+    pipelines.dataops.embed_pq4_q's trajectory."""
+    blocks = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        blocks.append(f"""
+            emb{j} AS (SELECT vec_id,
+                              list_slice(CAST(embedding AS DOUBLE[]),
+                                         {lo}, {hi}) AS e
+                       FROM embeddings),
+            c0_{j} AS (SELECT vec_id AS c, e FROM emb{j}
+                       WHERE vec_id < {k}),
+            d1_{j} AS (SELECT v.vec_id, c0_{j}.c,
+                              list_inner_product(v.e, v.e)
+                              - 2 * list_inner_product(v.e, c0_{j}.e)
+                              + list_inner_product(c0_{j}.e, c0_{j}.e) AS d
+                       FROM emb{j} v CROSS JOIN c0_{j}),
+            a1_{j} AS (SELECT vec_id, c AS cluster FROM (
+                         SELECT vec_id, c, row_number() OVER
+                             (PARTITION BY vec_id ORDER BY d, c) AS rn
+                         FROM d1_{j}) WHERE rn = 1),
+            ex_{j} AS (SELECT a1_{j}.cluster AS c, unnest(e) AS val,
+                              unnest(range(1, len(e) + 1)) AS i
+                       FROM emb{j} JOIN a1_{j} USING (vec_id)),
+            cm_{j} AS (SELECT c, list(mv ORDER BY i) AS e FROM
+                         (SELECT c, i, avg(val) AS mv FROM ex_{j}
+                          GROUP BY c, i) GROUP BY c),
+            c1_{j} AS (SELECT c0_{j}.c, coalesce(cm_{j}.e, c0_{j}.e) AS e
+                       FROM c0_{j} LEFT JOIN cm_{j} ON cm_{j}.c = c0_{j}.c),
+            d2_{j} AS (SELECT v.vec_id, c1_{j}.c,
+                              list_inner_product(v.e, v.e)
+                              - 2 * list_inner_product(v.e, c1_{j}.e)
+                              + list_inner_product(c1_{j}.e, c1_{j}.e) AS d
+                       FROM emb{j} v CROSS JOIN c1_{j}),
+            a2_{j} AS (SELECT vec_id, c AS cluster FROM (
+                         SELECT vec_id, c, row_number() OVER
+                             (PARTITION BY vec_id ORDER BY d, c) AS rn
+                         FROM d2_{j}) WHERE rn = 1)""")
+    codes = ",\n".join(
+        f"CAST(a2_{j}.cluster AS BIGINT) AS code{j}" for j in range(m))
+    joins = "\n".join(
+        f"JOIN a2_{j} ON a2_{j}.vec_id = a2_0.vec_id"
+        for j in range(1, m))
+    return ("WITH " + ",".join(blocks) + f"""
+            SELECT a2_0.vec_id, {codes}
+            FROM a2_0 {joins} ORDER BY a2_0.vec_id""")
 
 
 def _densest_sql(rounds: int = 4) -> str:
@@ -3821,6 +3874,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(v) / count(*), 6) AS centroid
             FROM ex GROUP BY label, dim ORDER BY label, dim
         """,
+        "embed_pq4": _pq_sql(),
         "embed_sq8": r"""
             WITH e AS (
               SELECT vec_id, i - 1 AS dim,

@@ -794,6 +794,72 @@ def embed_kmeans_q(sf_dir: str) -> "ray.data.Dataset":
     ).sort("vec_id")
 
 
+def embed_pq4_q(
+    sf_dir: str, m: int = 4, sub: int = 16, k: int = 4
+) -> "ray.data.Dataset":
+    """Product-quantization code assignment (Jégou, Douze & Schmid
+    2011 — the FAISS PQ compressor) → (vec_id, code0..code3): the
+    64-dim embedding is split into m=4 contiguous 16-dim subspaces,
+    each with its own k=4 codebook trained by the engine's
+    fixed-trajectory Lloyd kernel (2 assignment rounds, init = the
+    subvectors of vec_id 0..3), and every vector stores only its
+    per-subspace nearest-centroid codes — 64 floats → 4 small ints,
+    the memory layout IVF-PQ indexes shard at corpus scale (embed_sq8
+    is the scalar variant; this is the vector-codebook one).
+
+    Scale shape: each subspace run is the kmeans_assignments kernel
+    (broadcast k×sub centroids, per-batch matmul assignment,
+    constant-size (sum,count) partials); the m code tables meet in
+    vid-keyed hash joins. Nothing V-sized on the driver."""
+    from .kmeans import kmeans_assignments
+    from ..util import compact_nonempty
+
+    dim = m * sub
+    ds = _read(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def assignments(j: int) -> "ray.data.Dataset":
+        lo = j * sub
+
+        def slice_batch(t: pa.Table, _lo=lo) -> pa.Table:
+            arr = t.column("embedding")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            mat = (
+                arr.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64).reshape(-1, dim)
+            )
+            return pa.table(
+                {"vec_id": t["vec_id"],
+                 "sub": pa.array(mat[:, _lo : _lo + sub].tolist())}
+            )
+
+        return kmeans_assignments(
+            ds.map_batches(slice_batch, batch_format="pyarrow"),
+            "vec_id", "sub", k=k, assign_rounds=2,
+        )
+
+    out = compact_nonempty(
+        assignments(0).rename_columns({"cluster": "code0"})
+    )
+    for j in range(1, m):
+        right = compact_nonempty(
+            assignments(j).rename_columns(
+                {"cluster": f"code{j}", "vec_id": "vr"}
+            )
+        )
+        out = compact_nonempty(
+            out.join(
+                right, join_type="inner", num_partitions=8,
+                on=("vec_id",), right_on=("vr",),
+            )
+        )
+    return out.select_columns(
+        ["vec_id"] + [f"code{j}" for j in range(m)]
+    ).sort("vec_id")
+
+
 def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
     """Word2vec-style co-occurrence PMI: token pairs within a ±2
     forward window, scored ln(c_ab·T² / (W·c_a·c_b)) → top-k by
