@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans": d.embed_kmeans_q,
         "embed_sq8": d.embed_sq8_q,
         "embed_pq4": d.embed_pq4_q,
+        "embed_adc3": d.embed_adc3_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "q5_revenue": r.q5_revenue,
@@ -878,12 +879,11 @@ def _geo_attack_sql(ks=(0, 4, 8, 16)) -> str:
     return "\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY k"
 
 
-def _pq_sql(m: int = 4, sub: int = 16, k: int = 4) -> str:
-    """Product-quantization oracle: one embed_kmeans-style unrolled
-    Lloyd chain (2 assignment rounds, init = lowest vec_ids, same
-    squared-distance formula and lowest-cluster tie-break) per
-    contiguous subspace slice, joined on vec_id — exactly
-    pipelines.dataops.embed_pq4_q's trajectory."""
+def _pq_blocks(m: int = 4, sub: int = 16, k: int = 4) -> list:
+    """Shared PQ CTE chain (one embed_kmeans-style unrolled Lloyd run
+    per contiguous subspace slice: 2 assignment rounds, init = lowest
+    vec_ids, same squared-distance formula and lowest-cluster
+    tie-break) — the trajectory of embed_pq4_q and embed_adc3_q."""
     blocks = []
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
@@ -920,6 +920,11 @@ def _pq_sql(m: int = 4, sub: int = 16, k: int = 4) -> str:
                          SELECT vec_id, c, row_number() OVER
                              (PARTITION BY vec_id ORDER BY d, c) AS rn
                          FROM d2_{j}) WHERE rn = 1)""")
+    return blocks
+
+
+def _pq_sql(m: int = 4, sub: int = 16, k: int = 4) -> str:
+    blocks = _pq_blocks(m, sub, k)
     codes = ",\n".join(
         f"CAST(a2_{j}.cluster AS BIGINT) AS code{j}" for j in range(m))
     joins = "\n".join(
@@ -928,6 +933,50 @@ def _pq_sql(m: int = 4, sub: int = 16, k: int = 4) -> str:
     return ("WITH " + ",".join(blocks) + f"""
             SELECT a2_0.vec_id, {codes}
             FROM a2_0 {joins} ORDER BY a2_0.vec_id""")
+
+
+def _adc_sql(m: int = 4, sub: int = 16, k: int = 4, topk: int = 3) -> str:
+    """ADC oracle: per-query-per-subspace LUT (exact distance from the
+    query subvector to every c1 codebook centroid), summed across
+    subspaces in the PINNED order d0+d1+d2+d3, top-k by (d,
+    neighbor_id) with self excluded — exactly embed_adc3_q."""
+    blocks = _pq_blocks(m, sub, k)
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        blocks.append(f"""
+            lut{j} AS (SELECT qs.qid, c1_{j}.c,
+                              list_inner_product(qs.e, qs.e)
+                              - 2 * list_inner_product(qs.e, c1_{j}.e)
+                              + list_inner_product(c1_{j}.e, c1_{j}.e) AS d
+                       FROM (SELECT vec_id AS qid,
+                                    list_slice(CAST(embedding AS DOUBLE[]),
+                                               {lo}, {hi}) AS e
+                             FROM embeddings WHERE vec_id < 10) qs
+                       CROSS JOIN c1_{j})""")
+    code_cols = ", ".join(
+        f"a2_{j}.cluster AS k{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN a2_{j} ON a2_{j}.vec_id = a2_0.vec_id"
+        for j in range(1, m))
+    blocks.append(f"""
+            codes AS (SELECT a2_0.vec_id, {code_cols}
+                      FROM a2_0 {code_joins})""")
+    lut_joins = " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.c = codes.k{j} AND l{j}.qid = l0.qid"
+        for j in range(1, m))
+    dsum = " + ".join(f"l{j}.d" for j in range(m))
+    blocks.append(f"""
+            adc AS (SELECT l0.qid AS query_id, codes.vec_id AS neighbor_id,
+                           {dsum} AS d
+                    FROM codes JOIN lut0 l0 ON l0.c = codes.k0 {lut_joins}
+                    WHERE codes.vec_id != l0.qid),
+            ranked AS (SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY d, neighbor_id) AS rn FROM adc)""")
+    return ("WITH " + ",".join(blocks) + f"""
+            SELECT query_id, neighbor_id, round(d, 9) AS adc_dist
+            FROM ranked WHERE rn <= {topk}
+            ORDER BY query_id, neighbor_id""")
 
 
 def _densest_sql(rounds: int = 4) -> str:
@@ -3875,6 +3924,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ex GROUP BY label, dim ORDER BY label, dim
         """,
         "embed_pq4": _pq_sql(),
+        "embed_adc3": _adc_sql(),
         "embed_sq8": r"""
             WITH e AS (
               SELECT vec_id, i - 1 AS dim,

@@ -860,6 +860,106 @@ def embed_pq4_q(
     ).sort("vec_id")
 
 
+def embed_adc3_q(
+    sf_dir: str, m: int = 4, sub: int = 16, k: int = 4, topk: int = 3
+) -> pa.Table:
+    """PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011,
+    the query path of an IVF-PQ index) → (query_id, neighbor_id,
+    adc_dist): for the 10 lowest-id query vectors, the approximate
+    squared L2 distance to every corpus vector is the SUM OF 4 TABLE
+    LOOKUPS — per subspace, the exact distance from the query's
+    subvector to the corpus vector's assigned codebook centroid
+    (embed_pq4's codebooks: k=4 per 16-dim subspace, 1 Lloyd update) —
+    then the top-3 per query by (distance, neighbor_id), self excluded.
+    This is the whole point of PQ: the corpus is scanned as 4 small
+    ints per vector against a 4×4 per-query LUT, no floats touched.
+
+    Scale shape: codebooks are kmeans_centroids (constant-size
+    broadcast state); codes are one assignment pass per subspace; the
+    LUT is (queries × k) per subspace, broadcast in the batch closure;
+    the scan emits per-batch partial top-k merged exactly like
+    knn_brute_force. The lookup-sum order d0+d1+d2+d3 is pinned so the
+    SQL oracle reproduces identical doubles."""
+    from ..ann.knn import _emb_matrix, _topk_merge
+    from ..util import table_from_arrays
+    from .kmeans import _assign, kmeans_centroids
+
+    dim = m * sub
+    ds = _read(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def sliced(j: int) -> "ray.data.Dataset":
+        lo = j * sub
+
+        def f(t: pa.Table, _lo=lo) -> pa.Table:
+            mat = (
+                _emb_matrix(t, "embedding")[:, _lo : _lo + sub]
+            )
+            return pa.table(
+                {"vec_id": t["vec_id"], "sub": pa.array(mat.tolist())}
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    cents = [
+        kmeans_centroids(sliced(j), "vec_id", "sub", k=k, update_rounds=1)
+        for j in range(m)
+    ]
+    q, qids = _query_matrix(sf_dir)
+    # per-subspace LUT: same expression order as the SQL oracle
+    # (<e,e> - 2<e,c> + <c,c>), queries × k doubles each
+    luts = []
+    for j in range(m):
+        qs = q[:, j * sub : (j + 1) * sub]
+        c = cents[j]
+        luts.append(
+            (qs * qs).sum(axis=1, keepdims=True)
+            - 2.0 * (qs @ c.T)
+            + (c * c).sum(axis=1)
+        )
+    lref = ray.put((luts, np.asarray(qids, dtype=np.int64), cents))
+
+    def scan(t: pa.Table, _ref=lref, _k=topk) -> pa.Table:
+        lut, qi, cen = ray.get(_ref)
+        mat = _emb_matrix(t, "embedding")
+        ids = col_np(t, "vec_id")
+        d = lut[0][:, _assign(mat[:, 0:sub], cen[0])]
+        for j in range(1, m):
+            d = d + lut[j][:, _assign(
+                mat[:, j * sub : (j + 1) * sub], cen[j]
+            )]
+        d[qi[:, None] == ids[None, :]] = np.inf  # self exclusion
+        kk = min(_k, d.shape[1])
+        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(d.shape[0]), kk)
+        cols = part.reshape(-1)
+        return table_from_arrays(
+            query_id=qi[rows], neighbor_id=ids[cols],
+            adc_dist=d[rows, cols],
+        )
+
+    from ..util import dataset_to_numpy
+
+    got = dataset_to_numpy(
+        ds.map_batches(scan, batch_format="pyarrow"),
+        "query_id", "neighbor_id", "adc_dist",
+    )
+    fin = np.isfinite(got["adc_dist"])
+    merged = _topk_merge(
+        got["query_id"][fin], got["neighbor_id"][fin],
+        -got["adc_dist"][fin], topk,  # _topk_merge keeps LARGEST score
+    )
+    out = merged.to_pandas()
+    out["adc_dist"] = np.round(-out["cos_sim"].to_numpy(), 9)
+    out = out.sort_values(["query_id", "neighbor_id"])
+    return pa.table(
+        {"query_id": pa.array(out["query_id"].to_numpy(np.int64)),
+         "neighbor_id": pa.array(out["neighbor_id"].to_numpy(np.int64)),
+         "adc_dist": pa.array(out["adc_dist"].to_numpy(np.float64))}
+    )
+
+
 def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
     """Word2vec-style co-occurrence PMI: token pairs within a ±2
     forward window, scored ln(c_ab·T² / (W·c_a·c_b)) → top-k by

@@ -58,24 +58,24 @@ def _init_centroids(
     return np.stack([got[int(i)] for i in init_ids])
 
 
-def kmeans_assignments(
+def kmeans_centroids(
     ds: "ray.data.Dataset",
     id_col: str,
     vec_col: str,
     k: int = 8,
-    assign_rounds: int = 2,
+    update_rounds: int = 1,
     init_ids: "np.ndarray | None" = None,
-) -> "ray.data.Dataset":
-    """→ Dataset (id_col, cluster): cluster of every vector after
-    ``assign_rounds`` assignment phases with ``assign_rounds − 1``
-    centroid updates between them (classic Lloyd, fixed rounds so the
-    unrolled SQL oracle replays the exact trajectory)."""
+) -> np.ndarray:
+    """→ k×d centroid matrix after ``update_rounds`` Lloyd updates from
+    the init vectors (the trajectory kmeans_assignments assigns
+    against; exposed separately so codebook consumers — PQ / ADC — can
+    broadcast the trained centroids)."""
     if init_ids is None:
         init_ids = np.arange(k, dtype=np.int64)
     cent = _init_centroids(ds, id_col, vec_col, np.asarray(init_ids))
     k = len(cent)
 
-    for _ in range(assign_rounds - 1):
+    for _ in range(update_rounds):
         cref = ray.put(cent)
 
         def partial(t: pa.Table, _c=cref, _k=k) -> pa.Table:
@@ -103,7 +103,25 @@ def kmeans_assignments(
         nz = counts > 0
         cent = cent.copy()
         cent[nz] = sums[nz] / counts[nz, None]
+    return cent
 
+
+def kmeans_assignments(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    assign_rounds: int = 2,
+    init_ids: "np.ndarray | None" = None,
+) -> "ray.data.Dataset":
+    """→ Dataset (id_col, cluster): cluster of every vector after
+    ``assign_rounds`` assignment phases with ``assign_rounds − 1``
+    centroid updates between them (classic Lloyd, fixed rounds so the
+    unrolled SQL oracle replays the exact trajectory)."""
+    cent = kmeans_centroids(
+        ds, id_col, vec_col, k=k, update_rounds=assign_rounds - 1,
+        init_ids=init_ids,
+    )
     cref = ray.put(cent)
 
     def assign_batch(t: pa.Table, _c=cref) -> pa.Table:
