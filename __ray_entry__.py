@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher": d.doc_gopher_q,
         "doc_cosine_pairs": d.doc_cosine_pairs_q,
         "doc_buckets10": d.doc_buckets10_q,
+        "doc_budget10k": d.doc_budget10k_q,
         "doc_winnow": d.doc_winnow_q,
         "bpe_merge_pairs": d.bpe_merge_pairs_q,
         "winnow_pairs": d.winnow_pairs_q,
@@ -3644,6 +3645,27 @@ def oracle_sql() -> dict[str, str]:
                                   AND 3 FOLLOWING) AS fp
               FROM g)
             SELECT DISTINCT doc_id, fp FROM win ORDER BY doc_id, fp
+        """,
+        "doc_budget10k": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            tok AS (SELECT doc_id, unnest(a) AS w FROM d),
+            st AS (SELECT doc_id,
+                          CAST(count(*) AS BIGINT) AS n_tokens,
+                          CAST(count(DISTINCT w) * 1000 // count(*)
+                               AS BIGINT) AS score
+                   FROM tok GROUP BY doc_id),
+            ranked AS (
+              SELECT doc_id, score, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                         ORDER BY score DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              FROM st)
+            SELECT doc_id, score, n_tokens, cum_before
+            FROM ranked WHERE cum_before < 10000 ORDER BY doc_id
         """,
         "doc_buckets10": r"""
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -1759,6 +1759,60 @@ def embed_sq8_q(sf_dir: str, dim: int = 64) -> "ray.data.Dataset":
     )
 
 
+def doc_budget10k_q(sf_dir: str, budget: int = 10_000) -> "ray.data.Dataset":
+    """Token-budget corpus selection → (doc_id, score, n_tokens,
+    cum_before): rank every document by an integer quality score
+    (lexical diversity, score = n_types·1000 // n_tokens — repeated
+    boilerplate ranks low), then greedily admit documents in (score
+    DESC, doc_id) order while the running token total BEFORE the
+    document is under the budget — the deterministic "best docs until
+    the token budget is spent" selection a data-mixing stage runs per
+    source. All integers, exact.
+
+    Scale shape: per-doc stats are batch-side (doc_ttr's shape); the
+    ranking is ONE global sort on the integer curriculum key; the
+    running total is the distributed exclusive prefix scan
+    (util.exclusive_prefix_sum — per-block sums, P-integer driver
+    fold, parallel relabel); the budget cut is a pure filter."""
+    from ..util import exclusive_prefix_sum
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip().str.lower()
+        keep = (texts != "").to_numpy()
+        ids = col_np(t, "doc_id")[keep]
+        toks = texts[keep].str.split()
+        n_tokens = toks.str.len().to_numpy(np.int64)
+        n_types = toks.apply(lambda ws: len(set(ws))).to_numpy(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(n_tokens),
+             "score": pa.array(n_types * 1000 // n_tokens)}
+        )
+
+    ranked = (
+        docs.map_batches(stats, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+    )
+    scanned = exclusive_prefix_sum(ranked, "n_tokens", out_col="cum_before")
+
+    def cut(t: pa.Table, _b=budget) -> pa.Table:
+        keep = col_np(t, "cum_before") < _b
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()).filter(
+                pa.array(keep)),
+             "score": t.column("score").cast(pa.int64()).filter(
+                 pa.array(keep)),
+             "n_tokens": t.column("n_tokens").cast(pa.int64()).filter(
+                 pa.array(keep)),
+             "cum_before": t.column("cum_before").cast(pa.int64()).filter(
+                 pa.array(keep))}
+        )
+
+    return scanned.map_batches(cut, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),
