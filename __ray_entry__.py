@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_sq8": d.embed_sq8_q,
         "embed_pq4": d.embed_pq4_q,
         "embed_adc3": d.embed_adc3_q,
+        "embed_adc_recall": d.embed_adc_recall_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "q5_revenue": r.q5_revenue,
@@ -978,6 +979,40 @@ def _adc_sql(m: int = 4, sub: int = 16, k: int = 4, topk: int = 3) -> str:
             SELECT query_id, neighbor_id, round(d, 9) AS adc_dist
             FROM ranked WHERE rn <= {topk}
             ORDER BY query_id, neighbor_id""")
+
+
+def _recall_sql(m: int = 4, sub: int = 16, k: int = 4,
+                topk: int = 3) -> str:
+    """recall@k oracle: the ADC ranked CTE (same chain as _adc_sql)
+    intersected with the exact squared-L2 top-k (list_distance is the
+    monotone sqrt of the engine's squared kernel, so rankings agree),
+    LEFT-joined so 0-hit queries emit — exactly embed_adc_recall_q."""
+    adc = _adc_sql(m, sub, k, topk)
+    head, tail = adc.rsplit("SELECT query_id, neighbor_id, round(d, 9)", 1)
+    return head + f"""
+            SELECT q0.qid AS query_id,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits
+            FROM (SELECT vec_id AS qid FROM embeddings
+                  WHERE vec_id < 10) q0
+            LEFT JOIN (
+              SELECT a.query_id, count(*) AS c
+              FROM (SELECT query_id, neighbor_id FROM ranked
+                    WHERE rn <= {topk}) a
+              JOIN (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+                         row_number() OVER (PARTITION BY qs.vec_id
+                             ORDER BY list_distance(
+                                 CAST(qs.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])),
+                             e.vec_id) AS rn
+                  FROM embeddings qs, embeddings e
+                  WHERE qs.vec_id < 10 AND e.vec_id != qs.vec_id)
+                WHERE rn <= {topk}) x
+                ON x.query_id = a.query_id
+               AND x.neighbor_id = a.neighbor_id
+              GROUP BY a.query_id) h ON h.query_id = q0.qid
+            ORDER BY query_id"""
 
 
 def _densest_sql(rounds: int = 4) -> str:
@@ -3947,6 +3982,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_pq4": _pq_sql(),
         "embed_adc3": _adc_sql(),
+        "embed_adc_recall": _recall_sql(),
         "embed_sq8": r"""
             WITH e AS (
               SELECT vec_id, i - 1 AS dim,

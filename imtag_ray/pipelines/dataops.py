@@ -960,6 +960,60 @@ def embed_adc3_q(
     )
 
 
+def embed_adc_recall_q(sf_dir: str, topk: int = 3) -> pa.Table:
+    """ANN quality evaluation → (query_id, n_hits): for each of the 10
+    query vectors, how many of the PQ/ADC top-3 (embed_adc3) appear in
+    the EXACT squared-L2 top-3 — the recall@k measurement every ANN
+    deployment runs before trusting a compressed index. Exact integers.
+
+    Scale shape: the exact side is the knn_brute_force scan pattern
+    with the L2 kernel (broadcast query matrix, per-batch matmul,
+    partial top-k merge); the ADC side is embed_adc3; both result
+    tables are queries×k rows, so the intersection count is a trivial
+    driver-side join of two tiny tables."""
+    from ..ann.knn import _emb_matrix, _topk_merge
+    from ..util import dataset_to_numpy, table_from_arrays
+
+    adc = embed_adc3_q(sf_dir, topk=topk).to_pandas()
+    q, qids = _query_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qn = (q * q).sum(axis=1, keepdims=True)
+    qref = ray.put((q, qn, np.asarray(qids, dtype=np.int64)))
+
+    def scan(t: pa.Table, _ref=qref, _k=topk) -> pa.Table:
+        qm, qnn, qi = ray.get(_ref)
+        mat = _emb_matrix(t, "embedding")
+        ids = col_np(t, "vec_id")
+        d = qnn - 2.0 * (qm @ mat.T) + (mat * mat).sum(axis=1)
+        d[qi[:, None] == ids[None, :]] = np.inf
+        kk = min(_k, d.shape[1])
+        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(d.shape[0]), kk)
+        cols = part.reshape(-1)
+        return table_from_arrays(
+            query_id=qi[rows], neighbor_id=ids[cols], d=d[rows, cols]
+        )
+
+    got = dataset_to_numpy(
+        ds.map_batches(scan, batch_format="pyarrow"),
+        "query_id", "neighbor_id", "d",
+    )
+    fin = np.isfinite(got["d"])
+    exact = _topk_merge(
+        got["query_id"][fin], got["neighbor_id"][fin], -got["d"][fin], topk
+    ).to_pandas()
+    ex_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    hits = {}
+    for qq, nn in zip(adc["query_id"], adc["neighbor_id"]):
+        hits[qq] = hits.get(qq, 0) + ((qq, nn) in ex_set)
+    qs = np.sort(np.asarray(qids, dtype=np.int64))
+    return pa.table(
+        {"query_id": pa.array(qs),
+         "n_hits": pa.array(
+             np.array([hits.get(int(x), 0) for x in qs], np.int64))}
+    )
+
+
 def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
     """Word2vec-style co-occurrence PMI: token pairs within a ±2
     forward window, scored ln(c_ab·T² / (W·c_a·c_b)) → top-k by
