@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- extraction pipeline (pages → edges/texts) ---------------------
         "doc_edges": q.doc_edges_q,
         "doc_anchors": q.doc_anchors_q,
+        "doc_link_density": q.doc_link_density_q,
         "doc_anchor_index": q.doc_anchor_index_q,
         "doc_source_graph": q.doc_source_graph_q,
         "doc_source_cut": q.doc_source_cut_q,
@@ -2137,6 +2138,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_DURL.format(c='doc_id')} AS src_url,
                    {_DURL.format(c='tgt')} AS dst_url
             FROM fil ORDER BY src_url, dst_url
+        """,
+        "doc_link_density": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            fil AS (SELECT doc_id, tgt FROM targets WHERE tgt != doc_id),
+            lc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_links
+                   FROM fil GROUP BY doc_id),
+            anchors AS (
+                SELECT doc_id,
+                       string_agg('d' || CAST(tgt AS VARCHAR), ' '
+                                  ORDER BY ord, tgt) AS atext
+                FROM (SELECT doc_id, ord, tgt FROM targets
+                      WHERE tgt != doc_id) GROUP BY doc_id),
+            tx AS (SELECT d.doc_id,
+                          trim(regexp_replace(coalesce(d.text, ''),
+                               '\\s+', ' ', 'g')
+                               || ' ' || coalesce(a.atext, '')) AS t
+                   FROM documents d
+                   LEFT JOIN anchors a ON a.doc_id = d.doc_id)
+            SELECT {_DURL.format(c='tx.doc_id')} AS url,
+                   CAST(coalesce(lc.n_links, 0) AS BIGINT) AS n_links,
+                   CAST(CASE WHEN tx.t = '' THEN 0
+                        ELSE len(regexp_split_to_array(tx.t, '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM tx LEFT JOIN lc ON lc.doc_id = tx.doc_id
+            ORDER BY url
         """,
         "doc_source_graph": f"""
             WITH targets AS ({_DOC_TARGETS}),

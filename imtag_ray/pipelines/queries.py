@@ -484,6 +484,85 @@ def doc_pages(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
 
 
+def doc_link_density_q(sf_dir: str) -> "ray.data.Dataset":
+    """Link-density page-quality signal from the FULL extraction
+    pipeline → (url, n_links, n_tokens): link occurrences per page (the
+    anchor stream — duplicates kept, self-links dropped) against the
+    extracted-text token count. The classic "mostly navigation" web
+    filter (pages where n_links/n_tokens is high are link farms /
+    boilerplate); exact integers, ratio left to the consumer.
+
+    Scale shape: pages are synthesized and extracted ONCE
+    (materialized); links collapse per-batch then through ONE bucketed
+    src count; texts tokenize batch-side; a url-keyed LEFT-OUTER hash
+    join fills linkless pages with 0."""
+    from ..stages.extract import anchor_extract_fn, text_extract_fn
+    from ..functions.textfn import token_count
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    pages = doc_pages(sf_dir).materialize()
+
+    def tok(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = pd.Series(t.column("text").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"url": t.column("url").cast(pa.string()),
+             "n_tokens": pa.array(token_count(texts))}
+        )
+
+    texts = compact_nonempty(
+        pages.select_columns(["url", "html"])
+        .map_batches(
+            text_extract_fn, batch_format="pyarrow",
+            batch_size=QCFG.extract_batch_size,
+        )
+        .map_batches(tok, batch_format="pyarrow")
+    )
+
+    def link_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lurl": pa.array([], pa.string()),
+                 "n_links": pa.array([], pa.int64())}
+            )
+        return (
+            pa.table({"lurl": t.column("src_url").cast(pa.string())})
+            .group_by(["lurl"])
+            .aggregate([("lurl", "count")])
+            .rename_columns(["lurl", "n_links"])
+        )
+
+    links = compact_nonempty(
+        bucketed_sum_aggregate(
+            pages.select_columns(["url", "html"])
+            .map_batches(
+                anchor_extract_fn, batch_format="pyarrow",
+                batch_size=QCFG.extract_batch_size,
+            )
+            .map_batches(link_partial, batch_format="pyarrow"),
+            key_cols=["lurl"], sum_cols=["n_links"],
+        )
+    )
+    joined = texts.join(
+        links, join_type="left_outer",
+        num_partitions=QCFG.num_partitions,
+        on=("url",), right_on=("lurl",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"url": t.column("url").cast(pa.string()),
+             "n_links": pc.fill_null(
+                 t.column("n_links").cast(pa.int64()), 0),
+             "n_tokens": t.column("n_tokens").cast(pa.int64())}
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow").sort("url")
+
+
 def doc_anchors_q(sf_dir: str) -> "ray.data.Dataset":
     """Anchor-text edge table from the FULL extraction pipeline:
     (src_url, dst_url, anchor) — one row per <a> occurrence (duplicates
