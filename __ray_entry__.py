@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_percolation": q.geo_percolation_q,
         "geo_attack": q.geo_attack_q,
         "doc_hits8": q.doc_hits8_q,
+        "doc_graphlets": q.doc_graphlets_q,
         "doc_salsa": q.doc_salsa_q,
         "doc_salsa_hubs": q.doc_salsa_hubs_q,
         "doc_scc": q.doc_scc_q,
@@ -2163,6 +2164,29 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS n_tokens
             FROM tx LEFT JOIN lc ON lc.doc_id = tx.doc_id
             ORDER BY url
+        """,
+        "doc_graphlets": f"""
+            WITH targets AS ({_DOC_TARGETS}),
+            e AS (SELECT DISTINCT doc_id AS s, tgt AS d
+                  FROM targets WHERE tgt != doc_id),
+            ue AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                   FROM e),
+            deg AS (SELECT v, count(*) AS dg FROM
+                      (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue)
+                    GROUP BY v),
+            wt AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS w
+                   FROM deg),
+            tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ue ab
+                   JOIN ue ac ON ac.a = ab.a AND ac.b > ab.b
+                   JOIN ue bc ON bc.a = ab.b AND bc.b = ac.b),
+            kt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ue ab
+                   JOIN ue ac ON ac.a = ab.a AND ac.b > ab.b
+                   JOIN ue ad ON ad.a = ab.a AND ad.b > ac.b
+                   JOIN ue bc ON bc.a = ab.b AND bc.b = ac.b
+                   JOIN ue bd ON bd.a = ab.b AND bd.b = ad.b
+                   JOIN ue cd ON cd.a = ac.b AND cd.b = ad.b)
+            SELECT wt.w AS n_wedges, tt.t AS n_triangles, kt.k AS n_k4
+            FROM wt, tt, kt
         """,
         "doc_source_graph": f"""
             WITH targets AS ({_DOC_TARGETS}),

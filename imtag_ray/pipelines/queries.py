@@ -1023,6 +1023,107 @@ def doc_walks4_q(sf_dir: str) -> "ray.data.Dataset":
     return out.sort(["start_url", "step", "url"])
 
 
+def doc_graphlets_q(sf_dir: str) -> pa.Table:
+    """Graphlet census of the undirected simple doc link graph →
+    one row (n_wedges, n_triangles, n_k4): open 2-paths, triangles and
+    4-cliques — the motif signature vector graph-mining compares
+    networks by (copart_squares adds the 4-cycle).
+
+    Scale shape: wedges are Σ d(d−1)/2 over the SIMPLE degrees (one
+    bucketed endpoint count over the canonical oriented edge table +
+    scalar partials); triangles reuse the gated orientation kernel; K4
+    is enumerated Dataset-natively by the standard oriented-DAG join
+    chain — tri(a,b,c) lists from apex wedges semi-joined on the
+    closing edge, then tri⋈tri on the shared first edge (a,b) closed by
+    the (c,d) edge, so each K4 counts exactly once. Join volume is
+    Σ deg⁺(u)² (the same wedge bound every distributed triangle
+    enumeration pays); skewed hubs are capped by the (degree, vid)
+    orientation exactly as in triangle counting."""
+    from ray.data.aggregate import Sum
+
+    from .triangles import _oriented_edges, triangle_counts
+    from ..util import bucketed_sum_aggregate, sparse_sum_reduce
+
+    g = doc_graph(sf_dir)
+    oe = _oriented_edges(g, QCFG)  # (u, v) canonical distinct, materialized
+
+    # simple degrees → wedges, via bucketed endpoint count + scalar partials
+    def ends(t: pa.Table) -> pa.Table:
+        keys = np.concatenate([col_np(t, "u"), col_np(t, "v")])
+        kk, s = sparse_sum_reduce(keys, np.ones(len(keys), np.int64))
+        return table_from_arrays(vid=kk, c=s)
+
+    degs = bucketed_sum_aggregate(
+        oe.map_batches(ends, batch_format="pyarrow"),
+        key_cols=["vid"], sum_cols=["c"],
+    )
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"w": pa.array([], pa.int64())})
+        d = col_np(t, "c")
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())])})
+
+    n_wedges = int(
+        degs.map_batches(wedge_partial, batch_format="pyarrow")
+        .aggregate(Sum("w", alias_name="s"))["s"] or 0
+    )
+    tri_sum = int(
+        triangle_counts(g, QCFG).aggregate(Sum("triangles", alias_name="s"))["s"]
+        or 0
+    )
+    n_tri = tri_sum // 3
+
+    # K4: tri list via apex-wedge join + closing-edge semi-join,
+    # then tri ⋈ tri on (a, b) closed by the (c, d) oriented edge
+    from ..util import compact_nonempty
+
+    oe_c = compact_nonempty(oe)
+    n_k4 = 0
+    if oe_c is not None:
+        P = QCFG.num_partitions
+        wedges = compact_nonempty(
+            oe_c.join(
+                oe_c.rename_columns({"u": "u2", "v": "w"}),
+                join_type="inner", num_partitions=P,
+                on=("u",), right_on=("u2",),
+            ).filter(expr="v != w")
+        )
+        tri = None
+        if wedges is not None:
+            tri = compact_nonempty(
+                wedges.join(
+                    oe_c.rename_columns({"u": "x", "v": "y"}),
+                    join_type="inner", num_partitions=P,
+                    on=("v", "w"), right_on=("x", "y"),
+                ).select_columns(["u", "v", "w"]).materialize()
+            )
+        if tri is not None:
+            tpairs = compact_nonempty(
+                tri.join(
+                    tri.rename_columns(
+                        {"u": "u2", "v": "v2", "w": "w2"}
+                    ),
+                    join_type="inner", num_partitions=P,
+                    on=("u", "v"), right_on=("u2", "v2"),
+                ).filter(expr="w != w2").materialize()
+            )
+            if tpairs is not None:
+                closed = compact_nonempty(
+                    tpairs.join(
+                        oe_c.rename_columns({"u": "x", "v": "y"}),
+                        join_type="inner", num_partitions=P,
+                        on=("w", "w2"), right_on=("x", "y"),
+                    )
+                )
+                n_k4 = closed.count() if closed is not None else 0
+    return pa.table(
+        {"n_wedges": pa.array([n_wedges], pa.int64()),
+         "n_triangles": pa.array([n_tri], pa.int64()),
+         "n_k4": pa.array([n_k4], pa.int64())}
+    )
+
+
 def doc_hits8_q(sf_dir: str) -> "ray.data.Dataset":
     """HITS hub/authority, fixed 8 iterations with a single final sum
     normalization (a per-iteration normalization is a scalar factor, so
