@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_cc": d.embed_knn_cc_q,
         "embed_outlier3": d.embed_outlier3_q,
         # --- sketches --------------------------------------------------------
+        "events_audio_features": d.events_audio_features_q,
         "events_hll_users": sk.events_hll_users_q,
         "events_hll_hourly": sk.events_hll_hourly_q,
         "events_cms_types": sk.events_cms_types_q,
@@ -3512,6 +3513,17 @@ def oracle_sql() -> dict[str, str]:
         # HLL distinct: exact replay — md5 hash, p=12 buckets, integer
         # register sum in HUGEINT (so float summation order cannot
         # diverge), same linear-counting branch
+        "events_audio_features": r"""
+            WITH s AS (
+              SELECT event_id,
+                     ((event_id * 31 + i * 7919) % 65536) - 32768 AS v
+              FROM events, unnest(range(0, 64)) AS r(i))
+            SELECT event_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(v)) AS BIGINT) AS max_amp
+            FROM s GROUP BY event_id ORDER BY event_id
+        """,
         "events_hll_users": """
             WITH h AS (
               SELECT CAST('0x' || substring(

@@ -1867,6 +1867,48 @@ def doc_budget10k_q(sf_dir: str, budget: int = 10_000) -> "ray.data.Dataset":
     return scanned.map_batches(cut, batch_format="pyarrow").sort("doc_id")
 
 
+def events_audio_features_q(sf_dir: str, n: int = 64) -> "ray.data.Dataset":
+    """Multimodal plumbing, ORACLE-GRADED end to end → (event_id,
+    n_samples, sum_abs, max_amp): a deterministic 64-sample PCM16
+    waveform is synthesized per event row (sample_i = ((event_id·31 +
+    i·7919) mod 65536) − 32768), encoded through the engine's REAL RIFF
+    WAV writer, decoded back through the REAL WAV parser (header walk,
+    chunk alignment, int16→float32), and reduced to exact integer
+    amplitude features. The SQL oracle replays the generator formula
+    directly, so any bit lost in the encode→decode round trip fails the
+    hash compare — this is the driver-graded proof of the multimodal
+    codec path (multimodal/media.py), which otherwise only pytest sees.
+
+    Scale shape: per-payload codec work inside map_batches (the
+    AudioFeatures actor-pool shape — binary payloads never leave the
+    worker); only the 4-integer feature rows shuffle for the sort."""
+    from ..multimodal.media import decode_wav, encode_wav
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    idx = np.arange(n, dtype=np.int64)
+
+    def feats(t: pa.Table) -> pa.Table:
+        ids = col_np(t, "event_id").astype(np.int64)
+        n_s = np.empty(len(ids), np.int64)
+        s_a = np.empty(len(ids), np.int64)
+        m_a = np.empty(len(ids), np.int64)
+        for r, eid in enumerate(ids):
+            v = ((eid * 31 + idx * 7919) % 65536) - 32768
+            wav = encode_wav(8000, (v / 32768.0).astype(np.float32))
+            _, x = decode_wav(wav)
+            vi = np.rint(np.abs(x[:, 0].astype(np.float64)) * 32768.0)
+            vi = vi.astype(np.int64)
+            n_s[r], s_a[r], m_a[r] = len(vi), vi.sum(), vi.max()
+        return pa.table(
+            {"event_id": pa.array(ids),
+             "n_samples": pa.array(n_s),
+             "sum_abs": pa.array(s_a),
+             "max_amp": pa.array(m_a)}
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow").sort("event_id")
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),
