@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_outlier3": d.embed_outlier3_q,
         # --- sketches --------------------------------------------------------
         "events_audio_features": d.events_audio_features_q,
+        "doc_image_features": d.doc_image_features_q,
         "events_hll_users": sk.events_hll_users_q,
         "events_hll_hourly": sk.events_hll_hourly_q,
         "events_cms_types": sk.events_cms_types_q,
@@ -3513,6 +3514,32 @@ def oracle_sql() -> dict[str, str]:
         # HLL distinct: exact replay — md5 hash, p=12 buckets, integer
         # register sum in HUGEINT (so float summation order cannot
         # diverge), same linear-counting branch
+        "doc_image_features": r"""
+            WITH px AS (
+              SELECT doc_id, rr.r AS r, cx.c AS c,
+                     (doc_id * 7 + rr.r * 31 + cx.c * 13) % 256 AS v
+              FROM documents,
+                   unnest(range(0, 16)) AS rr(r),
+                   unnest(range(0, 16)) AS cx(c)),
+            base AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_pix,
+                     CAST(sum(v) AS BIGINT) AS sum_pix,
+                     CAST(max(v) AS BIGINT) AS max_pix
+              FROM px GROUP BY doc_id),
+            ed AS (
+              SELECT a.doc_id,
+                     CAST(sum(CASE WHEN abs(a.v - b.v) >= 128
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_edges_pix
+              FROM px a JOIN px b
+                ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+              GROUP BY a.doc_id)
+            SELECT base.doc_id, n_pix, sum_pix, max_pix,
+                   CAST(coalesce(ed.n_edges_pix, 0) AS BIGINT)
+                       AS n_edges_pix
+            FROM base LEFT JOIN ed ON ed.doc_id = base.doc_id
+            ORDER BY base.doc_id
+        """,
         "events_audio_features": r"""
             WITH s AS (
               SELECT event_id,
