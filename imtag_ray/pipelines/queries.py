@@ -1023,6 +1023,52 @@ def doc_walks4_q(sf_dir: str) -> "ray.data.Dataset":
     return out.sort(["start_url", "step", "url"])
 
 
+def lattice_components48_q(sf_dir: str, side: int = 48) -> "ray.data.Dataset":
+    """The reference's CORE pixel-lattice CCL, ORACLE-GRADED → (size,
+    n_components): a deterministic 48×48 binary mask (pix(r,c) fg iff
+    md5('px:' + (r·48 + c + N)) u32-prefix mod 100 < 45, N = document
+    count, so the fixture is table-derived and percolation-noisy — 193
+    components across 27 distinct sizes at sf0.01, not a stripe
+    artifact) runs the engine's vectorized mask→lattice-graph→
+    hash-min CC pipeline (pipelines/lattice.py:mask_graph — the
+    scanline-run semantics of src/SegmentImageImpl_Scanline.cpp
+    re-expressed over Arrow) under CROSS connectivity, reduced to the
+    component-size histogram. The SQL oracle rebuilds the same lattice
+    and closes it with a recursive CTE — the driver-graded proof of the
+    imtag CCL semantics that otherwise only the blobs-conformance
+    pytest sees.
+
+    Scale shape: identical machinery to every other CC query (bucketed
+    exchanges, no driver V-state); the mask here is small because the
+    ORACLE is a transitive closure, not because the engine needs it —
+    the same call stack handles the 3840×2160 reference input
+    (test_blobs_conformance)."""
+    from ray.data.aggregate import Count
+
+    from .cc import component_sizes
+    from .lattice import lattice_cc
+
+    import hashlib
+
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    fg = np.array(
+        [
+            int(hashlib.md5(f"px:{i + n_docs}".encode()).hexdigest()[:8], 16)
+            % 100 < 45
+            for i in range(side * side)
+        ],
+        dtype=bool,
+    )
+    mask = fg.reshape(side, side)
+    cc = lattice_cc(mask.astype(np.uint8), "cross", QCFG)
+    return (
+        component_sizes(cc.select_columns(["component_id"]))
+        .groupby("size")  # |distinct sizes| groups — intrinsically tiny
+        .aggregate(Count(alias_name="n_components"))
+        .sort("size")
+    )
+
+
 def doc_graphlets_q(sf_dir: str) -> pa.Table:
     """Graphlet census of the undirected simple doc link graph →
     one row (n_wedges, n_triangles, n_k4): open 2-paths, triangles and
