@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_percolation": q.geo_percolation_q,
         "geo_attack": q.geo_attack_q,
         "lattice_components48": q.lattice_components48_q,
+        "lattice_holes48": q.lattice_holes48_q,
         "doc_hits8": q.doc_hits8_q,
         "doc_graphlets": q.doc_graphlets_q,
         "doc_salsa": q.doc_salsa_q,
@@ -2191,6 +2192,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sz AS BIGINT) AS size,
                    CAST(count(*) AS BIGINT) AS n_components
             FROM comp GROUP BY sz ORDER BY size
+        """,
+        "lattice_holes48": r"""
+            WITH RECURSIVE n AS (SELECT count(*) AS nn FROM documents),
+            allp AS (SELECT rr.r AS r, cx.c AS c,
+                            CAST('0x' || substring(md5('px:' ||
+                                CAST(rr.r * 48 + cx.c + n.nn AS VARCHAR)),
+                                1, 8) AS UBIGINT) % 100 < 45 AS fg
+                     FROM unnest(range(0, 48)) AS rr(r),
+                          unnest(range(0, 48)) AS cx(c), n),
+            px AS (SELECT r, c FROM allp WHERE fg),
+            bg AS (SELECT r, c FROM allp WHERE NOT fg),
+            le AS (SELECT a.r * 48 + a.c AS s, b.r * 48 + b.c AS d
+                   FROM px a JOIN px b
+                     ON (b.r = a.r AND b.c = a.c + 1)
+                     OR (b.r = a.r + 1 AND b.c = a.c)),
+            lund AS (SELECT s, d FROM le UNION SELECT d, s FROM le),
+            lverts AS (SELECT r * 48 + c AS v FROM px),
+            lreach(v, l) AS (
+                SELECT v, v FROM lverts
+                UNION
+                SELECT u.d, rc.l FROM lreach rc JOIN lund u ON u.s = rc.v),
+            lminl AS (SELECT v, min(l) AS ml FROM lreach GROUP BY v),
+            be AS (SELECT a.r * 48 + a.c AS s, b.r * 48 + b.c AS d
+                   FROM bg a JOIN bg b
+                     ON (b.r = a.r AND b.c = a.c + 1)
+                     OR (b.r = a.r + 1 AND b.c = a.c)),
+            bund AS (SELECT s, d FROM be UNION SELECT d, s FROM be),
+            bverts AS (SELECT r * 48 + c AS v FROM bg),
+            breach(v, l) AS (
+                SELECT v, v FROM bverts
+                UNION
+                SELECT u.d, rc.l FROM breach rc JOIN bund u ON u.s = rc.v),
+            bminl AS (SELECT v, min(l) AS ml FROM breach GROUP BY v),
+            contact AS (
+                SELECT DISTINCT lm.ml AS lml, bm.ml AS bml
+                FROM px a JOIN bg b
+                  ON (b.r = a.r AND abs(b.c - a.c) = 1)
+                  OR (b.c = a.c AND abs(b.r - a.r) = 1)
+                JOIN lminl lm ON lm.v = a.r * 48 + a.c
+                JOIN bminl bm ON bm.v = b.r * 48 + b.c)
+            SELECT CAST((SELECT count(DISTINCT ml) FROM lminl) AS BIGINT)
+                       AS n_land,
+                   CAST((SELECT count(DISTINCT ml) FROM bminl) AS BIGINT)
+                       AS n_holes,
+                   CAST((SELECT count(*) FROM contact) AS BIGINT)
+                       AS n_adj_pairs
         """,
         "doc_graphlets": f"""
             WITH targets AS ({_DOC_TARGETS}),

@@ -1069,6 +1069,37 @@ def lattice_components48_q(sf_dir: str, side: int = 48) -> "ray.data.Dataset":
     )
 
 
+def lattice_holes48_q(sf_dir: str, side: int = 48) -> pa.Table:
+    """The reference's hole-adjacency operator, ORACLE-GRADED → one row
+    (n_land, n_holes, n_adj_pairs): the lattice_components48 mask runs
+    land CCL, background ("hole", imtag's invert-includes-borders
+    semantics, src/morphology.cpp:101-142) CCL, and the full 4-neighbor
+    land×hole bipartite adjacency (pipelines/lattice.py:
+    hole_adjacencies_full — the intended-semantics generalization of
+    src/morphology.cpp:264-312); the SQL oracle rebuilds both closures
+    with recursive CTEs and counts distinct adjacent component pairs.
+    Driver-graded proof of the invert + bipartite-join path."""
+    import hashlib
+
+    from .lattice import hole_adjacencies_full
+
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    fg = np.array(
+        [
+            int(hashlib.md5(f"px:{i + n_docs}".encode()).hexdigest()[:8], 16)
+            % 100 < 45
+            for i in range(side * side)
+        ],
+        dtype=bool,
+    )
+    adj = hole_adjacencies_full(fg.reshape(side, side), QCFG)
+    return pa.table(
+        {"n_land": pa.array([adj.shape[0]], pa.int64()),
+         "n_holes": pa.array([adj.shape[1]], pa.int64()),
+         "n_adj_pairs": pa.array([int(adj.sum())], pa.int64())}
+    )
+
+
 def doc_graphlets_q(sf_dir: str) -> pa.Table:
     """Graphlet census of the undirected simple doc link graph →
     one row (n_wedges, n_triangles, n_k4): open 2-paths, triangles and
