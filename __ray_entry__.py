@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_attack": q.geo_attack_q,
         "lattice_components48": q.lattice_components48_q,
         "lattice_holes48": q.lattice_holes48_q,
+        "lattice_components48_eight": q.lattice_components48_eight_q,
         "doc_hits8": q.doc_hits8_q,
         "doc_graphlets": q.doc_graphlets_q,
         "doc_salsa": q.doc_salsa_q,
@@ -2181,6 +2182,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM px a JOIN px b
                     ON (b.r = a.r AND b.c = a.c + 1)
                     OR (b.r = a.r + 1 AND b.c = a.c)),
+            und AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+            verts AS (SELECT r * 48 + c AS v FROM px),
+            reach(v, l) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT u.d, rc.l FROM reach rc JOIN und u ON u.s = rc.v),
+            minl AS (SELECT v, min(l) AS ml FROM reach GROUP BY v),
+            comp AS (SELECT ml, count(*) AS sz FROM minl GROUP BY ml)
+            SELECT CAST(sz AS BIGINT) AS size,
+                   CAST(count(*) AS BIGINT) AS n_components
+            FROM comp GROUP BY sz ORDER BY size
+        """,
+        "lattice_components48_eight": r"""
+            WITH RECURSIVE n AS (SELECT count(*) AS nn FROM documents),
+            px AS (SELECT rr.r AS r, cx.c AS c
+                   FROM unnest(range(0, 48)) AS rr(r),
+                        unnest(range(0, 48)) AS cx(c), n
+                   WHERE CAST('0x' || substring(md5('px:' ||
+                         CAST(rr.r * 48 + cx.c + n.nn AS VARCHAR)),
+                         1, 8) AS UBIGINT) % 100 < 45),
+            e AS (SELECT a.r * 48 + a.c AS s, b.r * 48 + b.c AS d
+                  FROM px a JOIN px b
+                    ON (b.r = a.r AND b.c = a.c + 1)
+                    OR (b.r = a.r + 1 AND b.c = a.c)
+                    OR (b.r = a.r + 1 AND b.c = a.c + 1)
+                    OR (b.r = a.r + 1 AND b.c = a.c - 1)),
             und AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
             verts AS (SELECT r * 48 + c AS v FROM px),
             reach(v, l) AS (

@@ -1069,6 +1069,36 @@ def lattice_components48_q(sf_dir: str, side: int = 48) -> "ray.data.Dataset":
     )
 
 
+def lattice_components48_eight_q(sf_dir: str, side: int = 48):
+    """lattice_components48 under EIGHT_WAY connectivity — grades the
+    reference's second overlap predicate (src/SegmentImageImpl.cpp:
+    60-62: diagonal runs merge) against a closure oracle with the two
+    diagonal adjacency terms added."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from .cc import component_sizes
+    from .lattice import lattice_cc
+
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    fg = np.array(
+        [
+            int(hashlib.md5(f"px:{i + n_docs}".encode()).hexdigest()[:8], 16)
+            % 100 < 45
+            for i in range(side * side)
+        ],
+        dtype=bool,
+    )
+    cc = lattice_cc(fg.reshape(side, side).astype(np.uint8), "eight", QCFG)
+    return (
+        component_sizes(cc.select_columns(["component_id"]))
+        .groupby("size")
+        .aggregate(Count(alias_name="n_components"))
+        .sort("size")
+    )
+
+
 def lattice_holes48_q(sf_dir: str, side: int = 48) -> pa.Table:
     """The reference's hole-adjacency operator, ORACLE-GRADED → one row
     (n_land, n_holes, n_adj_pairs): the lattice_components48 mask runs
