@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_sssp16": q.copart_sssp16_q,
         "copart_kcore3": q.copart_kcore3_q,
         "copart_densest4": q.copart_densest4_q,
+        "copart_densest1_members": q.copart_densest1_members_q,
         "copart_shells6": q.copart_shells6_q,
         "copart_lpa4": q.copart_lpa4_q,
         "copart_jdm": q.copart_jdm_q,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": d.doc_winnow_q,
         "bpe_merge_pairs": d.bpe_merge_pairs_q,
         "winnow_pairs": d.winnow_pairs_q,
+        "dedup_decontam": d.dedup_decontam_q,
         "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
@@ -196,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": r.q3_shipping,
         "q6_forecast": r.q6_forecast,
         "q18_large_orders": r.q18_large_orders,
+        "q4_late": r.q4_late,
+        "q13_custdist": r.q13_custdist,
+        "orders_stats": r.orders_stats,
+        "events_burst": r.events_burst,
         "events_hourly_topk": r.events_hourly_topk,
         "events_rfm": r.events_rfm,
         "top_customers": r.top_customers_by_revenue,
@@ -1020,6 +1026,21 @@ def _recall_sql(m: int = 4, sub: int = 16, k: int = 4,
                AND x.neighbor_id = a.neighbor_id
               GROUP BY a.query_id) h ON h.query_id = q0.qid
             ORDER BY query_id"""
+
+
+def _densest_members_sql(rounds: int = 2) -> str:
+    """Oracle for densest_members: the v{rounds} survivor set of the
+    _densest_sql peel chain with its internal degree in e{rounds}."""
+    body = _densest_sql(max(rounds + 1, 2))
+    head = body.rsplit("SELECT * FROM (", 1)[0]
+    return head + f"""
+            , dfin AS (SELECT v, count(*) AS cd FROM
+                (SELECT pa_ AS v FROM e{rounds}
+                 UNION ALL SELECT pb_ FROM e{rounds}) GROUP BY v)
+            SELECT {_PURL.format(c='vv.v')} AS url,
+                   CAST(coalesce(dfin.cd, 0) AS BIGINT) AS core_degree
+            FROM v{rounds} vv LEFT JOIN dfin ON dfin.v = vv.v
+            ORDER BY url"""
 
 
 def _densest_sql(rounds: int = 4) -> str:
@@ -2651,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "copart_kcore3": _kcore_unrolled_sql(3, 8),
         "copart_densest4": _densest_sql(4),
+        "copart_densest1_members": _densest_members_sql(1),
         "geo_attack": _geo_attack_sql(),
         "copart_shells6": _kshells_sql(6, 8),
         "copart_lpa4": _lpa_unrolled_sql(4),
@@ -3216,6 +3238,46 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
             ORDER BY n_name
+        """,
+        "q4_late": r"""
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "events_burst": r"""
+            WITH pm AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_minutes,
+                   CAST(max(c) AS BIGINT) AS max_per_min
+            FROM pm GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_stats": r"""
+            SELECT * FROM (SELECT 'o_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders
+            UNION ALL SELECT 'o_custkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders
+            UNION ALL SELECT 'o_orderstatus' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders
+            UNION ALL SELECT 'o_totalprice' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders
+            UNION ALL SELECT 'o_orderdate' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders
+            UNION ALL SELECT 'o_orderpriority' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders)
+            ORDER BY column_name
+        """,
+        "q13_custdist": r"""
+            WITH co AS (
+              SELECT c.c_custkey, count(o.o_custkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM co GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "q18_large_orders": """
             WITH big AS (
@@ -3824,6 +3886,31 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
                     FROM pairs GROUP BY pair)
             SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20
+        """,
+        "dedup_decontam": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS a
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            g AS (
+              SELECT doc_id, i,
+                     substring(md5(list_element(a, i) || ' ' ||
+                                   list_element(a, i+1) || ' ' ||
+                                   list_element(a, i+2)), 1, 16) AS h
+              FROM tk, unnest(range(1, len(a) - 1)) AS r(i)),
+            win AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS fp
+              FROM g),
+            fps AS (SELECT DISTINCT doc_id, fp FROM win),
+            pairs AS (
+              SELECT DISTINCT c.doc_id, b.doc_id AS bid
+              FROM fps c JOIN fps b ON b.fp = c.fp
+              WHERE b.doc_id % 25 = 0 AND c.doc_id % 25 != 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits
+            FROM pairs GROUP BY doc_id ORDER BY doc_id
         """,
         "winnow_pairs": r"""
             WITH tk AS (

@@ -1956,6 +1956,76 @@ def doc_image_features_q(sf_dir: str, side: int = 16) -> "ray.data.Dataset":
     return ds.map_batches(feats, batch_format="pyarrow").sort("doc_id")
 
 
+def dedup_decontam_q(sf_dir: str, every: int = 25) -> pa.Table:
+    """Benchmark decontamination report → (doc_id, n_bench_hits): every
+    doc_id ≡ 0 (mod 25) plays the held-out benchmark set; a training
+    candidate is contaminated when it shares ≥ 1 winnowing fingerprint
+    with a benchmark doc, and n_bench_hits counts HOW MANY distinct
+    benchmark docs it collides with. The eval-overlap check an LLM data
+    pipeline must run before training (passage-level, so quoting a
+    benchmark answer inside an otherwise-novel page still flags —
+    exact-hash decontamination would miss it).
+
+    Scale shape: the fingerprint table is computed once; benchmark fps
+    are a FILTER of it (at true scale the benchmark side is tiny and
+    broadcastable — here it rides the same fp-keyed hash join);
+    distinct (candidate, benchmark) pairs and the per-candidate count
+    are bucketed aggregations."""
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_bench_hits": pa.array([], pa.int64())}
+    )
+    fps = compact_nonempty(doc_winnow_q(sf_dir))
+    if fps is None:
+        return empty
+
+    def split(t: pa.Table, bench: bool) -> pa.Table:
+        ids = col_np(t, "doc_id")
+        keep = (ids % every == 0) if bench else (ids % every != 0)
+        return t.filter(pa.array(keep))
+
+    bench = compact_nonempty(
+        fps.map_batches(
+            lambda t: split(t, True), batch_format="pyarrow"
+        ).rename_columns({"doc_id": "bid", "fp": "bfp"})
+    )
+    cand = compact_nonempty(
+        fps.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    )
+    if bench is None or cand is None:
+        return empty
+    joined = cand.join(
+        bench, join_type="inner", num_partitions=8,
+        on=("fp",), right_on=("bfp",),
+    )
+    pairs = compact_nonempty(
+        bucketed_sum_aggregate(  # distinct (doc, bench-doc) pairs
+            joined.select_columns(["doc_id", "bid"]),
+            key_cols=["doc_id", "bid"], sum_cols=[],
+        )
+    )
+    if pairs is None:
+        return empty
+    hits = compact_nonempty(
+        bucketed_sum_aggregate(
+            pairs.map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t["doc_id"],
+                     "n_bench_hits": pa.array(
+                         np.ones(t.num_rows, np.int64))}
+                ),
+                batch_format="pyarrow",
+            ),
+            key_cols=["doc_id"], sum_cols=["n_bench_hits"],
+        )
+    )
+    if hits is None:
+        return empty
+    return hits.sort("doc_id")
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),

@@ -1339,6 +1339,15 @@ def geo_attack_q(sf_dir: str) -> pa.Table:
     )
 
 
+def copart_densest1_members_q(sf_dir: str) -> "ray.data.Dataset":
+    """Dense-core membership after 1 Bahmani peel over the co-purchase
+    graph → (url, core_degree): the vertex set whose density the
+    copart_densest4 census tracks, with internal degrees."""
+    from .traversal import densest_members
+
+    return densest_members(copart_graph(sf_dir), QCFG, rounds=1)
+
+
 def copart_densest4_q(sf_dir: str) -> pa.Table:
     """Densest-subgraph greedy-peel census (Bahmani et al. 2012,
     ε = 1/2 integer predicate) over the co-purchase graph → per-round

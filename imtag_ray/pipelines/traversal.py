@@ -1316,6 +1316,108 @@ def sssp_distances(
     return graph.vertices.map_batches(attach, batch_format="pyarrow")
 
 
+def densest_members(
+    graph: Graph, cfg: EngineConfig = DEFAULT_CONFIG, rounds: int = 2
+) -> "ray.data.Dataset":
+    """The surviving dense-core vertex set after ``rounds`` Bahmani
+    ε = 1/2 peels (densest_census's trajectory) → (url, core_degree):
+    members of the round-`rounds` subgraph with their internal degree.
+    Same Dataset-state peel; the final set joins vertices for urls."""
+    P = cfg.num_partitions
+    edges = compact_nonempty(graph.edges.select_columns(["src", "dst"]))
+    V_t = graph.num_vertices
+    E_t = graph.num_edges if edges is not None else 0
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "core_degree": pa.array([], pa.int64())}
+    )
+
+    def edge_degrees(eds) -> "ray.data.Dataset":
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"vid": pa.array([], pa.int64()),
+                     "c": pa.array([], pa.int64())}
+                )
+            keys = np.concatenate([col_np(t, "src"), col_np(t, "dst")])
+            kk, s = sparse_sum_reduce(keys, np.ones(len(keys), np.int64))
+            return table_from_arrays(vid=kk, c=s)
+
+        return bucketed_sum_aggregate(
+            eds.map_batches(partial, batch_format="pyarrow"),
+            key_cols=["vid"], sum_cols=["c"],
+        )
+
+    alive = None
+    for _ in range(rounds):
+        if V_t == 0 or edges is None:
+            return ray.data.from_arrow(empty)
+        nv, ne = V_t, E_t
+
+        def survives(t: pa.Table, _nv=nv, _ne=ne) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"vid": pa.array([], pa.int64())})
+            keep = col_np(t, "c") * _nv > 3 * _ne
+            return pa.table({"vid": t.column("vid").filter(pa.array(keep))})
+
+        alive = compact_nonempty(
+            edge_degrees(edges).map_batches(survives, batch_format="pyarrow")
+        )
+        if alive is None:
+            return ray.data.from_arrow(empty)
+        V_t = alive.count()
+        edges = compact_nonempty(
+            edges.join(
+                alive, join_type="inner", num_partitions=P,
+                on=("src",), right_on=("vid",),
+            ).select_columns(["src", "dst"])
+        )
+        if edges is not None:
+            edges = compact_nonempty(
+                edges.join(
+                    alive, join_type="inner", num_partitions=P,
+                    on=("dst",), right_on=("vid",),
+                ).select_columns(["src", "dst"])
+            )
+        E_t = edges.count() if edges is not None else 0
+    if alive is None:  # rounds == 0
+        return ray.data.from_arrow(empty)
+    deg = (
+        compact_nonempty(edge_degrees(edges)) if edges is not None else None
+    )
+    withdeg = alive
+    if deg is not None:
+        withdeg = alive.join(
+            deg.rename_columns({"vid": "dv"}),
+            join_type="left_outer", num_partitions=P,
+            on=("vid",), right_on=("dv",),
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cd = (
+            pc.fill_null(t.column("c").cast(pa.int64()), 0)
+            if "c" in t.schema.names
+            else pa.array(np.zeros(t.num_rows, np.int64))
+        )
+        return pa.table({"vid": t["vid"], "core_degree": cd})
+
+    labeled = compact_nonempty(
+        withdeg.map_batches(finish, batch_format="pyarrow")
+    )
+    if labeled is None:
+        return ray.data.from_arrow(empty)
+    return (
+        compact_nonempty(graph.vertices).join(
+            labeled, join_type="inner", num_partitions=P,
+            on=("vid",), right_on=("vid",),
+        )
+        .select_columns(["url", "core_degree"])
+        .sort("url")
+    )
+
+
 def densest_census(
     graph: Graph, cfg: EngineConfig = DEFAULT_CONFIG, rounds: int = 4
 ) -> pa.Table:

@@ -258,6 +258,255 @@ def q3_shipping(
     )
 
 
+def q4_late(sf_dir: str, late_days: int = 90) -> "ray.data.Dataset":
+    """TPC-H-Q4-style EXISTS semi-join census → (o_orderpriority,
+    n_late): orders with ANY lineitem shipping more than late_days
+    after the order date, counted per priority (the shipped
+    l_commitdate/l_receiptdate columns don't exist in this synth
+    schema; the late-shipment predicate keeps Q4's correlated-EXISTS
+    shape). EXISTS(shipdate > orderdate + Δ) ≡ max(shipdate) >
+    orderdate + Δ, so the semi-join is ONE bucketed per-order max +
+    one hash join + a 5-group count — no row-wise correlated probe.
+
+    Scale shape: lineitem collapses to one (orderkey, max_us) row per
+    order before the only join; the final groupby key space is the 5
+    priorities."""
+    from ray.data.aggregate import Count
+
+    from .util import bucketed_aggregate, compact_nonempty, table_from_arrays
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def ship_us(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return table_from_arrays(
+            ok=col_np(t, "l_orderkey").astype(np.int64), ship=ts
+        )
+
+    shipmax = compact_nonempty(
+        bucketed_aggregate(
+            li.map_batches(ship_us, batch_format="pyarrow"),
+            key_cols=["ok"], aggs=[("ship", "max", "shipmax")],
+        )
+    )
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def od(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {"o_orderkey": pa.array(
+                col_np(t, "o_orderkey").astype(np.int64)),
+             "odate": pa.array(ts),
+             "o_orderpriority": t.column("o_orderpriority").cast(
+                 pa.string())}
+        )
+
+    joined = compact_nonempty(
+        orders.map_batches(od, batch_format="pyarrow")
+    ).join(
+        shipmax, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("ok",),
+    )
+    delta = late_days * 86_400_000_000
+
+    def late(t: pa.Table, _d=delta) -> pa.Table:
+        keep = col_np(t, "shipmax") > col_np(t, "odate") + _d
+        return pa.table(
+            {"o_orderpriority": t.column("o_orderpriority").filter(
+                pa.array(keep))}
+        )
+
+    return (
+        joined.map_batches(late, batch_format="pyarrow")
+        .groupby("o_orderpriority")  # 5 groups
+        .aggregate(Count(alias_name="n_late"))
+        .sort("o_orderpriority")
+    )
+
+
+def q13_custdist(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q13-style customer order-count distribution → (c_count,
+    custdist): how many customers placed exactly k orders, INCLUDING
+    the zero-order customers (the famous LEFT-JOIN + double-aggregation
+    shape; the o_comment anti-filter doesn't exist in this schema).
+
+    Scale shape: orders collapse to one (custkey, n) row per customer
+    via the bucketed count; customers LEFT-OUTER join it (null → 0);
+    the distribution groupby key space is |distinct order counts| —
+    intrinsically tiny."""
+    from ray.data.aggregate import Count
+
+    from .util import bucketed_aggregate, compact_nonempty, table_from_arrays
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ok(t: pa.Table) -> pa.Table:
+        return table_from_arrays(ck=col_np(t, "o_custkey").astype(np.int64))
+
+    percust = compact_nonempty(
+        bucketed_aggregate(
+            orders.map_batches(ok, batch_format="pyarrow"),
+            key_cols=["ck"], aggs=[("ck", "count", "n")],
+        )
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    joined = compact_nonempty(cust).join(
+        percust, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("ck",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_count": pc.fill_null(t.column("n").cast(pa.int64()), 0)}
+        )
+
+    return (
+        joined.map_batches(fill, batch_format="pyarrow")
+        .groupby("c_count")  # |distinct counts| groups — tiny
+        .aggregate(Count(alias_name="custdist"))
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+def events_burst(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user burst profile → (user_id, n_minutes, max_per_min): how
+    many distinct active minutes a user has and the busiest minute's
+    event count — the rate-limit / bot-burst signal (a human browses
+    tens of events per minute; a scraper does hundreds). Exact
+    integers.
+
+    Scale shape: the classic two-level aggregation — per-batch
+    (user, minute) partial counts collapse batch-side, ONE bucketed
+    (user, minute) sum, then ONE bucketed per-user (count, max). No
+    per-user state on the driver."""
+    from .util import bucketed_aggregate, bucketed_sum_aggregate, compact_nonempty
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def minutes(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"user_id": col_np(t, "user_id").astype(np.int64),
+             "minute": ts // 60_000_000}
+        )
+        cnt = df.value_counts(sort=False).reset_index(name="c")
+        return pa.table(
+            {"user_id": pa.array(cnt["user_id"].to_numpy(np.int64)),
+             "minute": pa.array(cnt["minute"].to_numpy(np.int64)),
+             "c": pa.array(cnt["c"].to_numpy(np.int64))}
+        )
+
+    per_min = compact_nonempty(
+        bucketed_sum_aggregate(
+            ev.map_batches(minutes, batch_format="pyarrow"),
+            key_cols=["user_id", "minute"], sum_cols=["c"],
+        )
+    )
+    if per_min is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_minutes": pa.array([], pa.int64()),
+                 "max_per_min": pa.array([], pa.int64())}
+            )
+        )
+    return (
+        bucketed_aggregate(
+            per_min.select_columns(["user_id", "c"]),
+            key_cols=["user_id"],
+            aggs=[("c", "count", "n_minutes"), ("c", "max", "max_per_min")],
+        )
+        .sort("user_id")
+    )
+
+
+def orders_stats(sf_dir: str) -> pa.Table:
+    """ANALYZE-style catalog statistics for the orders table →
+    (column_name, n_rows, n_distinct, n_null): the per-column summary a
+    query optimizer collects before planning (selectivity estimation,
+    join ordering). Exact counts, not sketches — the HLL variant is the
+    same dataflow with registers (pipelines/sketch.py).
+
+    Scale shape: ONE pass emits per-batch per-column partials (batch
+    value hashes collapse batch-side); each column's distinct count is
+    a bucketed distinct (hash-bucket shuffle, never a driver set); the
+    result is |columns| rows."""
+    from .util import bucketed_sum_aggregate, compact_nonempty
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    ds = _read(sf_dir, "orders", columns=cols).materialize()
+    n_rows = ds.count()
+    out_rows = []
+    for c in cols:
+
+        def proj(t: pa.Table, _c=c) -> pa.Table:
+            arr = t.column(_c)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # normalize every type to a string key batch-side (exact
+            # distinct over the hashable projection; cast is injective
+            # for these column types)
+            return pa.table(
+                {"v": arr.cast(pa.string()),
+                 "isnull": pa.array(
+                     np.asarray(arr.is_null()).astype(np.int64))}
+            )
+
+        proj_ds = compact_nonempty(
+            ds.map_batches(proj, batch_format="pyarrow")
+        )
+        if proj_ds is None:
+            out_rows.append((c, 0, 0, 0))
+            continue
+        n_null = sum(
+            int(t["n"][0].as_py())
+            for t in proj_ds.map_batches(
+                lambda t: pa.table(
+                    {"n": pa.array([int(col_np(t, "isnull").sum())])}
+                ),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+            for t in [ray.get(t)]
+            if t.num_rows
+        )
+        nonnull = compact_nonempty(
+            proj_ds.map_batches(
+                lambda t: t.filter(
+                    pa.array(col_np(t, "isnull") == 0)
+                ).select(["v"]),
+                batch_format="pyarrow",
+            )
+        )
+        n_distinct = 0
+        if nonnull is not None:
+            dist = compact_nonempty(
+                bucketed_sum_aggregate(nonnull, key_cols=["v"], sum_cols=[])
+            )
+            n_distinct = dist.count() if dist is not None else 0
+        out_rows.append((c, n_rows, n_distinct, n_null))
+    return pa.table(
+        {"column_name": pa.array([r[0] for r in out_rows], pa.string()),
+         "n_rows": pa.array([r[1] for r in out_rows], pa.int64()),
+         "n_distinct": pa.array([r[2] for r in out_rows], pa.int64()),
+         "n_null": pa.array([r[3] for r in out_rows], pa.int64())}
+    )
+
+
 def q18_large_orders(
     sf_dir: str, qty_threshold: float = 250.0
 ) -> "ray.data.Dataset":
