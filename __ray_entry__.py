@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": r.q18_large_orders,
         "q4_late": r.q4_late,
         "q13_custdist": r.q13_custdist,
+        "q7_volume": r.q7_volume,
+        "q10_returned": r.q10_returned,
+        "q14_promo": r.q14_promo,
+        "q17_small_qty": r.q17_small_quantity,
+        "q19_disjunct": r.q19_disjunct,
         "orders_stats": r.orders_stats,
         "events_burst": r.events_burst,
         "events_hourly_topk": r.events_hourly_topk,
@@ -3267,6 +3272,82 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'o_orderdate' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders
             UNION ALL SELECT 'o_orderpriority' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM orders)
             ORDER BY column_name
+        """,
+        "q7_volume": r"""
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                       AS l_year,
+                   sum(CAST(floor((l.l_extendedprice
+                       * (1 - l.l_discount)) * 100.0 + 0.5) AS BIGINT))
+                       / 100.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              AND s.s_nationkey != c.c_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q10_returned": r"""
+            WITH pc AS (
+              SELECT o.o_custkey,
+                     sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1995-07-01'
+                AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              GROUP BY o.o_custkey
+              ORDER BY rev DESC, o.o_custkey LIMIT 20)
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(pc.rev, 2) AS revenue
+            FROM pc
+            JOIN customer c ON c.c_custkey = pc.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY revenue DESC, c_custkey
+        """,
+        "q14_promo": r"""
+            SELECT round(
+                100.0 * coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END), 0)
+                / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                AS promo_revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l.l_shipdate < TIMESTAMP '1996-09-01'
+        """,
+        "q17_small_qty": r"""
+            WITH bl AS (
+              SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_brand = 'Brand#1'),
+            st AS (
+              SELECT l_partkey, sum(l_quantity) AS sum_qty,
+                     count(*) AS n_qty
+              FROM bl GROUP BY l_partkey)
+            SELECT round(coalesce(sum(bl.l_extendedprice), 0) / 7.0, 2)
+                AS avg_yearly
+            FROM bl JOIN st ON st.l_partkey = bl.l_partkey
+            WHERE 5.0 * bl.l_quantity * st.n_qty < st.sum_qty
+        """,
+        "q19_disjunct": r"""
+            SELECT round(coalesce(
+                sum(l.l_extendedprice * (1 - l.l_discount)), 0), 2)
+                AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 21)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "q13_custdist": r"""
             WITH co AS (

@@ -377,6 +377,422 @@ def q13_custdist(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q7_volume(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q7-style cross-border trade volume → (supp_nation,
+    cust_nation, l_year, revenue): revenue shipped between every
+    ORDERED pair of distinct nations per year, in a two-year shipdate
+    window. Generalizes Q7's two-nation filter to the full pair matrix
+    (the synth nations are few; the group key space is
+    |nations|²·years — intrinsically tiny).
+
+    Scale shape: nation (O(25)) is a broadcast closure constant; the
+    three fact joins (lineitem⋈orders, ⋈customer, ⋈supplier) are
+    hash-partitioned; the aggregation collapses per-batch to ≤ group
+    rows via an integer composite key before the tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from .util import compact_nonempty, sparse_sum_reduce
+
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    nname = dict(
+        zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
+    )
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        ts = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        yr = ts[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        # exact integer cents via the SAME double expression the oracle
+        # uses (floor(x*100+0.5)) — order-insensitive int64 sums, so
+        # Ray's and DuckDB's different reduction orders can't disagree
+        # at a half-cent boundary
+        cents = np.floor(
+            (col_np(t, "l_extendedprice").astype(np.float64)[keep]
+             * (1.0 - col_np(t, "l_discount").astype(np.float64)[keep]))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return table_from_arrays(
+            l_orderkey=col_np(t, "l_orderkey").astype(np.int64)[keep],
+            l_suppkey=col_np(t, "l_suppkey").astype(np.int64)[keep],
+            rev=cents,
+            l_year=yr,
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(lfilt, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    co = compact_nonempty(orders).join(
+        compact_nonempty(cust), join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    j = (
+        compact_nonempty(li)
+        .join(
+            compact_nonempty(co), join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        .join(
+            compact_nonempty(supp), join_type="inner", num_partitions=8,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = col_np(t, "s_nationkey").astype(np.int64)
+        cn = col_np(t, "c_nationkey").astype(np.int64)
+        keep = sn != cn
+        key = (
+            (sn[keep] * 100 + cn[keep]) * 10_000
+            + col_np(t, "l_year")[keep]
+        )
+        k, s = sparse_sum_reduce(key, col_np(t, "rev")[keep])
+        return table_from_arrays(k=k, rev=s)
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")  # |nations|²·years groups — tiny
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"supp_nation": pa.array([], pa.string()),
+                 "cust_nation": pa.array([], pa.string()),
+                 "l_year": pa.array([], pa.int64()),
+                 "revenue": pa.array([], pa.float64())}
+            )
+        k = col_np(t, "k").astype(np.int64)
+        yr = k % 10_000
+        sn = k // 1_000_000
+        cn = (k // 10_000) % 100
+        return pa.table(
+            {"supp_nation": pa.array([nname[int(v)] for v in sn]),
+             "cust_nation": pa.array([nname[int(v)] for v in cn]),
+             "l_year": pa.array(yr),
+             "revenue": pa.array(
+                 col_np(t, "rev").astype(np.float64) / 100.0)}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def q10_returned(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """TPC-H-Q10-style returned-item loss ranking → top-k customers by
+    revenue on RETURNED lineitems ('R' flag) for orders in a one-year
+    window, with name and nation attached.
+
+    Scale shape: both fact sides pre-filter at the read; per-customer
+    revenue is a bucketed sum (V-cardinality, never Ray's raw
+    groupby); top-k runs as per-batch partial top-k before ONE k-row
+    sort; the name/nation attach joins only k rows."""
+    from .util import bucketed_sum_aggregate, compact_nonempty
+
+    lo = np.datetime64("1995-07-01")
+    hi = np.datetime64("1996-07-01")
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    nname = dict(
+        zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
+    )
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        keep = (
+            t.column("l_returnflag").to_numpy(zero_copy_only=False) == "R"
+        )
+        return table_from_arrays(
+            l_orderkey=col_np(t, "l_orderkey").astype(np.int64)[keep],
+            rev=(
+                col_np(t, "l_extendedprice").astype(np.float64)[keep]
+                * (1.0 - col_np(t, "l_discount").astype(np.float64)[keep])
+            ),
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(lfilt, batch_format="pyarrow")
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        return table_from_arrays(
+            o_orderkey=col_np(t, "o_orderkey").astype(np.int64)[keep],
+            o_custkey=col_np(t, "o_custkey").astype(np.int64)[keep],
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ofilt, batch_format="pyarrow")
+
+    j = compact_nonempty(li).join(
+        compact_nonempty(orders), join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    percust = compact_nonempty(
+        bucketed_sum_aggregate(
+            j.select_columns(["o_custkey", "rev"]),
+            key_cols=["o_custkey"], sum_cols=["rev"],
+        )
+    )
+    empty = pa.table(
+        {"c_custkey": pa.array([], pa.int64()),
+         "c_name": pa.array([], pa.string()),
+         "n_name": pa.array([], pa.string()),
+         "revenue": pa.array([], pa.float64())}
+    )
+    if percust is None:
+        return ray.data.from_arrow(empty)
+
+    def partial_top(t: pa.Table, _k=k) -> pa.Table:
+        rev = col_np(t, "rev").astype(np.float64)
+        ck = col_np(t, "o_custkey").astype(np.int64)
+        order = np.lexsort((ck, -rev))[:_k]
+        return t.take(pa.array(order, pa.int64()))
+
+    topk = (
+        percust.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["rev", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_arrow_refs()
+    )
+    tops = pa.concat_tables(
+        [t for t in map(ray.get, topk) if t.num_rows]
+    )
+    if tops.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    want = set(col_np(tops, "o_custkey").astype(np.int64).tolist())
+    rev_by = dict(
+        zip(col_np(tops, "o_custkey").astype(np.int64).tolist(),
+            col_np(tops, "rev").astype(np.float64).tolist())
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        ck = col_np(t, "c_custkey").astype(np.int64)
+        keep = np.array([int(v) in want for v in ck], bool)
+        f = t.filter(pa.array(keep))
+        ckf = col_np(f, "c_custkey").astype(np.int64)
+        return pa.table(
+            {"c_custkey": pa.array(ckf),
+             "c_name": f.column("c_name").cast(pa.string()),
+             "n_name": pa.array(
+                 [nname[int(v)]
+                  for v in col_np(f, "c_nationkey").astype(np.int64)]),
+             "revenue": pa.array(
+                 np.round([rev_by[int(v)] for v in ckf], 2),
+                 pa.float64())}
+        )
+
+    return (
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(attach, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+    )
+
+
+def q14_promo(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q14-style promotion-revenue share → one row
+    (promo_revenue): 100·Σ(promo rev)/Σ(rev) for a one-year shipdate
+    window, where promo parts are p_type = 'PROMO'.
+
+    Scale shape: lineitem pre-filters and projects at the read, joins
+    part (hash-partitioned) once, and every batch collapses to TWO
+    floats (promo sum, total sum) before the one-row final division."""
+    from ray.data.aggregate import Sum
+
+    from .util import compact_nonempty
+
+    lo = np.datetime64("1995-09-01")
+    hi = np.datetime64("1996-09-01")
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        ts = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        return table_from_arrays(
+            l_partkey=col_np(t, "l_partkey").astype(np.int64)[keep],
+            rev=(
+                col_np(t, "l_extendedprice").astype(np.float64)[keep]
+                * (1.0 - col_np(t, "l_discount").astype(np.float64)[keep])
+            ),
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(lfilt, batch_format="pyarrow")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    j = compact_nonempty(li).join(
+        compact_nonempty(part), join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = col_np(t, "rev").astype(np.float64)
+        promo = (
+            t.column("p_type").to_numpy(zero_copy_only=False) == "PROMO"
+        )
+        return pa.table(
+            {"p": pa.array([float(rev[promo].sum())]),
+             "tot": pa.array([float(rev.sum())])}
+        )
+
+    agg = j.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("p", alias_name="p"), Sum("tot", alias_name="tot")
+    )
+    tot = float(agg["tot"] or 0.0)
+    share = 100.0 * float(agg["p"] or 0.0) / tot if tot else 0.0
+    return ray.data.from_arrow(
+        pa.table({"promo_revenue": pa.array(
+            [round(share, 6)], pa.float64())})
+    )
+
+
+def q17_small_quantity(sf_dir: str, brand: str = "Brand#1") -> (
+        "ray.data.Dataset"):
+    """TPC-H-Q17-style small-quantity order revenue → one row
+    (avg_yearly): Σ extendedprice / 7 over lineitems of one brand whose
+    quantity is below 20% of that part's average quantity. The
+    correlated AVG subquery runs as ONE bucketed per-part (sum, count)
+    + a self-join back; the predicate q < 0.2·avg is evaluated in
+    EXACT integer arithmetic (5·q·cnt < sum_qty — quantities are small
+    integers, exact in doubles), so Ray and the oracle agree bit-for-bit
+    on membership.
+
+    Scale shape: per-part stats are a bucketed aggregate; the probe
+    join is hash-partitioned; each batch collapses to one float."""
+    from ray.data.aggregate import Sum
+
+    from .util import bucketed_aggregate, compact_nonempty
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def pfilt(t: pa.Table, _b=brand) -> pa.Table:
+        keep = t.column("p_brand").to_numpy(zero_copy_only=False) == _b
+        return table_from_arrays(
+            p_partkey=col_np(t, "p_partkey").astype(np.int64)[keep]
+        )
+
+    bparts = compact_nonempty(
+        part.map_batches(pfilt, batch_format="pyarrow")
+    )
+    empty = pa.table({"avg_yearly": pa.array([0.0], pa.float64())})
+    if bparts is None:
+        return ray.data.from_arrow(empty)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    bli = compact_nonempty(
+        compact_nonempty(li).join(
+            bparts, join_type="inner", num_partitions=8,
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+    )
+    if bli is None:
+        return ray.data.from_arrow(empty)
+    stats = compact_nonempty(
+        bucketed_aggregate(
+            bli.select_columns(["l_partkey", "l_quantity"]),
+            key_cols=["l_partkey"],
+            aggs=[("l_quantity", "sum", "sum_qty"),
+                  ("l_quantity", "count", "n_qty")],
+        )
+    )
+    if stats is None:
+        return ray.data.from_arrow(empty)
+    probe = bli.join(
+        stats.rename_columns({"l_partkey": "pk"}),
+        join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("pk",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = col_np(t, "l_quantity").astype(np.float64)
+        sq = col_np(t, "sum_qty").astype(np.float64)
+        n = col_np(t, "n_qty").astype(np.float64)
+        keep = 5.0 * q * n < sq  # q < 0.2·avg, exact in doubles
+        s = float(
+            col_np(t, "l_extendedprice").astype(np.float64)[keep].sum()
+        )
+        return pa.table({"s": pa.array([s])})
+
+    agg = probe.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s")
+    )
+    return ray.data.from_arrow(
+        pa.table({"avg_yearly": pa.array(
+            [round(float(agg["s"] or 0.0) / 7.0, 2)], pa.float64())})
+    )
+
+
+def q19_disjunct(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q19-style disjunctive-predicate revenue → one row
+    (revenue): three OR'd (brand, size range, quantity range) arms
+    over lineitem⋈part — the scan+join shape planners love to botch.
+
+    Scale shape: the join is hash-partitioned; the three arms evaluate
+    as vectorized boolean masks per batch; each batch collapses to one
+    float before the one-row sum."""
+    from ray.data.aggregate import Sum
+
+    from .util import compact_nonempty
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"])
+    j = compact_nonempty(li).join(
+        compact_nonempty(part), join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+    arms = [("Brand#1", 1, 15, 1.0, 21.0),
+            ("Brand#2", 1, 25, 10.0, 30.0),
+            ("Brand#3", 1, 35, 20.0, 40.0)]
+
+    def partial(t: pa.Table, _arms=tuple(arms)) -> pa.Table:
+        brand = t.column("p_brand").to_numpy(zero_copy_only=False)
+        size = col_np(t, "p_size").astype(np.int64)
+        qty = col_np(t, "l_quantity").astype(np.float64)
+        keep = np.zeros(t.num_rows, bool)
+        for b, s_lo, s_hi, q_lo, q_hi in _arms:
+            keep |= (
+                (brand == b) & (size >= s_lo) & (size <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        rev = (
+            col_np(t, "l_extendedprice").astype(np.float64)[keep]
+            * (1.0 - col_np(t, "l_discount").astype(np.float64)[keep])
+        )
+        return pa.table({"s": pa.array([float(rev.sum())])})
+
+    agg = j.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s")
+    )
+    return ray.data.from_arrow(
+        pa.table({"revenue": pa.array(
+            [round(float(agg["s"] or 0.0), 2)], pa.float64())})
+    )
+
+
 def events_burst(sf_dir: str) -> "ray.data.Dataset":
     """Per-user burst profile → (user_id, n_minutes, max_per_min): how
     many distinct active minutes a user has and the busiest minute's
