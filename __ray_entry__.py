@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunct": r.q19_disjunct,
         "orders_stats": r.orders_stats,
         "events_burst": r.events_burst,
+        "events_json_k": r.events_json_k,
+        "doc_surprisal": d.doc_surprisal_q,
+        "doc_split_manifest": d.doc_split_manifest_q,
         "events_hourly_topk": r.events_hourly_topk,
         "events_rfm": r.events_rfm,
         "top_customers": r.top_customers_by_revenue,
@@ -3252,6 +3255,54 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l.l_orderkey = o.o_orderkey
                   AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "events_json_k": r"""
+            WITH ex AS (
+              SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                          AS BIGINT) AS k
+              FROM events
+              WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) != '')
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+            FROM ex GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_surprisal": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS term
+              FROM documents WHERE trim(coalesce(text, '')) != ''),
+            uni AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+            tot AS (SELECT count(*) AS n FROM tk)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(bin(tot.n)) - length(bin(u.cnt)))
+                        AS BIGINT) AS total_bits
+            FROM tk t JOIN uni u ON u.term = t.term CROSS JOIN tot
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "doc_split_manifest": r"""
+            WITH sp AS (
+              SELECT source,
+                     CAST('0x' || substring(
+                         md5('split:' || CAST(doc_id AS VARCHAR)),
+                         1, 16) AS UBIGINT) % 10 AS h,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\s+')) END
+                         AS ntok
+              FROM documents)
+            SELECT source,
+                   CASE WHEN h < 8 THEN 'train'
+                        WHEN h = 8 THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens
+            FROM sp GROUP BY 1, 2 ORDER BY source, split
         """,
         "events_burst": r"""
             WITH pm AS (

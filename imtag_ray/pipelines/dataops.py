@@ -2026,6 +2026,149 @@ def dedup_decontam_q(sf_dir: str, every: int = 25) -> pa.Table:
     return hits.sort("doc_id")
 
 
+def doc_surprisal_q(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document unigram bit-surprisal → (doc_id, n_tokens,
+    total_bits): Σ over tokens of (bitlen(N) − bitlen(cnt(token)))
+    where N is the corpus token count — the integer-exact proxy for
+    unigram cross-entropy that CCNet-style perplexity filtering ranks
+    by (rare-word-heavy docs score high, boilerplate scores low).
+    bitlen is exact on BOTH sides (np.frexp exponent vs DuckDB
+    length(bin(x))), so no float log ever enters the comparison.
+
+    Scale shape: two passes over the token stream, both collapsed
+    batch-side to (doc, term) / (term) partials; the model table
+    (term, cnt) is vocabulary-sized and joins the doc-term table by
+    hash partition; the final per-doc sum is a bucketed aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def dt_partial(t: pa.Table) -> pa.Table:
+        texts = _texts(t).fillna("").str.strip().str.lower()
+        ids = col_np(t, "doc_id").astype(np.int64)
+        toks = texts.str.split()
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame(
+            {"doc_id": ids[ex.index.to_numpy()], "term": ex.to_numpy()}
+        )
+        vc = df.value_counts(sort=False).reset_index(name="c")
+        return pa.table(
+            {"doc_id": pa.array(vc["doc_id"].to_numpy(np.int64)),
+             "term": pa.array(vc["term"].astype(str), pa.string()),
+             "c": pa.array(vc["c"].to_numpy(np.int64))}
+        )
+
+    dt = compact_nonempty(
+        bucketed_sum_aggregate(
+            docs.map_batches(dt_partial, batch_format="pyarrow"),
+            key_cols=["doc_id", "term"], sum_cols=["c"],
+        )
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_tokens": pa.array([], pa.int64()),
+         "total_bits": pa.array([], pa.int64())}
+    )
+    if dt is None:
+        return ray.data.from_arrow(empty)
+    dt = dt.materialize()
+    uni = compact_nonempty(
+        bucketed_sum_aggregate(
+            dt.select_columns(["term", "c"]).rename_columns(
+                {"c": "cnt"}),
+            key_cols=["term"], sum_cols=["cnt"],
+        )
+    )
+    n_total = int(
+        dt.select_columns(["c"]).aggregate(Sum("c", alias_name="s"))["s"]
+        or 0
+    )
+    if uni is None or n_total == 0:
+        return ray.data.from_arrow(empty)
+    bits_n = int(n_total).bit_length()
+    joined = dt.join(
+        uni.rename_columns({"term": "tm"}),
+        join_type="inner", num_partitions=8,
+        on=("term",), right_on=("tm",),
+    )
+
+    def per_doc(t: pa.Table, _bn=bits_n) -> pa.Table:
+        cnt = col_np(t, "cnt").astype(np.float64)
+        # frexp exponent of a positive integer (< 2^53) IS bit_length
+        bitlen = np.frexp(cnt)[1].astype(np.int64)
+        c = col_np(t, "c").astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_tokens": pa.array(c),
+             "total_bits": pa.array((_bn - bitlen) * c)}
+        )
+
+    out = compact_nonempty(
+        bucketed_sum_aggregate(
+            joined.map_batches(per_doc, batch_format="pyarrow"),
+            key_cols=["doc_id"], sum_cols=["n_tokens", "total_bits"],
+        )
+    )
+    if out is None:
+        return ray.data.from_arrow(empty)
+    return out.sort("doc_id")
+
+
+def doc_split_manifest_q(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic train/val/test split manifest → (source, split,
+    n_docs, n_tokens): each doc routes to a split by md5 hash (80/10/10
+    via md5('split:'+doc_id) u64 mod 10 — replayable, no RNG state, a
+    doc keeps its split across reruns and cluster sizes), reported per
+    source. The split-assignment op every training pipeline runs last.
+
+    Scale shape: pure per-batch map (hash + token count) collapsing to
+    ≤ |sources|·3 partial rows; the final groupby key space is tiny."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = col_np(t, "doc_id").astype(np.int64)
+        h = np.fromiter(
+            (int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:16], 16)
+             % 10 for i in ids),
+            np.int64, len(ids),
+        )
+        split = np.where(h < 8, "train", np.where(h == 8, "val", "test"))
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        ntok = token_count(_texts(t))
+        df = pd.DataFrame(
+            {"source": src, "split": split, "n_docs": 1, "n_tokens": ntok}
+        )
+        g = df.groupby(["source", "split"], sort=False, as_index=False).sum()
+        return pa.table(
+            {"source": pa.array(g["source"].astype(str), pa.string()),
+             "split": pa.array(g["split"].astype(str), pa.string()),
+             "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+             "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64))}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "split"])  # |sources|·3 groups — tiny
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .sort(["source", "split"])
+    )
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),

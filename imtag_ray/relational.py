@@ -793,6 +793,83 @@ def q19_disjunct(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_json_k(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured JSON payload extraction → per event_type stats
+    of the numeric `k` field inside the props JSON blob: (event_type,
+    n, sum_k, min_k, max_k, n_distinct_k). The schema-on-read pattern:
+    the payload stays an opaque string in storage; the engine projects
+    the field vectorized at query time (no per-row json.loads).
+
+    Scale shape: regex field extraction + per-(type, k) batch collapse
+    → ONE small groupby over |types|·|k values| keys; distinct-k is
+    exact via the collapsed pair table, never a driver set."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = (
+            pd.Series(t.column("props").to_numpy(zero_copy_only=False))
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type")
+             .to_numpy(zero_copy_only=False),
+             "k": k.to_numpy(np.float64)}
+        ).dropna()
+        df["k"] = df["k"].astype(np.int64)
+        g = df.groupby(["event_type", "k"], sort=False).size()
+        g = g.reset_index(name="c")
+        return pa.table(
+            {"event_type": pa.array(
+                g["event_type"].astype(str), pa.string()),
+             "k": pa.array(g["k"].to_numpy(np.int64)),
+             "c": pa.array(g["c"].to_numpy(np.int64))}
+        )
+
+    pairs = (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby(["event_type", "k"])  # |types|·|k| groups — small
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        k = col_np(t, "k").astype(np.int64)
+        c = col_np(t, "c").astype(np.int64)
+        return pa.table(
+            {"event_type": t["event_type"],
+             "n": pa.array(c),
+             "sum_k": pa.array(k * c),
+             "min_k": pa.array(k),
+             "max_k": pa.array(k),
+             "ones": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    agg = (
+        pairs.map_batches(widen, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+            Count(alias_name="n_distinct_k"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ["event_type", "n", "sum_k", "min_k", "max_k",
+                "n_distinct_k"]
+        return t.select(cols).set_column(
+            0, "event_type", t.column("event_type").cast(pa.string())
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        "event_type"
+    )
+
+
 def events_burst(sf_dir: str) -> "ray.data.Dataset":
     """Per-user burst profile → (user_id, n_minutes, max_per_min): how
     many distinct active minutes a user has and the busiest minute's
