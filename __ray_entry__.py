@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scc": q.doc_scc_q,
         "doc_bowtie": q.doc_bowtie_q,
         "doc_scc_cond": q.doc_scc_cond_q,
+        "doc_scc_depth4": q.doc_scc_depth4_q,
         "doc_walks4": q.doc_walks4_q,
         "doc_hyperanf3": q.doc_hyperanf3_q,
         "doc_harmonic3": q.doc_harmonic3_q,
@@ -1499,6 +1500,35 @@ def _scc_cond_sql() -> str:
     """
 
 
+def _scc_depth_sql(rounds: int = 4) -> str:
+    """Condensation longest-path-layering oracle: the _BOWTIE_SCC_PREFIX
+    SCC labeling, distinct inter-SCC edges, then ``rounds`` unrolled
+    monotone max-relaxations (fixed-round ≡ the engine)."""
+    prefix = _BOWTIE_SCC_PREFIX.format(root_url=_DURL.format(c="r1.b"))
+    body = f"""
+    WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+    {prefix},
+    ce AS MATERIALIZED (
+        SELECT DISTINCT s1.comp AS cs, s2.comp AS cd
+        FROM e JOIN scc s1 ON s1.v = e.s JOIN scc s2 ON s2.v = e.d
+        WHERE s1.comp != s2.comp
+    ),
+    cv AS MATERIALIZED (SELECT DISTINCT comp FROM scc),
+    d0 AS MATERIALIZED (SELECT comp, CAST(0 AS BIGINT) AS dep FROM cv)"""
+    for i in range(rounds):
+        body += f""",
+    i{i} AS (SELECT ce.cd AS comp, max(du.dep) + 1 AS idep
+             FROM ce JOIN d{i} du ON du.comp = ce.cs GROUP BY ce.cd),
+    d{i + 1} AS MATERIALIZED (
+        SELECT d.comp,
+               CAST(greatest(d.dep, coalesce(i.idep, 0)) AS BIGINT)
+                   AS dep
+        FROM d{i} d LEFT JOIN i{i} i ON i.comp = d.comp)"""
+    return body + f"""
+    SELECT comp AS scc_url, dep AS depth FROM d{rounds}
+    ORDER BY scc_url"""
+
+
 def _sm64_sql(x0: str) -> str:
     """Inline splitmix64 over the UBIGINT SQL expression ``x0`` — the
     same bit-exact HUGEINT limb-mulmod replay as _ball2_hll_sql, but
@@ -2563,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_bowtie": _bowtie_sql(),
         "doc_scc_cond": _scc_cond_sql(),
+        "doc_scc_depth4": _scc_depth_sql(4),
         "doc_walks4": _walks_sql(4),
         "doc_hyperanf3": _hyperanf_sql(3, 8),
         "doc_harmonic3": _harmonic_sql(3, 8),

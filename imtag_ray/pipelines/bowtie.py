@@ -509,3 +509,124 @@ def _bowtie_shuffle(graph: Graph, cfg: EngineConfig) -> "ray.data.Dataset":
         on=("vid",), right_on=("bv",),
     )
     return joined.map_batches(classify, batch_format="pyarrow").materialize()
+
+
+# ---------------------------------------------------------------------------
+# condensation DAG depth layering
+# ---------------------------------------------------------------------------
+
+
+def condensation_depths(
+    graph: Graph,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    rounds: int = 4,
+) -> "ray.data.Dataset":
+    """Longest-path layering of the SCC condensation DAG → Dataset
+    (scc_url, depth): depth 0 at source SCCs (no incoming inter-SCC
+    edge), and depth(v) after R rounds of the monotone Bellman
+    relaxation depth(v) ← max(depth(v), max over u→v of depth(u)+1).
+    Fixed-round semantics (both the engine and the oracle run exactly
+    ``rounds`` relaxations), so the result is well-defined even when R
+    is below the DAG's true depth. The topological-level table a crawl
+    scheduler reads frontier tiers from.
+
+    Scale shape: the condensation is typically orders of magnitude
+    smaller than the graph, but it is still a Dataset here — each round
+    is ONE hash join (edges ⋈ depths on src) + ONE bucketed max by dst
+    + ONE left-outer merge. No driver-resident component table."""
+    from .scc import strongly_connected_components
+
+    P = cfg.num_partitions
+    empty = pa.table(
+        {"scc_url": pa.array([], pa.string()),
+         "depth": pa.array([], pa.int64())}
+    )
+    if graph.num_vertices == 0:
+        return ray.data.from_arrow(empty)
+    labels = compact_nonempty(
+        strongly_connected_components(graph, cfg).select_columns(
+            ["scc_url"])
+    )
+    if labels is None:
+        return ray.data.from_arrow(empty)
+    comps = compact_nonempty(
+        bucketed_aggregate(
+            labels, key_cols=["scc_url"],
+            aggs=[("scc_url", "count", "__n")],
+        ).select_columns(["scc_url"])
+    )
+    if comps is None:
+        return ray.data.from_arrow(empty)
+    comps = comps.materialize()
+    cond = compact_nonempty(scc_condensation(graph, cfg))
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"scc_url": t.column("scc_url").cast(pa.string()),
+             "depth": pa.array(np.zeros(t.num_rows, np.int64))}
+        )
+
+    depth = comps.map_batches(zero, batch_format="pyarrow").materialize()
+    if cond is None:
+        return depth.sort("scc_url")
+    cond = cond.materialize()
+    for _ in range(rounds):
+        inc = compact_nonempty(
+            cond.join(
+                depth.rename_columns({"scc_url": "su", "depth": "sd"}),
+                join_type="inner", num_partitions=P,
+                on=("src_scc_url",), right_on=("su",),
+            ).map_batches(
+                lambda t: (
+                    pa.table(
+                        {"scc_url": pa.array([], pa.string()),
+                         "idep": pa.array([], pa.int64())}
+                    )
+                    if t.num_rows == 0
+                    else pa.table(
+                        {"scc_url": t.column("dst_scc_url").cast(
+                            pa.string()),
+                         "idep": pa.array(
+                             col_np(t, "sd").astype(np.int64) + 1)}
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if inc is None:
+            break
+        incmax = compact_nonempty(
+            bucketed_aggregate(
+                inc, key_cols=["scc_url"],
+                aggs=[("idep", "max", "idep")],
+            )
+        )
+        if incmax is None:
+            break
+
+        def merge(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"scc_url": pa.array([], pa.string()),
+                     "depth": pa.array([], pa.int64())}
+                )
+            d = col_np(t, "depth").astype(np.int64)
+            i = pc.fill_null(
+                t.column("idep").cast(pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"scc_url": t.column("scc_url").cast(pa.string()),
+                 "depth": pa.array(np.maximum(d, i))}
+            )
+
+        depth = compact_nonempty(
+            depth.join(
+                incmax.rename_columns({"scc_url": "iu"}),
+                join_type="left_outer", num_partitions=P,
+                on=("scc_url",), right_on=("iu",),
+            ).map_batches(merge, batch_format="pyarrow")
+        )
+        if depth is None:
+            return ray.data.from_arrow(empty)
+        depth = depth.materialize()
+    return depth.sort("scc_url")

@@ -868,6 +868,15 @@ def doc_scc_cond_q(sf_dir: str) -> "ray.data.Dataset":
     return out.sort(["src_scc_url", "dst_scc_url"])
 
 
+def doc_scc_depth4_q(sf_dir: str) -> "ray.data.Dataset":
+    """Longest-path depth layering of the bowtie doc graph's SCC
+    condensation after 4 monotone Bellman relaxations → (scc_url,
+    depth). Fixed-round semantics match the unrolled oracle."""
+    from .bowtie import condensation_depths
+
+    return condensation_depths(doc_bowtie_graph(sf_dir), QCFG, rounds=4)
+
+
 def doc_hyperanf3_q(sf_dir: str) -> "ray.data.Dataset":
     """HyperANF 3-hop neighborhood sizes over the directed doc link
     graph (per-vertex HLL max-merge rounds, p=8); the oracle replays
