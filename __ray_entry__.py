@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_pairs": d.bpe_merge_pairs_q,
         "winnow_pairs": d.winnow_pairs_q,
         "dedup_decontam": d.dedup_decontam_q,
+        "dedup_multisignal": d.dedup_multisignal_q,
         "doc_oov100": d.doc_oov100_q,
         "doc_pack512": d.doc_pack512_q,
         "doc_bigram_coverage": d.doc_bigram_coverage_q,
@@ -1333,6 +1334,51 @@ def _near_keep_sql(rounds: int = 6) -> str:
     SELECT d.doc_id FROM documents d
     LEFT JOIN dropped ON dropped.v = d.doc_id
     WHERE dropped.v IS NULL ORDER BY d.doc_id"""
+
+
+def _multisignal_sql(rounds: int = 6) -> str:
+    """dedup_multisignal oracle: union of the exact-hash star edges,
+    the minhash-pairs replay and the simhash-pairs replay as ONE pair
+    graph, `rounds` unrolled hash-min rounds, size census per label,
+    singletons (docs in no pair) folded into the size-1 bucket."""
+    parts = [
+        f"WITH mp AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_sql()})),",
+        f"sp AS MATERIALIZED (SELECT id_a, id_b FROM ({_SIMHASH_SQL})),",
+        "xg AS (SELECT md5(text) AS h, min(doc_id) AS m"
+        " FROM documents GROUP BY 1),",
+        "xp AS (SELECT g.m AS id_a, d.doc_id AS id_b FROM xg g"
+        " JOIN documents d ON md5(d.text) = g.h AND d.doc_id != g.m),",
+        "ap AS MATERIALIZED (SELECT id_a, id_b FROM mp"
+        " UNION SELECT id_a, id_b FROM sp"
+        " UNION SELECT id_a, id_b FROM xp),",
+        "e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM ap"
+        " UNION ALL SELECT id_b, id_a FROM ap),",
+        "l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"l{r} AS MATERIALIZED ("
+            f" SELECT l.v, least(l.lbl, coalesce(min(p.lbl), l.lbl)) AS lbl"
+            f" FROM l{r-1} l LEFT JOIN e ON e.s = l.v"
+            f" LEFT JOIN l{r-1} p ON p.v = e.d"
+            f" GROUP BY l.v, l.lbl),"
+        )
+    parts.append(
+        f"sz AS (SELECT lbl, count(*) AS sz FROM l{rounds} GROUP BY lbl),"
+    )
+    parts.append(
+        "hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters"
+        " FROM sz GROUP BY sz"
+        " UNION ALL"
+        " SELECT 1, (SELECT count(*) FROM documents)"
+        f" - (SELECT count(*) FROM l{rounds}))"
+    )
+    return "\n".join(parts) + """
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+    FROM hist WHERE n_clusters > 0 OR cluster_size != 1
+    GROUP BY cluster_size HAVING sum(n_clusters) > 0
+    ORDER BY cluster_size"""
 
 
 def _knn_cc_sql(rounds: int = 8, k: int = 3) -> str:
@@ -4050,6 +4096,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM pairs GROUP BY pair)
             SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20
         """,
+        "dedup_multisignal": _multisignal_sql(6),
         "dedup_decontam": r"""
             WITH tk AS (
               SELECT doc_id,

@@ -76,3 +76,52 @@ def dedup_exact(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def exact_dup_pairs(
+    ds: "ray.data.Dataset", text_col: str, id_col: str,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """→ (id_a, id_b) star edges of the exact-duplicate relation:
+    id_a = min id of the content group, id_b = every OTHER member.
+    The pair-graph form of dedup_exact_ids, for composing exact
+    duplicates with near-dup signals in one clustering pass.
+
+    Scale shape: ONE bucketed (hash → min) aggregate + ONE
+    hash-partitioned join back; group membership never concentrates
+    on the driver."""
+    from ..util import bucketed_aggregate, compact_nonempty
+
+    hashed = add_content_hash(
+        ds.select_columns([id_col, text_col]), text_col
+    ).select_columns([id_col, "content_hash"]).materialize()
+    mins = compact_nonempty(
+        bucketed_aggregate(
+            hashed, key_cols=["content_hash"],
+            aggs=[(id_col, "min", "id_a")],
+        )
+    )
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64())}
+    )
+    if mins is None:
+        return ray.data.from_arrow(empty)
+    joined = compact_nonempty(hashed).join(
+        mins.rename_columns({"content_hash": "ch"}),
+        join_type="inner", num_partitions=num_partitions,
+        on=("content_hash",), right_on=("ch",),
+    )
+
+    def star(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64())}
+            )
+        a = col_np(t, "id_a").astype(np.int64)
+        b = col_np(t, id_col).astype(np.int64)
+        m = a != b
+        return table_from_arrays(id_a=a[m], id_b=b[m])
+
+    return joined.map_batches(star, batch_format="pyarrow")

@@ -2169,6 +2169,76 @@ def doc_split_manifest_q(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def dedup_multisignal_q(sf_dir: str) -> pa.Table:
+    """Multi-signal duplicate-cluster census → (cluster_size,
+    n_clusters) INCLUDING singletons: the union of THREE dedup signals
+    — exact content hash, MinHash-LSH (threshold 0.5, the
+    minhash_pairs trajectory) and SimHash (hamming ≤ 8, the
+    simhash_pairs trajectory) — as one pair graph, clustered by 6
+    fixed hash-min rounds. The "how much of the corpus is unique
+    under ANY duplicate definition" report a curation run signs off
+    on; singletons appear as cluster_size = 1.
+
+    Scale shape: each signal is its own bucketed/banded distributed
+    pipeline (never all-pairs); the union is a Dataset concat; the
+    clustering and size census are bucketed aggregations. The only
+    driver values are the final |distinct sizes| histogram rows."""
+    from ray.data.aggregate import Count
+
+    from ..dedup.cluster import minlabel_clusters
+    from ..dedup.exact import exact_dup_pairs
+    from ..util import bucketed_aggregate, compact_nonempty
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    ex = exact_dup_pairs(docs, "text", "doc_id")
+    mh = minhash_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).select_columns(["id_a", "id_b"])
+    sh = simhash_dup_pairs(
+        docs, "doc_id", "text", hamming_k=8
+    ).select_columns(["id_a", "id_b"])
+    pairs = compact_nonempty(ex.union(mh).union(sh))
+    if pairs is None:
+        return pa.table(
+            {"cluster_size": pa.array([1], pa.int64()),
+             "n_clusters": pa.array([n_docs], pa.int64())}
+        )
+    # distinct undirected pairs before clustering (signals overlap)
+    pairs = compact_nonempty(
+        bucketed_aggregate(
+            pairs, key_cols=["id_a", "id_b"],
+            aggs=[("id_a", "count", "__n")],
+        ).select_columns(["id_a", "id_b"])
+    )
+    labels = minlabel_clusters(pairs, rounds=6).materialize()
+    n_labeled = labels.count()
+    sizes = compact_nonempty(
+        bucketed_aggregate(
+            labels, key_cols=["lbl"], aggs=[("lbl", "count", "sz")]
+        )
+    )
+    hist: dict[int, int] = {}
+    if sizes is not None:
+        hp = (
+            sizes.groupby("sz")  # |distinct sizes| groups — tiny
+            .aggregate(Count(alias_name="n_clusters"))
+            .to_pandas()
+        )
+        hist = dict(
+            zip(hp["sz"].astype(int).tolist(),
+                hp["n_clusters"].astype(int).tolist())
+        )
+    n_single = n_docs - n_labeled
+    if n_single > 0:
+        hist[1] = hist.get(1, 0) + int(n_single)
+    ks = sorted(hist)
+    return pa.table(
+        {"cluster_size": pa.array(ks, pa.int64()),
+         "n_clusters": pa.array([hist[k] for k in ks], pa.int64())}
+    )
+
+
 def doc_gopher_q(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition / quality signals per document (Rae et
     al. 2021, "Scaling Language Models", table A1 repetition filters),
