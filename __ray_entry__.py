@@ -207,6 +207,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo": r.q14_promo,
         "q17_small_qty": r.q17_small_quantity,
         "q19_disjunct": r.q19_disjunct,
+        "q15_top_supplier": r.q15_top_supplier,
+        "q12_priority": r.q12_priority,
+        "q22_idle": r.q22_idle_customers,
+        "q21_holdup": r.q21_holdup,
+        "embed_kcenter4": d.embed_kcenter_q,
         "orders_stats": r.orders_stats,
         "events_burst": r.events_burst,
         "events_json_k": r.events_json_k,
@@ -3476,6 +3481,116 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 30)
                OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
                    AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "q15_top_supplier": r"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                         * 100.0 + 0.5) AS BIGINT)) AS cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   r.cents / 100.0 AS total_revenue
+            FROM rev r
+            JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.cents = (SELECT max(cents) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q12_priority": r"""
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                       AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                       AS BIGINT) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "q22_idle": r"""
+            WITH pop AS (
+              SELECT c_custkey,
+                     c_nationkey % 10 AS cntrycode,
+                     CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                         AS cents
+              FROM customer
+              WHERE (c_nationkey % 10) IN (1, 3, 5, 7, 9)
+            ),
+            avgp AS (
+              SELECT sum(cents) AS tot, count(*) AS n
+              FROM pop WHERE cents > 0
+            )
+            SELECT p.cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   sum(p.cents) / 100.0 AS totacctbal
+            FROM pop p, avgp a
+            WHERE p.cents * a.n > a.tot
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = p.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2000-01-01')
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "q21_holdup": r"""
+            WITH os AS (
+              SELECT l_orderkey AS o, l_suppkey AS s,
+                     max(l_shipdate) AS smax
+              FROM lineitem GROUP BY 1, 2
+            ),
+            ost AS (
+              SELECT o, s, smax,
+                     max(smax) OVER (PARTITION BY o) AS omax,
+                     count(*) OVER (PARTITION BY o) AS n_supp
+              FROM os
+            ),
+            blamed AS (
+              SELECT o, max(s) AS s
+              FROM ost
+              WHERE smax = omax AND n_supp >= 2
+              GROUP BY o
+              HAVING count(*) = 1
+            )
+            SELECT sp.s_suppkey, sp.s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM blamed b
+            JOIN supplier sp ON sp.s_suppkey = b.s
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey
+        """,
+        "embed_kcenter4": r"""
+            WITH e AS (SELECT vec_id,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+            d1 AS (SELECT e.vec_id, e.v,
+                          list_distance(e.v, c0.v) AS d
+                   FROM e, c0 WHERE e.vec_id != c0.vec_id),
+            c1 AS (SELECT vec_id, v, d FROM d1
+                   ORDER BY d DESC, vec_id LIMIT 1),
+            d2 AS (SELECT d1.vec_id, d1.v,
+                          least(d1.d, list_distance(d1.v, c1.v)) AS d
+                   FROM d1, c1 WHERE d1.vec_id != c1.vec_id),
+            c2 AS (SELECT vec_id, v, d FROM d2
+                   ORDER BY d DESC, vec_id LIMIT 1),
+            d3 AS (SELECT d2.vec_id, d2.v,
+                          least(d2.d, list_distance(d2.v, c2.v)) AS d
+                   FROM d2, c2 WHERE d2.vec_id != c2.vec_id),
+            c3 AS (SELECT vec_id, v, d FROM d3
+                   ORDER BY d DESC, vec_id LIMIT 1)
+            SELECT CAST(0 AS BIGINT) AS k, vec_id, 0.0 AS dist FROM c0
+            UNION ALL SELECT 1, vec_id, round(d, 9) FROM c1
+            UNION ALL SELECT 2, vec_id, round(d, 9) FROM c2
+            UNION ALL SELECT 3, vec_id, round(d, 9) FROM c3
+            ORDER BY k
         """,
         "q13_custdist": r"""
             WITH co AS (

@@ -2529,3 +2529,101 @@ def doc_oov100_q(sf_dir: str, vocab_k: int = 100) -> "ray.data.Dataset":
         )
 
     return docs.map_batches(per_doc, batch_format="pyarrow").sort("doc_id")
+
+
+def embed_kcenter_q(sf_dir: str, k: int = 4, dim: int = 64) -> (
+        "ray.data.Dataset"):
+    """Greedy k-center coreset selection (Gonzalez farthest-point
+    traversal — the classic seeding for coreset / active-learning data
+    selection) → (k, vec_id, dist): center 0 is the lowest vec_id;
+    each subsequent center is the point FARTHEST (L2) from the chosen
+    set, ties → lowest vec_id; ``dist`` is the selection radius at the
+    moment of choice (the k-center cost trajectory).
+
+    Scale shape: each of the k−1 rounds is ONE streaming pass — the
+    ≤k chosen centers ride along as a closure constant (k·dim floats,
+    broadcast once per task), every batch collapses to a single
+    (argmax-dist, vid, vector) candidate row carrying its own vector
+    (so the winner needs no second lookup pass), and the driver folds
+    only ≤|blocks| candidates. Nothing V-sized ever leaves the
+    workers; the corpus is materialized once and re-streamed per
+    round."""
+    import math
+
+    ds = _read(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def _m(t: pa.Table):
+        vid = col_np(t, "vec_id").astype(np.int64)
+        arr = t.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = (
+            arr.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(-1, dim)
+        )
+        return vid, x
+
+    _cand_schema = pa.schema(
+        [("vid", pa.int64()), ("d2", pa.float64()),
+         ("vec", pa.list_(pa.float64()))]
+    )
+
+    def _cand(vid: int, d2: float, vec) -> pa.Table:
+        return pa.table(
+            {"vid": pa.array([vid], pa.int64()),
+             "d2": pa.array([d2], pa.float64()),
+             "vec": pa.array([list(map(float, vec))],
+                             pa.list_(pa.float64()))}
+        )
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        vid, x = _m(t)
+        if not len(vid):
+            return _cand_schema.empty_table()
+        i = int(np.argmin(vid))
+        return _cand(int(vid[i]), 0.0, x[i])
+
+    cands = ds.map_batches(seed_part, batch_format="pyarrow").take_all()
+    if not cands:
+        return ray.data.from_arrow(pa.table(
+            {"k": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.float64())}
+        ))
+    best = min(cands, key=lambda r: r["vid"])
+    chosen = [(int(best["vid"]),
+               np.asarray(best["vec"], np.float64), 0.0)]
+
+    for _ in range(1, k):
+        cmat = np.stack([v for _, v, _ in chosen])
+        cids = np.asarray([vid for vid, _, _ in chosen], np.int64)
+
+        def far_part(t: pa.Table, _c=cmat, _ids=cids) -> pa.Table:
+            vid, x = _m(t)
+            keep = ~np.isin(vid, _ids)
+            vid, x = vid[keep], x[keep]
+            if not len(vid):
+                return _cand_schema.empty_table()
+            d2 = ((x[:, None, :] - _c[None, :, :]) ** 2).sum(-1).min(1)
+            m = float(d2.max())
+            at = np.flatnonzero(d2 == m)
+            i = int(at[np.argmin(vid[at])])
+            return _cand(int(vid[i]), m, x[i])
+
+        rows = ds.map_batches(far_part, batch_format="pyarrow").take_all()
+        if not rows:
+            break
+        win = max(rows, key=lambda r: (r["d2"], -r["vid"]))
+        chosen.append(
+            (int(win["vid"]), np.asarray(win["vec"], np.float64),
+             math.sqrt(float(win["d2"])))
+        )
+
+    return ray.data.from_arrow(pa.table(
+        {"k": pa.array(range(len(chosen)), pa.int64()),
+         "vec_id": pa.array([c[0] for c in chosen], pa.int64()),
+         "dist": pa.array([round(c[2], 9) for c in chosen],
+                          pa.float64())}
+    ))

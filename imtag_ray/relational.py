@@ -2621,3 +2621,418 @@ def q6_forecast(sf_dir: str) -> "ray.data.Dataset":
         pa.table({"revenue": pa.array(
             [round(float(agg["s"] or 0.0), 2)], pa.float64())})
     )
+
+
+def q15_top_supplier(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q15-style top supplier → (s_suppkey, s_name,
+    total_revenue): suppliers whose three-month shipped revenue equals
+    the global maximum (Q15's revenue view + correlated MAX), revenue
+    in exact integer cents so Ray's and DuckDB's different float
+    reduction orders cannot disagree at the argmax boundary.
+
+    Scale shape: lineitem is filtered and projected at the read and
+    collapses per batch to ≤|suppliers| partial cent sums
+    (sparse_sum_reduce); the per-supplier table is bucket-aggregated
+    (supplier cardinality is unbounded at web scale), the MAX is one
+    scalar aggregate over it, and the winner filter + name join ship
+    only |winners| rows."""
+    from ray.data.aggregate import Max
+
+    from .util import bucketed_aggregate, compact_nonempty, sparse_sum_reduce
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        ts = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        cents = np.floor(
+            (col_np(t, "l_extendedprice").astype(np.float64)[keep]
+             * (1.0 - col_np(t, "l_discount").astype(np.float64)[keep]))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        k, s = sparse_sum_reduce(
+            col_np(t, "l_suppkey").astype(np.int64)[keep], cents
+        )
+        return table_from_arrays(l_suppkey=k, rev=s)
+
+    per_supp = compact_nonempty(bucketed_aggregate(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(lfilt, batch_format="pyarrow"),
+        key_cols=["l_suppkey"], aggs=[("rev", "sum", "rev")],
+    ))
+    empty = pa.table(
+        {"s_suppkey": pa.array([], pa.int64()),
+         "s_name": pa.array([], pa.string()),
+         "total_revenue": pa.array([], pa.float64())}
+    )
+    if per_supp is None:
+        return ray.data.from_arrow(empty)
+    best = int(per_supp.aggregate(Max("rev", alias_name="m"))["m"])
+
+    def winners(t: pa.Table, _best=best) -> pa.Table:
+        keep = col_np(t, "rev").astype(np.int64) == _best
+        return table_from_arrays(
+            l_suppkey=col_np(t, "l_suppkey").astype(np.int64)[keep],
+            rev=col_np(t, "rev").astype(np.int64)[keep],
+        )
+
+    top = compact_nonempty(
+        per_supp.map_batches(winners, batch_format="pyarrow")
+    )
+    if top is None:
+        return ray.data.from_arrow(empty)
+    j = top.join(
+        compact_nonempty(
+            _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        ),
+        join_type="inner", num_partitions=4,
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s_suppkey": pa.array(
+                col_np(t, "l_suppkey").astype(np.int64), pa.int64()),
+             "s_name": t.column("s_name"),
+             "total_revenue": pa.array(
+                 col_np(t, "rev").astype(np.float64) / 100.0,
+                 pa.float64())}
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow").sort("s_suppkey")
+
+
+def q12_priority(sf_dir: str, days: int = 60) -> "ray.data.Dataset":
+    """TPC-H-Q12-style late-shipment priority census → (l_linestatus,
+    high_line_count, low_line_count) over lineitems shipped more than
+    ``days`` days after their order date in 1997 (the synth tables have
+    no shipmode/commitdate, so the Q12 shape — fact⋈dim join feeding
+    two conditional counts per tiny group — keys on linestatus and
+    classifies by o_orderpriority exactly like Q12's CASE arms).
+
+    Scale shape: both reads are projected; the join is
+    hash-partitioned; each batch collapses to ≤|linestatus| rows of
+    exact integer indicator sums before the tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from .util import compact_nonempty
+
+    lo = np.datetime64("1997-01-01")
+    hi = np.datetime64("1998-01-01")
+    lateness = np.timedelta64(days, "D")
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        ts = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        return table_from_arrays(
+            l_orderkey=col_np(t, "l_orderkey").astype(np.int64)[keep],
+            ship=ts[keep].astype("datetime64[us]").astype(np.int64),
+            l_linestatus=t.column("l_linestatus")
+            .to_numpy(zero_copy_only=False)[keep],
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_linestatus"],
+    ).map_batches(lfilt, batch_format="pyarrow")
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        return table_from_arrays(
+            o_orderkey=col_np(t, "o_orderkey").astype(np.int64),
+            odate=t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            high=np.isin(pr, ("1-URGENT", "2-HIGH")).astype(np.int64),
+        )
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ofilt, batch_format="pyarrow")
+
+    j = compact_nonempty(li).join(
+        compact_nonempty(orders), join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    late_us = int(lateness.astype("timedelta64[us]").astype(np.int64))
+
+    def partial(t: pa.Table, _lus=late_us) -> pa.Table:
+        late = (
+            col_np(t, "ship").astype(np.int64)
+            - col_np(t, "odate").astype(np.int64)
+        ) > _lus
+        st = t.column("l_linestatus").to_numpy(zero_copy_only=False)[late]
+        hi_ = col_np(t, "high").astype(np.int64)[late]
+        ks, inv = np.unique(st, return_inverse=True)
+        h = np.zeros(len(ks), dtype=np.int64)
+        n = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(h, inv, hi_)
+        np.add.at(n, inv, 1)
+        return pa.table(
+            {"l_linestatus": pa.array(ks.astype(str), pa.string()),
+             "h": pa.array(h), "lo_": pa.array(n - h)}
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_linestatus")  # ≤2 groups — tiny
+        .aggregate(Sum("h", alias_name="high_line_count"),
+                   Sum("lo_", alias_name="low_line_count"))
+        .sort("l_linestatus")
+    )
+
+
+def q22_idle_customers(sf_dir: str, codes=(1, 3, 5, 7, 9),
+                       cutoff: str = "2000-01-01") -> (
+        "ray.data.Dataset"):
+    """TPC-H-Q22-style global-sales-opportunity census → (cntrycode,
+    numcust, totacctbal): customers from the given country codes
+    (cntrycode := c_nationkey % 10 — the synth tables have no phone
+    column) whose account balance exceeds the average POSITIVE balance
+    of that population AND who placed no order since ``cutoff`` (the
+    anti-join window Q22 phrases as 'no orders'). Balances compare
+    in exact integer cents (bal·N > total, cross-multiplied) so the
+    boundary membership is bit-identical to the oracle.
+
+    Scale shape: pass 1 collapses every customer batch to two scalars
+    (positive-cent sum, count); pass 2 re-reads customers, applies the
+    exact predicate batch-side, and resolves 'has no orders' with the
+    tagged-union bucketed anti-join (no broadcast of either side); the
+    final groupby holds ≤|codes| rows."""
+    from ray.data.aggregate import Sum
+
+    from .util import bucketed_aggregate, sparse_sum_reduce
+
+    code_arr = np.asarray(sorted(codes), dtype=np.int64)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey",
+                                              "c_acctbal"])
+
+    def stats(t: pa.Table, _c=code_arr) -> pa.Table:
+        nk = col_np(t, "c_nationkey").astype(np.int64) % 10
+        cents = np.floor(
+            col_np(t, "c_acctbal").astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = np.isin(nk, _c) & (cents > 0)
+        return pa.table(
+            {"s": pa.array([int(cents[keep].sum())], pa.int64()),
+             "n": pa.array([int(keep.sum())], pa.int64())}
+        )
+
+    agg = cust.map_batches(stats, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    tot, n_pos = int(agg["s"] or 0), int(agg["n"] or 0)
+
+    def rich(t: pa.Table, _c=code_arr, _tot=tot, _n=n_pos) -> pa.Table:
+        nk = col_np(t, "c_nationkey").astype(np.int64) % 10
+        cents = np.floor(
+            col_np(t, "c_acctbal").astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = np.isin(nk, _c) & (cents * _n > _tot)
+        k = col_np(t, "c_custkey").astype(np.int64)[keep]
+        return table_from_arrays(
+            key=k, code=nk[keep], bal=cents[keep],
+            is_cust=np.ones(len(k), dtype=np.int64),
+            has_order=np.zeros(len(k), dtype=np.int64),
+        )
+
+    cut = np.datetime64(cutoff)
+
+    def tag_order(t: pa.Table, _cut=cut) -> pa.Table:
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        k = np.unique(
+            col_np(t, "o_custkey").astype(np.int64)[ts >= _cut]
+        )
+        z = np.zeros(len(k), dtype=np.int64)
+        return table_from_arrays(
+            key=k, code=z, bal=z, is_cust=z,
+            has_order=np.ones(len(k), dtype=np.int64),
+        )
+
+    both = cust.map_batches(rich, batch_format="pyarrow").union(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(tag_order, batch_format="pyarrow")
+    )
+    per_key = bucketed_aggregate(
+        both, key_cols=["key"],
+        aggs=[("code", "max", "code"), ("bal", "max", "bal"),
+              ("is_cust", "max", "is_cust"),
+              ("has_order", "max", "has_order")],
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        sel = (
+            (col_np(t, "is_cust").astype(np.int64) == 1)
+            & (col_np(t, "has_order").astype(np.int64) == 0)
+        )
+        code = col_np(t, "code").astype(np.int64)[sel]
+        bal = col_np(t, "bal").astype(np.int64)[sel]
+        k, s = sparse_sum_reduce(code, bal)
+        _, c = np.unique(code, return_counts=True)
+        return pa.table(
+            {"cntrycode": pa.array(k, pa.int64()),
+             "nc": pa.array(c.astype(np.int64)),
+             "tb": pa.array(s, pa.int64())}
+        )
+
+    out = (
+        per_key.map_batches(fold, batch_format="pyarrow")
+        .groupby("cntrycode")  # ≤|codes| groups — tiny
+        .aggregate(Sum("nc", alias_name="numcust"),
+                   Sum("tb", alias_name="tb"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"cntrycode": pa.array([], pa.int64()),
+                 "numcust": pa.array([], pa.int64()),
+                 "totacctbal": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"cntrycode": t.column("cntrycode"),
+             "numcust": t.column("numcust"),
+             "totacctbal": pa.array(
+                 col_np(t, "tb").astype(np.float64) / 100.0,
+                 pa.float64())}
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort(
+        "cntrycode"
+    )
+
+
+def q21_holdup(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q21-style waiting-order blame census → (s_suppkey, s_name,
+    numwait): for every order touching ≥2 distinct suppliers, the
+    UNIQUELY latest-shipping supplier (strict argmax of per-supplier
+    max shipdate; ties blame nobody — Q21's exists/not-exists pair) is
+    charged one wait. The synth tables have no commit/receipt dates,
+    so lateness is the within-order shipdate order — the join/semi/anti
+    SHAPE is Q21's.
+
+    Scale shape: per-(order, supplier) max shipdate and the per-order
+    (max, tie-count, supplier-count) are BUCKETED aggregates
+    (order-cardinality keys never feed Ray's groupby raw); the blame
+    join is hash-partitioned on the composite key via the same
+    tagged-union exchange; the output groupby holds |suppliers| rows
+    bucketed."""
+    from .util import (
+        bucketed_aggregate,
+        compact_nonempty,
+        sparse_sum_reduce,
+    )
+
+    def lproj(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            o=col_np(t, "l_orderkey").astype(np.int64),
+            s=col_np(t, "l_suppkey").astype(np.int64),
+            ship=t.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(lproj, batch_format="pyarrow")
+
+    # per-(order, supplier) latest shipment — E-cardinality → bucketed
+    os_max = compact_nonempty(bucketed_aggregate(
+        li, key_cols=["o", "s"], aggs=[("ship", "max", "smax")],
+    ))
+    empty = pa.table(
+        {"s_suppkey": pa.array([], pa.int64()),
+         "s_name": pa.array([], pa.string()),
+         "numwait": pa.array([], pa.int64())}
+    )
+    if os_max is None:
+        return ray.data.from_arrow(empty)
+
+    # per-order: latest shipment + distinct-supplier count
+    o_stats = compact_nonempty(bucketed_aggregate(
+        os_max.map_batches(
+            lambda t: table_from_arrays(
+                o=col_np(t, "o").astype(np.int64),
+                smax=col_np(t, "smax").astype(np.int64),
+                ns=np.ones(t.num_rows, dtype=np.int64),
+            ),
+            batch_format="pyarrow",
+        ),
+        key_cols=["o"],
+        aggs=[("smax", "max", "omax"), ("ns", "sum", "n_supp")],
+    ))
+    if o_stats is None:
+        return ray.data.from_arrow(empty)
+
+    probe = os_max.join(
+        o_stats.rename_columns({"o": "o2"}),
+        join_type="inner", num_partitions=8, on=("o",), right_on=("o2",),
+    )
+
+    def at_max(t: pa.Table) -> pa.Table:
+        hit = (
+            col_np(t, "smax").astype(np.int64)
+            == col_np(t, "omax").astype(np.int64)
+        )
+        multi = col_np(t, "n_supp").astype(np.int64) >= 2
+        keep = hit & multi
+        return table_from_arrays(
+            o=col_np(t, "o").astype(np.int64)[keep],
+            s=col_np(t, "s").astype(np.int64)[keep],
+        )
+
+    # suppliers tied at the order max; blame only unique argmaxes
+    tied = compact_nonempty(bucketed_aggregate(
+        probe.map_batches(at_max, batch_format="pyarrow")
+        .map_batches(
+            lambda t: table_from_arrays(
+                o=col_np(t, "o").astype(np.int64),
+                s=col_np(t, "s").astype(np.int64),
+                one=np.ones(t.num_rows, dtype=np.int64),
+            ),
+            batch_format="pyarrow",
+        ),
+        key_cols=["o"],
+        aggs=[("one", "sum", "n_tied"), ("s", "max", "s")],
+    ))
+    if tied is None:
+        return ray.data.from_arrow(empty)
+
+    def blame(t: pa.Table) -> pa.Table:
+        keep = col_np(t, "n_tied").astype(np.int64) == 1
+        s = col_np(t, "s").astype(np.int64)[keep]
+        k, n = sparse_sum_reduce(s, np.ones(len(s), dtype=np.int64))
+        return table_from_arrays(s=k, w=n)
+
+    waits = compact_nonempty(bucketed_aggregate(
+        tied.map_batches(blame, batch_format="pyarrow"),
+        key_cols=["s"], aggs=[("w", "sum", "numwait")],
+    ))
+    if waits is None:
+        return ray.data.from_arrow(empty)
+
+    j = waits.join(
+        compact_nonempty(
+            _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        ),
+        join_type="inner", num_partitions=4,
+        on=("s",), right_on=("s_suppkey",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s_suppkey": pa.array(
+                col_np(t, "s").astype(np.int64), pa.int64()),
+             "s_name": t.column("s_name"),
+             "numwait": pa.array(
+                 col_np(t, "numwait").astype(np.int64), pa.int64())}
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow").sort(
+        ["numwait", "s_suppkey"], descending=[True, False]
+    )
