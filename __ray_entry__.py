@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scc_cond": q.doc_scc_cond_q,
         "doc_scc_depth4": q.doc_scc_depth4_q,
         "doc_walks4": q.doc_walks4_q,
+        "doc_walk_pairs": q.doc_walk_pairs_q,
+        "embed_mmr8": d.embed_mmr_q,
         "doc_hyperanf3": q.doc_hyperanf3_q,
         "doc_harmonic3": q.doc_harmonic3_q,
         "copart_mis3": q.copart_mis3_q,
@@ -1599,6 +1601,60 @@ def _sm64_sql(x0: str) -> str:
     return x
 
 
+def _walk_pairs_sql(length: int = 4, window: int = 2) -> str:
+    """Skip-gram pair oracle: self-join the replayed walk corpus of
+    _walks_sql on the walk id, keep ordered pairs 1..window steps
+    apart, count per (center, context)."""
+    walks = _walks_sql(length)
+    return f"""
+    SELECT a.url AS center_url, b.url AS context_url,
+           CAST(count(*) AS BIGINT) AS n_cooc
+    FROM ({walks}) a JOIN ({walks}) b
+      ON b.start_url = a.start_url
+     AND b.step > a.step AND b.step <= a.step + {window}
+    GROUP BY 1, 2
+    ORDER BY center_url, context_url
+    """
+
+
+def _mmr_sql(k: int = 8) -> str:
+    """Maximal-marginal-relevance oracle: k unrolled greedy stages,
+    score = 0.5*rel - 0.5*maxsim with the same double coefficients the
+    engine uses; chosen-set similarity chains through greatest()."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "q AS (SELECT v FROM e WHERE vec_id = 0)",
+        "base AS (SELECT e.vec_id, e.v,"
+        " list_cosine_similarity(e.v, q.v) AS rel"
+        " FROM e, q WHERE e.vec_id != 0)",
+        "s1 AS (SELECT vec_id, v, rel, 0.5 * rel AS score FROM base"
+        " ORDER BY score DESC, vec_id LIMIT 1)",
+        "m1 AS (SELECT b.vec_id, b.v, b.rel,"
+        " list_cosine_similarity(b.v, s1.v) AS ms"
+        " FROM base b, s1 WHERE b.vec_id != s1.vec_id)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, v, rel, ms,"
+            f" 0.5 * rel - 0.5 * ms AS score FROM m{i-1}"
+            f" ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"m{i} AS (SELECT m.vec_id, m.v, m.rel,"
+                f" greatest(m.ms, list_cosine_similarity(m.v, s{i}.v))"
+                f" AS ms"
+                f" FROM m{i-1} m, s{i} WHERE m.vec_id != s{i}.vec_id)"
+            )
+    sel = ["SELECT CAST(0 AS BIGINT) AS rnk, vec_id,"
+           " round(score, 9) AS score FROM s1"]
+    for i in range(2, k + 1):
+        sel.append(f"SELECT {i-1}, vec_id, round(score, 9) FROM s{i}")
+    return ("WITH " + ",\n    ".join(ctes) + "\n    "
+            + "\n    UNION ALL ".join(sel) + "\n    ORDER BY rnk")
+
+
 def _walks_sql(length: int = 4) -> str:
     """Deterministic-random-walk oracle: adjacency ranked by dst vid
     (row_number over the engine's url-sorted vid space), next hop =
@@ -2646,6 +2702,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_scc_cond": _scc_cond_sql(),
         "doc_scc_depth4": _scc_depth_sql(4),
         "doc_walks4": _walks_sql(4),
+        "doc_walk_pairs": _walk_pairs_sql(4, 2),
+        "embed_mmr8": _mmr_sql(8),
         "doc_hyperanf3": _hyperanf_sql(3, 8),
         "doc_harmonic3": _harmonic_sql(3, 8),
         "copart_mis3": _mis_sql(3),

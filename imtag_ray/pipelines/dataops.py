@@ -2627,3 +2627,108 @@ def embed_kcenter_q(sf_dir: str, k: int = 4, dim: int = 64) -> (
          "dist": pa.array([round(c[2], 9) for c in chosen],
                           pa.float64())}
     ))
+
+
+def embed_mmr_q(sf_dir: str, k: int = 8, lam: float = 0.5,
+                dim: int = 64) -> "ray.data.Dataset":
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    SIGIR 1998 — the diversity-aware example/passage picker) → (rnk,
+    vec_id, score): greedily select k vectors maximizing
+    ``lam·cos(q, x) − (1−lam)·max_{c∈chosen} cos(x, c)`` against the
+    query vector q = embedding of vec_id 0 (itself excluded); ties →
+    lowest vec_id. lam = 0.5 keeps both double coefficients exact so
+    the oracle's expression is bit-identical.
+
+    Scale shape: like the k-center traversal — each of the k rounds
+    is one streaming pass with the ≤k chosen vectors (plus q) riding
+    as a closure constant; every batch collapses to its single argmax
+    candidate row (carrying its vector), and the driver folds
+    ≤|blocks| candidates per round. Nothing V-sized leaves the
+    workers; the corpus is materialized once and re-streamed."""
+    ds = _read(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def _m(t: pa.Table):
+        vid = col_np(t, "vec_id").astype(np.int64)
+        arr = t.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = (
+            arr.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(-1, dim)
+        )
+        return vid, x
+
+    _cand_schema = pa.schema(
+        [("vid", pa.int64()), ("score", pa.float64()),
+         ("vec", pa.list_(pa.float64()))]
+    )
+
+    def _cand(vid: int, score: float, vec) -> pa.Table:
+        return pa.table(
+            {"vid": pa.array([vid], pa.int64()),
+             "score": pa.array([score], pa.float64()),
+             "vec": pa.array([list(map(float, vec))],
+                             pa.list_(pa.float64()))}
+        )
+
+    def qpart(t: pa.Table) -> pa.Table:
+        vid, x = _m(t)
+        hit = np.flatnonzero(vid == 0)
+        if not len(hit):
+            return _cand_schema.empty_table()
+        return _cand(0, 0.0, x[int(hit[0])])
+
+    qrows = ds.map_batches(qpart, batch_format="pyarrow").take_all()
+    empty = pa.table(
+        {"rnk": pa.array([], pa.int64()),
+         "vec_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+    if not qrows:
+        return ray.data.from_arrow(empty)
+    qv = np.asarray(qrows[0]["vec"], np.float64)
+    qn = qv / np.linalg.norm(qv)
+
+    chosen: list = []  # (vid, unit vector, score)
+    for _ in range(k):
+        cmat = (
+            np.stack([v for _, v, _ in chosen])
+            if chosen else np.zeros((0, dim))
+        )
+        cids = np.asarray([vid for vid, _, _ in chosen] + [0], np.int64)
+
+        def part(t: pa.Table, _c=cmat, _ids=cids, _q=qn,
+                 _lam=lam) -> pa.Table:
+            vid, x = _m(t)
+            keep = ~np.isin(vid, _ids)
+            vid, x = vid[keep], x[keep]
+            if not len(vid):
+                return _cand_schema.empty_table()
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            rel = xn @ _q
+            score = _lam * rel
+            if len(_c):
+                score = score - (1.0 - _lam) * (xn @ _c.T).max(axis=1)
+            m = float(score.max())
+            at = np.flatnonzero(score == m)
+            i = int(at[np.argmin(vid[at])])
+            return _cand(int(vid[i]), m, x[i])
+
+        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+        if not rows:
+            break
+        win = max(rows, key=lambda r: (r["score"], -r["vid"]))
+        wv = np.asarray(win["vec"], np.float64)
+        chosen.append(
+            (int(win["vid"]), wv / np.linalg.norm(wv),
+             float(win["score"]))
+        )
+
+    return ray.data.from_arrow(pa.table(
+        {"rnk": pa.array(range(len(chosen)), pa.int64()),
+         "vec_id": pa.array([c[0] for c in chosen], pa.int64()),
+         "score": pa.array([round(c[2], 9) for c in chosen],
+                           pa.float64())}
+    ))

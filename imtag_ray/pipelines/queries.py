@@ -2559,3 +2559,63 @@ def doc_components_inc_q(sf_dir: str) -> "ray.data.Dataset":
         .select_columns(["url", "component_id"])
         .sort("url")
     )
+
+
+def doc_walk_pairs_q(sf_dir: str, window: int = 2) -> "ray.data.Dataset":
+    """Skip-gram co-occurrence pairs from the deterministic random
+    walks — the DeepWalk/word2vec corpus-preparation stage (Perozzi et
+    al. KDD 2014 feed walks into skip-gram): → (center_url,
+    context_url, n_cooc) counting, over every 4-step walk, the ordered
+    pairs (step s, step s+d) for d = 1..window. The walks are the
+    splitmix64-replayable ones of doc_walks4, so the oracle re-derives
+    the identical corpus and self-joins it.
+
+    Scale shape: walk state is a Dataset (one row per visited step);
+    the pair expansion is ONE hash-partitioned self-join on the walk
+    id (≤ length+1 rows per key ⇒ ≤ (length+1)² join fanout per walk,
+    a constant), and the count is a bucketed pair aggregate —
+    url-pair cardinality never feeds Ray's groupby raw."""
+    from ..util import bucketed_sum_aggregate, compact_nonempty
+    from .walks import random_walks
+
+    walks = random_walks(doc_graph(sf_dir), QCFG, length=4)
+    left = walks.map_batches(
+        lambda t: pa.table(
+            {"wid": t["start_url"], "s_a": t["step"], "u_a": t["url"]}
+        ),
+        batch_format="pyarrow",
+    )
+    right = walks.map_batches(
+        lambda t: pa.table(
+            {"wid_b": t["start_url"], "s_b": t["step"], "u_b": t["url"]}
+        ),
+        batch_format="pyarrow",
+    )
+    lc, rc = compact_nonempty(left), compact_nonempty(right)
+    if lc is None or rc is None:
+        return ray.data.from_arrow(pa.table(
+            {"center_url": pa.array([], pa.string()),
+             "context_url": pa.array([], pa.string()),
+             "n_cooc": pa.array([], pa.int64())}
+        ))
+    j = lc.join(
+        rc, join_type="inner", num_partitions=QCFG.num_partitions,
+        on=("wid",), right_on=("wid_b",),
+    )
+
+    def in_window(t: pa.Table, _w=window) -> pa.Table:
+        d = (
+            col_np(t, "s_b").astype(np.int64)
+            - col_np(t, "s_a").astype(np.int64)
+        )
+        keep = (d >= 1) & (d <= _w)
+        return pa.table(
+            {"center_url": t.column("u_a").filter(pa.array(keep)),
+             "context_url": t.column("u_b").filter(pa.array(keep))}
+        )
+
+    pairs = j.map_batches(in_window, batch_format="pyarrow")
+    return bucketed_sum_aggregate(
+        pairs, key_cols=["center_url", "context_url"],
+        sum_cols=[], count_col="n_cooc",
+    ).sort(["center_url", "context_url"])
