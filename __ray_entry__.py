@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scc_depth4": q.doc_scc_depth4_q,
         "doc_walks4": q.doc_walks4_q,
         "doc_walk_pairs": q.doc_walk_pairs_q,
+        "doc_source_rank": q.doc_source_rank_q,
         "embed_mmr8": d.embed_mmr_q,
         "doc_hyperanf3": q.doc_hyperanf3_q,
         "doc_harmonic3": q.doc_harmonic3_q,
@@ -2703,6 +2704,38 @@ def oracle_sql() -> dict[str, str]:
         "doc_scc_depth4": _scc_depth_sql(4),
         "doc_walks4": _walks_sql(4),
         "doc_walk_pairs": _walk_pairs_sql(4, 2),
+        "doc_source_rank": f"""
+            WITH RECURSIVE targets AS ({_DOC_TARGETS}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(doc_id, tgt) AS a,
+                                greatest(doc_id, tgt) AS b
+                FROM targets WHERE tgt != doc_id),
+            und AS MATERIALIZED (
+                SELECT a AS s, b AS d FROM e
+                UNION ALL SELECT b, a FROM e),
+            verts AS (SELECT DISTINCT s AS v FROM und),
+            vc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+            outdeg AS (SELECT s AS v, CAST(count(*) AS DOUBLE) AS deg
+                       FROM und GROUP BY s),
+            pr(it, v, r) AS (
+                SELECT 0, v, 1.0 / (SELECT n FROM vc) FROM verts
+                UNION ALL
+                SELECT pr.it + 1, u.d,
+                       (1.0 - 0.85) / any_value((SELECT n FROM vc))
+                       + 0.85 * sum(pr.r / od.deg)
+                FROM pr
+                JOIN und u ON u.s = pr.v
+                JOIN outdeg od ON od.v = pr.v
+                WHERE pr.it < 12
+                GROUP BY pr.it, u.d
+            ),
+            ranked AS (SELECT v, round(r, 9) AS r FROM pr WHERE it = 12)
+            SELECT d.source AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(ranked.r), 9) AS total_rank
+            FROM ranked JOIN documents d ON d.doc_id = ranked.v
+            GROUP BY 1 ORDER BY 1
+        """,
         "embed_mmr8": _mmr_sql(8),
         "doc_hyperanf3": _hyperanf_sql(3, 8),
         "doc_harmonic3": _harmonic_sql(3, 8),

@@ -2619,3 +2619,109 @@ def doc_walk_pairs_q(sf_dir: str, window: int = 2) -> "ray.data.Dataset":
         pairs, key_cols=["center_url", "context_url"],
         sum_cols=[], count_col="n_cooc",
     ).sort(["center_url", "context_url"])
+
+
+def doc_sym_graph(sf_dir: str) -> Graph:
+    """The undirected-canonical doc link graph with both edge
+    directions materialized — the input shape the PageRank-family
+    kernels expect for undirected ranking (each distinct {a, b} link
+    contributes a→b and b→a exactly once)."""
+    key = (sf_dir, "doc_sym")
+    if key not in _GRAPH_CACHE:
+        und = doc_und_graph(sf_dir)
+        # reconstruct the canonical url pairs from the vid edges (the
+        # V-sized url lookup is ray.put once, read per task)
+        from .linkpred import _url_lookup_ref
+
+        uref = _url_lookup_ref(und)
+
+        def to_urls(t: pa.Table, _uref=uref) -> pa.Table:
+            u = ray.get(_uref)
+            return pa.table(
+                {"src_url": pa.array(
+                    u[col_np(t, "src").astype(np.int64)], pa.string()),
+                 "dst_url": pa.array(
+                    u[col_np(t, "dst").astype(np.int64)], pa.string())}
+            )
+
+        base = und.edges.map_batches(to_urls, batch_format="pyarrow")
+        both = base.union(
+            base.map_batches(
+                lambda t: pa.table(
+                    {"src_url": t["dst_url"], "dst_url": t["src_url"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        _GRAPH_CACHE[key] = build_graph(both, QCFG)
+    return _GRAPH_CACHE[key]
+
+
+def doc_source_rank_q(sf_dir: str) -> "ray.data.Dataset":
+    """Domain-authority aggregation → (source, n_docs, total_rank):
+    12-iteration PageRank over the symmetrized doc link graph, per-doc
+    ranks rounded to 9 dp, then summed per SOURCE (the host/domain
+    aggregation web corpora publish next to the page-level ranks).
+    Rounding BEFORE the sum pins both engines to identical addends, so
+    the unordered float reduction cannot diverge at the 9-dp output.
+
+    Scale shape: the rank table and the doc→source map meet in ONE
+    hash-partitioned join (both V-sized, never a driver lookup); the
+    per-source reduction is a bucketed aggregate."""
+    from ..util import bucketed_aggregate, compact_nonempty
+    from .pagerank import pagerank
+
+    cfg = EngineConfig(
+        num_partitions=8, max_iterations=12, pagerank_tol=0
+    )
+    pr = pagerank(doc_sym_graph(sf_dir), cfg, mode="broadcast")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            doc_id=_url_doc_ids(t.column("url")),
+            r=pc.round(t["rank"], 9).to_numpy(zero_copy_only=False),
+        )
+
+    ranks = compact_nonempty(
+        pr.map_batches(keyed, batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "n_docs": pa.array([], pa.int64()),
+         "total_rank": pa.array([], pa.float64())}
+    )
+    if ranks is None:
+        return ray.data.from_arrow(empty)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    j = ranks.join(
+        compact_nonempty(
+            docs.map_batches(
+                lambda t: pa.table(
+                    {"did": t.column("doc_id").cast(pa.int64()),
+                     "source": t.column("source").cast(pa.string())}
+                ),
+                batch_format="pyarrow",
+            )
+        ),
+        join_type="inner", num_partitions=QCFG.num_partitions,
+        on=("doc_id",), right_on=("did",),
+    )
+    agg = bucketed_aggregate(
+        j.map_batches(
+            lambda t: pa.table(
+                {"source": t["source"], "r": t["r"],
+                 "one": pa.array(np.ones(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        key_cols=["source"],
+        aggs=[("one", "sum", "n_docs"), ("r", "sum", "total_rank")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": t["source"], "n_docs": t["n_docs"],
+             "total_rank": pc.round(t["total_rank"], 9)}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("source")
