@@ -214,6 +214,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority": r.q12_priority,
         "q22_idle": r.q22_idle_customers,
         "q21_holdup": r.q21_holdup,
+        "q8_share": r.q8_market_share,
+        "q9_profit": r.q9_product_profit,
+        "q2_mincost": r.q2_min_cost_supplier,
+        "q11_value": r.q11_important_parts,
+        "q16_suppcnt": r.q16_supplier_counts,
+        "q20_dominant": r.q20_dominant_suppliers,
         "embed_kcenter4": d.embed_kcenter_q,
         "orders_stats": r.orders_stats,
         "events_burst": r.events_burst,
@@ -3656,6 +3662,126 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier sp ON sp.s_suppkey = b.s
             GROUP BY 1, 2
             ORDER BY numwait DESC, s_suppkey
+        """,
+        "q8_share": r"""
+            WITH base AS (
+              SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                         AS o_year,
+                     CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                         * 100.0 + 0.5) AS BIGINT) AS rev,
+                     ns.n_name AS supp_nation
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = nc.n_regionkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+                AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN rev ELSE 0 END) * 1.0
+                         / sum(rev), 6) AS mkt_share
+            FROM base GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_profit": r"""
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)
+                       - CAST(floor(p.p_retailprice * 50.0 + 0.5)
+                              AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT)) / 100.0
+                       AS profit
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "q2_mincost": r"""
+            WITH supply AS (
+              SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                     min(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                              AS BIGINT)) AS cost
+              FROM lineitem GROUP BY 1, 2),
+            eu AS (
+              SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+              FROM supplier s
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = 'EUROPE'),
+            cand AS (
+              SELECT p.p_partkey, p.p_name, sp.suppkey, sp.cost
+              FROM part p JOIN supply sp ON sp.partkey = p.p_partkey
+              JOIN eu ON eu.s_suppkey = sp.suppkey
+              WHERE p.p_size <= 25 AND p.p_type = 'STANDARD'),
+            mn AS (SELECT p_partkey, min(cost) AS mincost
+                   FROM cand GROUP BY 1)
+            SELECT eu.s_acctbal, eu.s_name, eu.n_name, c.p_partkey,
+                   c.p_name, c.cost / 100.0 AS supplycost
+            FROM cand c
+            JOIN mn ON mn.p_partkey = c.p_partkey
+                   AND mn.mincost = c.cost
+            JOIN eu ON eu.s_suppkey = c.suppkey
+            ORDER BY s_acctbal DESC, n_name, s_name, c.p_partkey
+        """,
+        "q11_value": r"""
+            WITH pv AS (
+              SELECT l.l_partkey,
+                     sum(CAST(floor(l.l_extendedprice
+                         * (1 - l.l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS val
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              WHERE n.n_regionkey = 3
+              GROUP BY 1),
+            tot AS (SELECT sum(val) AS t, count(*) AS np FROM pv)
+            SELECT pv.l_partkey, pv.val / 100.0 AS value
+            FROM pv, tot WHERE pv.val * tot.np * 2 > 3 * tot.t
+            ORDER BY value DESC, pv.l_partkey
+        """,
+        "q16_suppcnt": r"""
+            WITH supply AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            ok AS (SELECT s_suppkey FROM supplier
+                   WHERE s_acctbal >= 1000.0)
+            SELECT p.p_brand, p.p_type,
+                   CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT sp.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM supply sp
+            JOIN ok ON ok.s_suppkey = sp.l_suppkey
+            JOIN part p ON p.p_partkey = sp.l_partkey
+            WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_dominant": r"""
+            WITH wq AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     sum(CAST(l.l_quantity AS BIGINT)) AS qty
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_name LIKE '%bolt%'
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, sum(qty) AS total
+                   FROM wq GROUP BY 1)
+            SELECT DISTINCT s.s_name, n.n_name
+            FROM wq JOIN pt ON pt.l_partkey = wq.l_partkey
+            JOIN supplier s ON s.s_suppkey = wq.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE wq.qty * 2 > pt.total
+            ORDER BY s_name
         """,
         "embed_kcenter4": r"""
             WITH e AS (SELECT vec_id,

@@ -3036,3 +3036,777 @@ def q21_holdup(sf_dir: str) -> "ray.data.Dataset":
     return j.map_batches(finalize, batch_format="pyarrow").sort(
         ["numwait", "s_suppkey"], descending=[True, False]
     )
+
+
+def q8_market_share(
+    sf_dir: str, region: str = "EUROPE", ptype: str = "ECONOMY",
+    nation: str = "NATION_3",
+) -> "ray.data.Dataset":
+    """TPC-H-Q8-style national market share → (o_year, mkt_share):
+    the fraction of a region's revenue in one part type supplied by
+    one nation, per order year, over a two-year window. Revenue in
+    exact integer cents (the SAME floor(x·100+0.5) expression as the
+    oracle) so numerator/denominator are bit-identical on both sides
+    before the one final division.
+
+    Scale shape (the 100-TB discipline): region+nation (O(25)) are
+    driver-resolved constants closed over by the batch fns; part is
+    pre-filtered to the type and hash-joined; orders pre-filters the
+    date window and projects (okey, custkey, year); customer collapses
+    to an in-region key set via its nation column (hash join);
+    supplier ships only (s_suppkey, s_nationkey). Every batch then
+    collapses to ≤|years| (num, den) partial cent sums before a tiny
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from .util import compact_nonempty, sparse_sum_reduce
+
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg[reg.r_name == region].r_regionkey.astype(int))
+    nat = _read(sf_dir, "nation").to_pandas()
+    in_region = np.sort(
+        nat[nat.n_regionkey.astype(int).isin(rkeys)]
+        .n_nationkey.to_numpy().astype(np.int64)
+    )
+    nkey_rows = nat[nat.n_name == nation].n_nationkey.astype(int)
+    target_nk = int(nkey_rows.iloc[0]) if len(nkey_rows) else -1
+
+    def pfilt(t: pa.Table) -> pa.Table:
+        keep = (
+            t.column("p_type").to_numpy(zero_copy_only=False) == ptype
+        )
+        return table_from_arrays(
+            p_partkey=col_np(t, "p_partkey").astype(np.int64)[keep]
+        )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]) \
+        .map_batches(pfilt, batch_format="pyarrow")
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        return table_from_arrays(
+            o_orderkey=col_np(t, "o_orderkey").astype(np.int64)[keep],
+            o_custkey=col_np(t, "o_custkey").astype(np.int64)[keep],
+            o_year=(ts[keep].astype("datetime64[Y]").astype(np.int64)
+                    + 1970),
+        )
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilt, batch_format="pyarrow")
+
+    def cfilt(t: pa.Table) -> pa.Table:
+        nk = col_np(t, "c_nationkey").astype(np.int64)
+        keep = np.isin(nk, in_region)
+        return table_from_arrays(
+            c_custkey=col_np(t, "c_custkey").astype(np.int64)[keep]
+        )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cfilt, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def lproj(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            (col_np(t, "l_extendedprice").astype(np.float64)
+             * (1.0 - col_np(t, "l_discount").astype(np.float64)))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return table_from_arrays(
+            l_orderkey=col_np(t, "l_orderkey").astype(np.int64),
+            l_partkey=col_np(t, "l_partkey").astype(np.int64),
+            l_suppkey=col_np(t, "l_suppkey").astype(np.int64),
+            rev=cents,
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(lproj, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"o_year": pa.array([], pa.int64()),
+         "mkt_share": pa.array([], pa.float64())}
+    )
+    part_c = compact_nonempty(part)
+    orders_c = compact_nonempty(orders)
+    cust_c = compact_nonempty(cust)
+    if part_c is None or orders_c is None or cust_c is None:
+        return ray.data.from_arrow(empty)
+
+    oc = orders_c.join(
+        cust_c, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_year"])
+    j = (
+        compact_nonempty(li)
+        .join(part_c, join_type="inner", num_partitions=8,
+              on=("l_partkey",), right_on=("p_partkey",))
+        .join(compact_nonempty(oc), join_type="inner", num_partitions=8,
+              on=("l_orderkey",), right_on=("o_orderkey",))
+        .join(compact_nonempty(supp), join_type="inner",
+              num_partitions=8, on=("l_suppkey",),
+              right_on=("s_suppkey",))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = col_np(t, "o_year").astype(np.int64)
+        rev = col_np(t, "rev").astype(np.int64)
+        hit = col_np(t, "s_nationkey").astype(np.int64) == target_nk
+        k1, num = sparse_sum_reduce(yr, np.where(hit, rev, 0))
+        k2, den = sparse_sum_reduce(yr, rev)
+        assert np.array_equal(k1, k2)
+        return table_from_arrays(o_year=k1, num=num, den=den)
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")  # |years| groups — tiny
+        .aggregate(Sum("num", alias_name="num"),
+                   Sum("den", alias_name="den"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        num = col_np(t, "num").astype(np.float64)
+        den = col_np(t, "den").astype(np.float64)
+        share = np.array(
+            [round(n / d, 6) if d else 0.0 for n, d in zip(num, den)],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {"o_year": pa.array(
+                col_np(t, "o_year").astype(np.int64), pa.int64()),
+             "mkt_share": pa.array(share, pa.float64())}
+        )
+
+    out = compact_nonempty(
+        agg.map_batches(finalize, batch_format="pyarrow")
+    )
+    return ray.data.from_arrow(empty) if out is None else out.sort("o_year")
+
+
+def q9_product_profit(
+    sf_dir: str, name_sub: str = "widget"
+) -> "ray.data.Dataset":
+    """TPC-H-Q9-style product-type profit → (nation, o_year, profit):
+    per supplier-nation and order year, Σ(revenue − supply cost) over
+    lineitems of parts whose name contains a substring. The synth
+    tables have no partsupp, so supply cost is proxied by HALF the
+    part's retail price per unit — floor(p_retailprice·50+0.5) cents,
+    the exact-integer expression mirrored in the oracle (profit sums
+    are order-insensitive int64 on both sides).
+
+    Scale shape: part pre-filters the name predicate and ships only
+    (partkey, half-retail-cents); supplier ships (suppkey, nationkey);
+    orders ships (okey, year); each joined batch collapses to
+    ≤|nations|·|years| partial sums via an integer composite key
+    before the tiny groupby; nation names resolve from an O(25)
+    driver constant."""
+    from ray.data.aggregate import Sum
+
+    from .util import compact_nonempty, sparse_sum_reduce
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    nname = dict(
+        zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
+    )
+
+    def pfilt(t: pa.Table) -> pa.Table:
+        names = t.column("p_name").to_pandas()
+        keep = names.str.contains(name_sub, regex=False).to_numpy()
+        half = np.floor(
+            col_np(t, "p_retailprice").astype(np.float64)[keep]
+            * 50.0 + 0.5
+        ).astype(np.int64)
+        return table_from_arrays(
+            p_partkey=col_np(t, "p_partkey").astype(np.int64)[keep],
+            half_retail=half,
+        )
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(pfilt, batch_format="pyarrow")
+
+    def oproj(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return table_from_arrays(
+            o_orderkey=col_np(t, "o_orderkey").astype(np.int64),
+            o_year=(ts.astype("datetime64[Y]").astype(np.int64) + 1970),
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(oproj, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def lproj(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            (col_np(t, "l_extendedprice").astype(np.float64)
+             * (1.0 - col_np(t, "l_discount").astype(np.float64)))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return table_from_arrays(
+            l_orderkey=col_np(t, "l_orderkey").astype(np.int64),
+            l_partkey=col_np(t, "l_partkey").astype(np.int64),
+            l_suppkey=col_np(t, "l_suppkey").astype(np.int64),
+            qty=col_np(t, "l_quantity").astype(np.int64),
+            rev=cents,
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(lproj, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"nation": pa.array([], pa.string()),
+         "o_year": pa.array([], pa.int64()),
+         "profit": pa.array([], pa.float64())}
+    )
+    part_c = compact_nonempty(part)
+    if part_c is None:
+        return ray.data.from_arrow(empty)
+
+    j = (
+        compact_nonempty(li)
+        .join(part_c, join_type="inner", num_partitions=8,
+              on=("l_partkey",), right_on=("p_partkey",))
+        .join(compact_nonempty(supp), join_type="inner",
+              num_partitions=8, on=("l_suppkey",),
+              right_on=("s_suppkey",))
+        .join(compact_nonempty(orders), join_type="inner",
+              num_partitions=8, on=("l_orderkey",),
+              right_on=("o_orderkey",))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        profit = (
+            col_np(t, "rev").astype(np.int64)
+            - col_np(t, "half_retail").astype(np.int64)
+            * col_np(t, "qty").astype(np.int64)
+        )
+        key = (col_np(t, "s_nationkey").astype(np.int64) * 10_000
+               + col_np(t, "o_year").astype(np.int64))
+        k, s = sparse_sum_reduce(key, profit)
+        return table_from_arrays(k=k, profit=s)
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")  # |nations|·|years| groups — tiny
+        .aggregate(Sum("profit", alias_name="profit"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        k = col_np(t, "k").astype(np.int64)
+        names = [nname[int(x)] for x in k // 10_000]
+        return pa.table(
+            {"nation": pa.array(names, pa.string()),
+             "o_year": pa.array(k % 10_000, pa.int64()),
+             "profit": pa.array(
+                 col_np(t, "profit").astype(np.int64) / 100.0,
+                 pa.float64())}
+        )
+
+    out = compact_nonempty(
+        agg.map_batches(finalize, batch_format="pyarrow")
+    )
+    if out is None:
+        return ray.data.from_arrow(empty)
+    return out.sort(["nation", "o_year"], descending=[False, True])
+
+
+def q2_min_cost_supplier(
+    sf_dir: str, region: str = "EUROPE", ptype: str = "STANDARD",
+    max_size: int = 25,
+) -> "ray.data.Dataset":
+    """TPC-H-Q2-style minimum-cost supplier → (s_acctbal, s_name,
+    n_name, p_partkey, p_name, supplycost): for every part of one
+    type/size class, the in-region suppliers whose supply cost equals
+    the part's minimum (Q2's correlated MIN subquery). The synth
+    tables have no partsupp, so the supply relation is derived from
+    lineitem: cost(part, supp) = MIN shipped extendedprice in exact
+    integer cents, so the argmin equality cannot be split by float
+    reduction order.
+
+    Scale shape: the (part, supp) supply relation is a bucketed Arrow
+    min-aggregate over the projected lineitem stream (E-sized, never
+    driver-resident); the in-region supplier side and the filtered
+    part side are hash joins; the correlated MIN is a second bucketed
+    aggregate keyed on part, joined back and matched by integer
+    equality — the only driver state is the O(25) nation map."""
+    from .util import bucketed_aggregate, compact_nonempty
+
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg[reg.r_name == region].r_regionkey.astype(int))
+    nat = _read(sf_dir, "nation").to_pandas()
+    nat = nat[nat.n_regionkey.astype(int).isin(rkeys)]
+    in_region = np.sort(nat.n_nationkey.to_numpy().astype(np.int64))
+    nname = dict(
+        zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
+    )
+
+    def lproj(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            partkey=col_np(t, "l_partkey").astype(np.int64),
+            suppkey=col_np(t, "l_suppkey").astype(np.int64),
+            cost=np.floor(
+                col_np(t, "l_extendedprice").astype(np.float64)
+                * 100.0 + 0.5
+            ).astype(np.int64),
+        )
+
+    supply = bucketed_aggregate(
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        ).map_batches(lproj, batch_format="pyarrow"),
+        key_cols=["partkey", "suppkey"],
+        aggs=[("cost", "min", "cost")],
+    )
+
+    def sfilt(t: pa.Table) -> pa.Table:
+        nk = col_np(t, "s_nationkey").astype(np.int64)
+        keep = np.isin(nk, in_region)
+        names = [nname[int(x)] for x in nk[keep]]
+        return pa.table(
+            {"s_suppkey": pa.array(
+                col_np(t, "s_suppkey").astype(np.int64)[keep],
+                pa.int64()),
+             "s_name": t.column("s_name").filter(pa.array(keep)),
+             "s_acctbal": pa.array(
+                 col_np(t, "s_acctbal").astype(np.float64)[keep],
+                 pa.float64()),
+             "n_name": pa.array(names, pa.string())}
+        )
+
+    eu = _read(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    ).map_batches(sfilt, batch_format="pyarrow")
+
+    def pfilt(t: pa.Table) -> pa.Table:
+        keep = (
+            (t.column("p_type").to_numpy(zero_copy_only=False) == ptype)
+            & (col_np(t, "p_size").astype(np.int64) <= max_size)
+        )
+        return pa.table(
+            {"p_partkey": pa.array(
+                col_np(t, "p_partkey").astype(np.int64)[keep],
+                pa.int64()),
+             "p_name": t.column("p_name").filter(pa.array(keep))}
+        )
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_type",
+                                 "p_size"]
+    ).map_batches(pfilt, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"s_acctbal": pa.array([], pa.float64()),
+         "s_name": pa.array([], pa.string()),
+         "n_name": pa.array([], pa.string()),
+         "p_partkey": pa.array([], pa.int64()),
+         "p_name": pa.array([], pa.string()),
+         "supplycost": pa.array([], pa.float64())}
+    )
+    eu_c = compact_nonempty(eu)
+    part_c = compact_nonempty(part)
+    supply_c = compact_nonempty(supply)
+    if eu_c is None or part_c is None or supply_c is None:
+        return ray.data.from_arrow(empty)
+
+    cand = supply_c.join(
+        eu_c, join_type="inner", num_partitions=8,
+        on=("suppkey",), right_on=("s_suppkey",),
+    ).join(
+        part_c, join_type="inner", num_partitions=8,
+        on=("partkey",), right_on=("p_partkey",),
+    )
+    cand_c = compact_nonempty(cand)
+    if cand_c is None:
+        return ray.data.from_arrow(empty)
+    cand_c = cand_c.materialize()
+
+    mins = bucketed_aggregate(
+        cand_c.select_columns(["partkey", "cost"]),
+        key_cols=["partkey"], aggs=[("cost", "min", "mincost")],
+    )
+
+    j = cand_c.join(
+        compact_nonempty(mins), join_type="inner", num_partitions=8,
+        on=("partkey",), right_on=("partkey",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cost = col_np(t, "cost").astype(np.int64)
+        keep = cost == col_np(t, "mincost").astype(np.int64)
+        m = pa.array(keep)
+        return pa.table(
+            {"s_acctbal": t.column("s_acctbal").filter(m),
+             "s_name": t.column("s_name").filter(m),
+             "n_name": t.column("n_name").filter(m),
+             "p_partkey": pa.array(
+                 col_np(t, "partkey").astype(np.int64)[keep],
+                 pa.int64()),
+             "p_name": t.column("p_name").filter(m),
+             "supplycost": pa.array(cost[keep] / 100.0, pa.float64())}
+        )
+
+    out = compact_nonempty(
+        j.map_batches(finalize, batch_format="pyarrow")
+    )
+    if out is None:
+        return ray.data.from_arrow(empty)
+    return out.sort(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        descending=[True, False, False, False],
+    )
+
+
+def q11_important_parts(
+    sf_dir: str, regionkey: int = 3
+) -> "ray.data.Dataset":
+    """TPC-H-Q11-style important-stock parts → (l_partkey, value):
+    parts whose revenue supplied from one region exceeds 1.5× the
+    average per-part value (Q11's HAVING-against-global-SUM two-pass,
+    with the fixed fraction replaced by a data-relative one so the
+    predicate stays selective-but-nonempty across scale factors).
+    Values are exact integer cents; the threshold compare
+    2·np·val > 3·total is pure int64 on both sides.
+
+    Scale shape: pass 1 collapses lineitem per batch to ≤|parts|
+    partial sums (supplier nation filter via an O(25) driver set)
+    then bucket-aggregates per part; pass 2 is ONE two-scalar
+    aggregate (total, count) over the per-part table; the filter is a
+    stateless map_batches closure — no V-sized driver state."""
+    from ray.data.aggregate import Count, Sum
+
+    from .util import bucketed_aggregate, compact_nonempty, \
+        sparse_sum_reduce
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    in_region = np.sort(
+        nat[nat.n_regionkey.astype(int) == regionkey]
+        .n_nationkey.to_numpy().astype(np.int64)
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def sfilt(t: pa.Table) -> pa.Table:
+        nk = col_np(t, "s_nationkey").astype(np.int64)
+        keep = np.isin(nk, in_region)
+        return table_from_arrays(
+            s_suppkey=col_np(t, "s_suppkey").astype(np.int64)[keep]
+        )
+
+    supp = supp.map_batches(sfilt, batch_format="pyarrow")
+
+    def lproj(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            (col_np(t, "l_extendedprice").astype(np.float64)
+             * (1.0 - col_np(t, "l_discount").astype(np.float64)))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return table_from_arrays(
+            l_partkey=col_np(t, "l_partkey").astype(np.int64),
+            l_suppkey=col_np(t, "l_suppkey").astype(np.int64),
+            rev=cents,
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(lproj, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"l_partkey": pa.array([], pa.int64()),
+         "value": pa.array([], pa.float64())}
+    )
+    supp_c = compact_nonempty(supp)
+    if supp_c is None:
+        return ray.data.from_arrow(empty)
+
+    j = compact_nonempty(li).join(
+        supp_c, join_type="inner", num_partitions=8,
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, s = sparse_sum_reduce(
+            col_np(t, "l_partkey").astype(np.int64),
+            col_np(t, "rev").astype(np.int64),
+        )
+        return table_from_arrays(l_partkey=k, val=s)
+
+    pv = compact_nonempty(bucketed_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["l_partkey"], aggs=[("val", "sum", "val")],
+    ))
+    if pv is None:
+        return ray.data.from_arrow(empty)
+    pv = pv.materialize()
+    agg = pv.aggregate(Sum("val", alias_name="t"),
+                       Count(alias_name="np"))
+    total = int(agg["t"] or 0)
+    nparts = int(agg["np"] or 0)
+
+    def keep_big(t: pa.Table, _t=total, _np=nparts) -> pa.Table:
+        val = col_np(t, "val").astype(np.int64)
+        keep = val * _np * 2 > 3 * _t
+        return pa.table(
+            {"l_partkey": pa.array(
+                col_np(t, "l_partkey").astype(np.int64)[keep],
+                pa.int64()),
+             "value": pa.array(val[keep] / 100.0, pa.float64())}
+        )
+
+    out = compact_nonempty(
+        pv.map_batches(keep_big, batch_format="pyarrow")
+    )
+    if out is None:
+        return ray.data.from_arrow(empty)
+    return out.sort(["value", "l_partkey"], descending=[True, False])
+
+
+def q16_supplier_counts(
+    sf_dir: str, excl_brand: str = "Brand#1", excl_type: str = "PROMO",
+    min_acctbal: float = 1000.0,
+) -> "ray.data.Dataset":
+    """TPC-H-Q16-style supplier counts per part class → (p_brand,
+    p_type, p_size, supplier_cnt): COUNT(DISTINCT supplier) per part
+    attribute triple, over the lineitem-derived supply relation,
+    excluding one brand, one type, and suppliers below an account-
+    balance bar (Q16's NOT IN complaint anti-join, expressed as a
+    keep-side filter).
+
+    Scale shape: the distinct (part, supp) supply relation is a
+    bucketed Arrow distinct over the projected lineitem stream; the
+    supplier bar and the part attributes are hash joins; the
+    COUNT(DISTINCT) is a second bucketed distinct on (brand, type,
+    size, supp) followed by a bucketed count on the triple — four
+    shuffles, all keyed, no driver state."""
+    from .util import bucketed_aggregate, bucketed_sum_aggregate, \
+        compact_nonempty
+
+    def lproj(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            partkey=col_np(t, "l_partkey").astype(np.int64),
+            suppkey=col_np(t, "l_suppkey").astype(np.int64),
+        )
+
+    supply = bucketed_sum_aggregate(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .map_batches(lproj, batch_format="pyarrow"),
+        key_cols=["partkey", "suppkey"], sum_cols=[],
+    )
+
+    def sfilt(t: pa.Table) -> pa.Table:
+        keep = (
+            col_np(t, "s_acctbal").astype(np.float64) >= min_acctbal
+        )
+        return table_from_arrays(
+            s_suppkey=col_np(t, "s_suppkey").astype(np.int64)[keep]
+        )
+
+    ok = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(sfilt, batch_format="pyarrow")
+
+    def pfilt(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand").to_numpy(zero_copy_only=False)
+        ptype = t.column("p_type").to_numpy(zero_copy_only=False)
+        keep = (brand != excl_brand) & (ptype != excl_type)
+        m = pa.array(keep)
+        return pa.table(
+            {"p_partkey": pa.array(
+                col_np(t, "p_partkey").astype(np.int64)[keep],
+                pa.int64()),
+             "p_brand": t.column("p_brand").filter(m),
+             "p_type": t.column("p_type").filter(m),
+             "p_size": pa.array(
+                 col_np(t, "p_size").astype(np.int64)[keep],
+                 pa.int64())}
+        )
+
+    part = _read(
+        sf_dir, "part",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(pfilt, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"p_brand": pa.array([], pa.string()),
+         "p_type": pa.array([], pa.string()),
+         "p_size": pa.array([], pa.int64()),
+         "supplier_cnt": pa.array([], pa.int64())}
+    )
+    ok_c = compact_nonempty(ok)
+    part_c = compact_nonempty(part)
+    supply_c = compact_nonempty(supply)
+    if ok_c is None or part_c is None or supply_c is None:
+        return ray.data.from_arrow(empty)
+
+    j = supply_c.join(
+        ok_c, join_type="inner", num_partitions=8,
+        on=("suppkey",), right_on=("s_suppkey",),
+    ).join(
+        part_c, join_type="inner", num_partitions=8,
+        on=("partkey",), right_on=("p_partkey",),
+    ).select_columns(["p_brand", "p_type", "p_size", "suppkey"])
+
+    distinct = bucketed_sum_aggregate(
+        j, key_cols=["p_brand", "p_type", "p_size", "suppkey"],
+        sum_cols=[],
+    )
+    counts = compact_nonempty(bucketed_aggregate(
+        distinct, key_cols=["p_brand", "p_type", "p_size"],
+        aggs=[("suppkey", "count", "supplier_cnt")],
+    ))
+    if counts is None:
+        return ray.data.from_arrow(empty)
+
+    def retype(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_brand": t.column("p_brand"),
+             "p_type": t.column("p_type"),
+             "p_size": pa.array(
+                 col_np(t, "p_size").astype(np.int64), pa.int64()),
+             "supplier_cnt": pa.array(
+                 col_np(t, "supplier_cnt").astype(np.int64),
+                 pa.int64())}
+        )
+
+    return counts.map_batches(retype, batch_format="pyarrow").sort(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        descending=[True, False, False, False],
+    )
+
+
+def q20_dominant_suppliers(
+    sf_dir: str, name_sub: str = "bolt", year: int = 1996
+) -> "ray.data.Dataset":
+    """TPC-H-Q20-style part-promotion suppliers → (s_name, n_name):
+    suppliers who shipped MORE THAN HALF of some matching part's
+    total quantity in one year (Q20's nested availqty>½·Σqty
+    semi-join, re-anchored on shipped quantity since the synth tables
+    have no partsupp). Quantities are exact int64; the dominance
+    predicate 2·qty > total is integer on both sides.
+
+    Scale shape: part pre-filters the name substring and ships only
+    keys; per-(part, supp) and per-part year quantities are bucketed
+    Arrow sums over the same filtered stream (the second reduces the
+    first — E-sized input touched once); dominance is a hash join +
+    stateless filter; the winner set collapses to distinct suppliers
+    before the supplier-detail join; nation names are an O(25) driver
+    constant."""
+    from .util import bucketed_aggregate, bucketed_sum_aggregate, \
+        compact_nonempty
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    nname = dict(
+        zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
+    )
+    lo = np.datetime64(f"{year}-01-01")
+    hi = np.datetime64(f"{year + 1}-01-01")
+
+    def pfilt(t: pa.Table) -> pa.Table:
+        names = t.column("p_name").to_pandas()
+        keep = names.str.contains(name_sub, regex=False).to_numpy()
+        return table_from_arrays(
+            p_partkey=col_np(t, "p_partkey").astype(np.int64)[keep]
+        )
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name"]
+    ).map_batches(pfilt, batch_format="pyarrow")
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        ts = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        return table_from_arrays(
+            partkey=col_np(t, "l_partkey").astype(np.int64)[keep],
+            suppkey=col_np(t, "l_suppkey").astype(np.int64)[keep],
+            qty=col_np(t, "l_quantity").astype(np.int64)[keep],
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(lfilt, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"s_name": pa.array([], pa.string()),
+         "n_name": pa.array([], pa.string())}
+    )
+    part_c = compact_nonempty(part)
+    li_c = compact_nonempty(li)
+    if part_c is None or li_c is None:
+        return ray.data.from_arrow(empty)
+
+    wl = li_c.join(
+        part_c, join_type="inner", num_partitions=8,
+        on=("partkey",), right_on=("p_partkey",),
+    )
+    wq = bucketed_aggregate(
+        wl, key_cols=["partkey", "suppkey"],
+        aggs=[("qty", "sum", "qty")],
+    )
+    wq_c = compact_nonempty(wq)
+    if wq_c is None:
+        return ray.data.from_arrow(empty)
+    wq_c = wq_c.materialize()
+    pt = bucketed_aggregate(
+        wq_c.select_columns(["partkey", "qty"]),
+        key_cols=["partkey"], aggs=[("qty", "sum", "total")],
+    )
+
+    j = wq_c.join(
+        compact_nonempty(pt), join_type="inner", num_partitions=8,
+        on=("partkey",), right_on=("partkey",),
+    )
+
+    def dominant(t: pa.Table) -> pa.Table:
+        qty = col_np(t, "qty").astype(np.int64)
+        keep = 2 * qty > col_np(t, "total").astype(np.int64)
+        return table_from_arrays(
+            suppkey=col_np(t, "suppkey").astype(np.int64)[keep]
+        )
+
+    winners = compact_nonempty(bucketed_sum_aggregate(
+        j.map_batches(dominant, batch_format="pyarrow"),
+        key_cols=["suppkey"], sum_cols=[],
+    ))
+    if winners is None:
+        return ray.data.from_arrow(empty)
+
+    sj = winners.join(
+        compact_nonempty(_read(
+            sf_dir, "supplier",
+            columns=["s_suppkey", "s_name", "s_nationkey"],
+        )),
+        join_type="inner", num_partitions=4,
+        on=("suppkey",), right_on=("s_suppkey",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        names = [
+            nname[int(x)]
+            for x in col_np(t, "s_nationkey").astype(np.int64)
+        ]
+        return pa.table(
+            {"s_name": t.column("s_name"),
+             "n_name": pa.array(names, pa.string())}
+        )
+
+    out = compact_nonempty(
+        sj.map_batches(finalize, batch_format="pyarrow")
+    )
+    if out is None:
+        return ray.data.from_arrow(empty)
+    return out.sort("s_name")
