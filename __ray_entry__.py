@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_coverage": d.doc_dup_coverage_q,
         "doc_zipf": d.doc_zipf_q,
         "doc_ttr": d.doc_ttr_q,
+        "doc_pii": d.doc_pii_q,
+        "doc_rrf": d.doc_rrf_q,
         "doc_gopher": d.doc_gopher_q,
         "doc_cosine_pairs": d.doc_cosine_pairs_q,
         "doc_buckets10": d.doc_buckets10_q,
@@ -242,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": r.orders_rollup,
         "orders_cube": r.orders_cube,
         "events_zscore": r.events_zscore,
+        "events_assoc": r.events_assoc,
         "events_transitions": r.events_transitions,
         "events_gaps": r.events_gaps,
         "events_funnel": r.events_funnel,
@@ -3662,6 +3665,79 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier sp ON sp.s_suppkey = b.s
             GROUP BY 1, 2
             ORDER BY numwait DESC, s_suppkey
+        """,
+        "doc_pii": r"""
+            WITH aug AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail.example.com now'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.0.1 end'
+                        ELSE '' END AS s
+              FROM documents),
+            scan AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(
+                         s, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT)
+                         AS n_emails,
+                     regexp_replace(s, '[a-z0-9._]+@[a-z0-9.-]+',
+                                    '<EMAIL>', 'g') AS s1
+              FROM aug),
+            scan2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(
+                         s1,
+                         '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT)
+                         AS n_ipv4,
+                     CAST(length(regexp_replace(
+                         s1, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+',
+                         '<IP>', 'g')) AS BIGINT) AS clean_len
+              FROM scan)
+            SELECT doc_id, n_emails, n_ipv4, clean_len
+            FROM scan2 WHERE n_emails + n_ipv4 > 0
+            ORDER BY doc_id
+        """,
+        "doc_rrf": r"""
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens
+              FROM documents),
+            rk AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                         ORDER BY n_chars DESC, doc_id) AS r1,
+                     row_number() OVER (
+                         ORDER BY n_tokens DESC, doc_id) AS r2
+              FROM s)
+            SELECT doc_id, CAST(r1 AS BIGINT) AS r1,
+                   CAST(r2 AS BIGINT) AS r2,
+                   round(1.0 / (60 + r1) + 1.0 / (60 + r2), 9) AS rrf
+            FROM rk
+            ORDER BY rrf DESC, doc_id LIMIT 50
+        """,
+        "events_assoc": r"""
+            WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events),
+            n AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+            tc AS (SELECT event_type, count(*) AS c
+                   FROM ut GROUP BY 1),
+            p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         count(*) AS nb
+                  FROM ut a JOIN ut b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT p.ta AS type_a, p.tb AS type_b,
+                   CAST(p.nb AS BIGINT) AS n_both,
+                   CAST(ca.c AS BIGINT) AS n_a,
+                   CAST(cb.c AS BIGINT) AS n_b,
+                   round(p.nb * n.nu * 1.0 / (ca.c * cb.c), 9) AS lift
+            FROM p, n
+            JOIN tc ca ON ca.event_type = p.ta
+            JOIN tc cb ON cb.event_type = p.tb
+            ORDER BY type_a, type_b
         """,
         "q8_share": r"""
             WITH base AS (

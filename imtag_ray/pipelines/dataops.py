@@ -2732,3 +2732,146 @@ def embed_mmr_q(sf_dir: str, k: int = 8, lam: float = 0.5,
          "score": pa.array([round(c[2], 9) for c in chosen],
                            pa.float64())}
     ))
+
+
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+"
+_PII_IPV4 = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+
+
+def doc_pii_q(sf_dir: str) -> "ray.data.Dataset":
+    """PII detection + redaction audit per document → (doc_id,
+    n_emails, n_ipv4, clean_len): email and IPv4 occurrence counts and
+    the post-redaction text length (matches replaced by <EMAIL>/<IP>),
+    for documents containing any hit — the scrubbing pass every
+    training-data pipeline runs before release. The synth corpus is
+    PII-free, so a deterministic doc_id-keyed contact line is appended
+    first (doc_id%3 → an email, doc_id%5 → an IP) — the SAME
+    augmentation expression the oracle applies, so the regex kernels
+    are exercised on identical inputs.
+
+    Scale shape: purely per-document — augmentation, both counts and
+    the double redaction complete batch-side with vectorized pandas
+    regex kernels (compiled once per batch, no Python row loop); the
+    only shuffle is the output sort."""
+    import re
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    email_re = re.compile(_PII_EMAIL)
+    ipv4_re = re.compile(_PII_IPV4)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = col_np(t, "doc_id").astype(np.int64)
+        s = _texts(t).fillna("").reset_index(drop=True)
+        aug = s.copy()
+        m3 = ids % 3 == 0
+        m5 = ids % 5 == 0
+        if m3.any():
+            aug[m3] = (
+                aug[m3] + " contact user"
+                + pd.Series(ids[m3].astype(str), index=aug[m3].index)
+                + "@mail.example.com now"
+            )
+        if m5.any():
+            aug[m5] = (
+                aug[m5] + " ip 10."
+                + pd.Series((ids[m5] % 256).astype(str),
+                            index=aug[m5].index)
+                + ".0.1 end"
+            )
+        n_emails = aug.str.count(email_re).to_numpy(np.int64)
+        clean = aug.str.replace(email_re, "<EMAIL>", regex=True)
+        n_ipv4 = clean.str.count(ipv4_re).to_numpy(np.int64)
+        clean = clean.str.replace(ipv4_re, "<IP>", regex=True)
+        clean_len = clean.str.len().to_numpy(np.int64)
+        keep = (n_emails + n_ipv4) > 0
+        return pa.table(
+            {"doc_id": pa.array(ids[keep], pa.int64()),
+             "n_emails": pa.array(n_emails[keep], pa.int64()),
+             "n_ipv4": pa.array(n_ipv4[keep], pa.int64()),
+             "clean_len": pa.array(clean_len[keep], pa.int64())}
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_rrf_q(sf_dir: str, k: int = 60, topn: int = 50) -> "ray.data.Dataset":
+    """Reciprocal-rank fusion of two corpus rankings → (doc_id, r1,
+    r2, rrf): rank docs by character length and by token count
+    (deterministic doc_id tie-break), fuse with the standard
+    RRF score 1/(k+r1) + 1/(k+r2), keep the top-n — the
+    multi-signal result-merging step of a retrieval/curation stack.
+    Ranks are exact int64 row numbers; the score is ONE per-row double
+    expression over identical integers on both sides (round 9).
+
+    Scale shape: each ranking is a distributed sort + the engine's
+    block-offset zip_with_index (driver sees P offsets, not rows);
+    the fusion is a hash join on doc_id and a stateless batch map;
+    only the top-n rows survive the final sort+limit."""
+    from ..util import compact_nonempty, zip_with_index
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text",
+                                               "n_chars"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        s = _texts(t).fillna("")
+        return pa.table(
+            {"doc_id": pa.array(
+                col_np(t, "doc_id").astype(np.int64), pa.int64()),
+             "n_chars": pa.array(
+                 col_np(t, "n_chars").astype(np.int64), pa.int64()),
+             "n_tokens": pa.array(
+                 s.str.count(r"\S+").to_numpy(np.int64), pa.int64())}
+        )
+
+    base = docs.map_batches(proj, batch_format="pyarrow").materialize()
+
+    def ranked(by: str, out: str) -> "ray.data.Dataset":
+        srt = base.select_columns(["doc_id", by]).sort(
+            [by, "doc_id"], descending=[True, False]
+        )
+        idx = zip_with_index(srt, index_name="__i")
+
+        def fin(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": t.column("doc_id"),
+                 out: pa.array(
+                     col_np(t, "__i").astype(np.int64) + 1, pa.int64())}
+            )
+
+        return idx.map_batches(fin, batch_format="pyarrow")
+
+    r1 = compact_nonempty(ranked("n_chars", "r1"))
+    r2 = compact_nonempty(ranked("n_tokens", "r2"))
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "r1": pa.array([], pa.int64()),
+         "r2": pa.array([], pa.int64()),
+         "rrf": pa.array([], pa.float64())}
+    )
+    if r1 is None or r2 is None:
+        return ray.data.from_arrow(empty)
+
+    j = r1.join(r2, join_type="inner", num_partitions=8,
+                on=("doc_id",), right_on=("doc_id",))
+
+    def fuse(t: pa.Table) -> pa.Table:
+        a = col_np(t, "r1").astype(np.int64)
+        b = col_np(t, "r2").astype(np.int64)
+        score = np.array(
+            [round(1.0 / (k + x) + 1.0 / (k + y), 9)
+             for x, y in zip(a, b)],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {"doc_id": pa.array(
+                col_np(t, "doc_id").astype(np.int64), pa.int64()),
+             "r1": pa.array(a, pa.int64()),
+             "r2": pa.array(b, pa.int64()),
+             "rrf": pa.array(score, pa.float64())}
+        )
+
+    return (
+        j.map_batches(fuse, batch_format="pyarrow")
+        .sort(["rrf", "doc_id"], descending=[True, False])
+        .limit(topn)
+    )

@@ -3810,3 +3810,133 @@ def q20_dominant_suppliers(
     if out is None:
         return ray.data.from_arrow(empty)
     return out.sort("s_name")
+
+
+def events_assoc(sf_dir: str) -> "ray.data.Dataset":
+    """Market-basket association rules over per-user event-type sets →
+    (type_a, type_b, n_both, n_a, n_b, lift): for every unordered
+    type pair (a < b), the number of users who did both, each type's
+    user count, and the lift n_both·n_users/(n_a·n_b) — the
+    co-occurrence mining step of a behavioural-signal pipeline. All
+    counts are exact int64; lift is ONE per-row double expression
+    computed from identical integers on both sides (round 9).
+
+    Scale shape: the (user, type) incidence relation is a bucketed
+    Arrow distinct (U·|types| rows, never driver-resident); pair
+    expansion co-locates each user's types with a hash-bucket
+    groupby and expands within sorted runs fully vectorized
+    (≤C(|types|,2) pairs per user); pair counts and per-type user
+    counts are bucketed aggregates; only the O(|types|) count map
+    touches the driver."""
+    from ray.data.aggregate import Count
+
+    from .util import bucketed_aggregate, bucketed_sum_aggregate, \
+        compact_nonempty
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": pa.array(
+                col_np(t, "user_id").astype(np.int64), pa.int64()),
+             "event_type": t.column("event_type").cast(pa.string())}
+        )
+
+    ut = bucketed_sum_aggregate(
+        ev.map_batches(proj, batch_format="pyarrow"),
+        key_cols=["user_id", "event_type"], sum_cols=[],
+    )
+    empty = pa.table(
+        {"type_a": pa.array([], pa.string()),
+         "type_b": pa.array([], pa.string()),
+         "n_both": pa.array([], pa.int64()),
+         "n_a": pa.array([], pa.int64()),
+         "n_b": pa.array([], pa.int64()),
+         "lift": pa.array([], pa.float64())}
+    )
+    ut_c = compact_nonempty(ut)
+    if ut_c is None:
+        return ray.data.from_arrow(empty)
+    ut_c = ut_c.materialize()
+
+    # |types| is vocabulary-bounded; counts resolve on the driver like
+    # the O(25) nation maps (broadcast once into the finalize closure)
+    tc_tab = pa.concat_tables(
+        ray.get(ut_c.to_arrow_refs()), promote_options="default"
+    )
+    tt = tc_tab.column("event_type").to_pandas()
+    type_counts = tt.value_counts().to_dict()
+    n_users = int(tc_tab.column("user_id").to_pandas().nunique())
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = col_np(t, "user_id").astype(np.int64)
+        return t.append_column(
+            "__b", pa.array((u % 64).astype(np.int64))
+        )
+
+    def expand_pairs(g: pa.Table) -> pa.Table:
+        u = col_np(g, "user_id").astype(np.int64)
+        ty = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ty, u))
+        u, ty = u[order], ty[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {"type_a": pa.array([], pa.string()),
+                 "type_b": pa.array([], pa.string())}
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        lengths = np.diff(np.append(starts, n))
+        run_end = (starts + lengths)[run_id]
+        rem = run_end - np.arange(n) - 1  # pairs each row opens
+        total = int(rem.sum())
+        a_idx = np.repeat(np.arange(n), rem)
+        cum = np.concatenate(([0], np.cumsum(rem)[:-1]))
+        b_idx = a_idx + (np.arange(total) - np.repeat(cum, rem)) + 1
+        return pa.table(
+            {"type_a": pa.array(ty[a_idx], pa.string()),
+             "type_b": pa.array(ty[b_idx], pa.string())}
+        )
+
+    pairs = (
+        ut_c.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            lambda g: expand_pairs(g.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        )
+    )
+    counts = compact_nonempty(bucketed_aggregate(
+        pairs, key_cols=["type_a", "type_b"],
+        aggs=[("type_a", "count", "n_both")],
+    ))
+    if counts is None:
+        return ray.data.from_arrow(empty)
+
+    def finalize(t: pa.Table, _tc=type_counts, _nu=n_users) -> pa.Table:
+        ta = t.column("type_a").to_numpy(zero_copy_only=False)
+        tb = t.column("type_b").to_numpy(zero_copy_only=False)
+        nboth = col_np(t, "n_both").astype(np.int64)
+        na = np.array([_tc[x] for x in ta], dtype=np.int64)
+        nb = np.array([_tc[x] for x in tb], dtype=np.int64)
+        lift = np.array(
+            [round(int(c) * _nu / (int(a) * int(b)), 9)
+             for c, a, b in zip(nboth, na, nb)],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {"type_a": pa.array(ta, pa.string()),
+             "type_b": pa.array(tb, pa.string()),
+             "n_both": pa.array(nboth, pa.int64()),
+             "n_a": pa.array(na, pa.int64()),
+             "n_b": pa.array(nb, pa.int64()),
+             "lift": pa.array(lift, pa.float64())}
+        )
+
+    return counts.map_batches(finalize, batch_format="pyarrow").sort(
+        ["type_a", "type_b"]
+    )
