@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pq4": d.embed_pq4_q,
         "embed_adc3": d.embed_adc3_q,
         "embed_adc_recall": d.embed_adc_recall_q,
+        "embed_hard_negatives": d.embed_hard_negatives_q,
         # --- relational / windowed ----------------------------------------
         "q1_pricing": r.q1_pricing_summary,
         "q5_revenue": r.q5_revenue,
@@ -3665,6 +3666,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier sp ON sp.s_suppkey = b.s
             GROUP BY 1, 2
             ORDER BY numwait DESC, s_suppkey
+        """,
+        "embed_hard_negatives": r"""
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS ee
+                       FROM embeddings),
+            s AS (SELECT a.vec_id AS q, b.vec_id AS c,
+                         a.label = b.label AS same,
+                         list_cosine_similarity(a.ee, b.ee) AS s
+                  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+            pos AS (SELECT q, c, s, row_number() OVER (
+                        PARTITION BY q ORDER BY s ASC, c) AS rn
+                    FROM s WHERE same),
+            neg AS (SELECT q, c, s, row_number() OVER (
+                        PARTITION BY q ORDER BY s DESC, c) AS rn
+                    FROM s WHERE NOT same)
+            SELECT p.q AS vec_id, p.c AS pos_id,
+                   round(p.s, 9) AS pos_sim,
+                   n.c AS neg_id, round(n.s, 9) AS neg_sim
+            FROM pos p JOIN neg n ON n.q = p.q AND n.rn = 1
+            WHERE p.rn = 1
+            ORDER BY vec_id
         """,
         "doc_pii": r"""
             WITH aug AS (

@@ -2875,3 +2875,90 @@ def doc_rrf_q(sf_dir: str, k: int = 60, topn: int = 50) -> "ray.data.Dataset":
         .sort(["rrf", "doc_id"], descending=[True, False])
         .limit(topn)
     )
+
+
+def embed_hard_negatives_q(sf_dir: str) -> pa.Table:
+    """Triplet mining for contrastive training → (vec_id, pos_id,
+    pos_sim, neg_id, neg_sim): per anchor, the hardest positive (the
+    LEAST-similar same-label vector — hardest to pull together) and
+    the hardest negative (the MOST-similar different-label vector —
+    hardest to push apart), ties broken by min candidate id. The
+    standard batch-hard mining step of a metric-learning data
+    pipeline.
+
+    Scale shape: same contract as embed_knn_graph_q — the anchor side
+    (bounded fixture) is broadcast ONCE via ray.put; the candidate
+    side streams through map_batches, each batch collapsing to exactly
+    TWO partial rows per anchor (batch-best positive, batch-best
+    negative) via one matmul + masked min/max, so the driver merge is
+    O(anchors × blocks), never corpus-sized. At corpus scale the
+    candidate stream routes through the IVF index like every other
+    k-NN consumer (nearest cells for negatives, label-partitioned
+    scan for positives)."""
+    import pyarrow.compute as pc
+
+    from ..ann.knn import _emb_matrix, _normalize
+    from ..util import dataset_to_numpy, table_from_arrays
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    emb = ds.sort("vec_id").to_pandas()
+    q = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    qids = emb["vec_id"].to_numpy().astype(np.int64)
+    qlab = emb["label"].to_numpy().astype(np.int64)
+    ref = ray.put((q, qids, qlab))
+
+    BIG = np.iinfo(np.int64).max
+
+    def step(batch: pa.Table, _ref=ref) -> pa.Table:
+        qm, aqids, aqlab = ray.get(_ref)
+        ids = col_np(batch, "vec_id").astype(np.int64)
+        lab = col_np(batch, "label").astype(np.int64)
+        m = _normalize(_emb_matrix(batch, "embedding"))
+        sims = qm @ m.T  # (Q, B)
+        same = aqlab[:, None] == lab[None, :]
+        selfm = aqids[:, None] == ids[None, :]
+
+        pos = np.where(same & ~selfm, sims, np.inf)
+        pbest = pos.min(axis=1)
+        pid = np.where(pos == pbest[:, None], ids[None, :], BIG).min(axis=1)
+
+        neg = np.where(~same, sims, -np.inf)
+        nbest = neg.max(axis=1)
+        nid = np.where(neg == nbest[:, None], ids[None, :], BIG).min(axis=1)
+
+        return table_from_arrays(
+            q=aqids, pos_sim=pbest, pos_id=pid,
+            neg_sim=nbest, neg_id=nid,
+        )
+
+    parts = dataset_to_numpy(
+        ds.map_batches(step, batch_format="pyarrow"),
+        "q", "pos_sim", "pos_id", "neg_sim", "neg_id",
+    )
+
+    def argbest(qv, sim, cid, biggest: bool):
+        fin = np.isfinite(sim)
+        qv, sim, cid = qv[fin], sim[fin], cid[fin]
+        key = -sim if biggest else sim
+        order = np.lexsort((cid, key, qv))
+        qv, sim, cid = qv[order], sim[order], cid[order]
+        first = np.ones(len(qv), dtype=bool)
+        if len(qv):
+            first[1:] = qv[1:] != qv[:-1]
+        return qv[first], sim[first], cid[first]
+
+    pq, psim, pid = argbest(
+        parts["q"], parts["pos_sim"], parts["pos_id"], biggest=False
+    )
+    nq, nsim, nid = argbest(
+        parts["q"], parts["neg_sim"], parts["neg_id"], biggest=True
+    )
+    common, pi, ni = np.intersect1d(pq, nq, return_indices=True)
+    return pa.table(
+        {"vec_id": pa.array(common, pa.int64()),
+         "pos_id": pa.array(pid[pi], pa.int64()),
+         "pos_sim": pc.round(pa.array(psim[pi], pa.float64()), 9),
+         "neg_id": pa.array(nid[ni], pa.int64()),
+         "neg_sim": pc.round(pa.array(nsim[ni], pa.float64()), 9)}
+    ).sort_by([("vec_id", "ascending")])
