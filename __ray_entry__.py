@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- graph analytics ----------------------------------------------
         "copart_edges": q.copart_edges_q,
         "copart_weighted": q.copart_weighted_q,
+        "copart_feature_agg2": q.copart_feature_agg2_q,
         "copart_backbone": q.copart_backbone_q,
         "copart_degree": q.copart_degree_q,
         "copart_top20": q.copart_top20_q,
@@ -2543,6 +2544,25 @@ def oracle_sql() -> dict[str, str]:
               ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 ORDER BY src_url, dst_url
+        """,
+        "copart_feature_agg2": f"""
+            WITH pairs AS ({_COPART_PAIRS}),
+            und AS (SELECT pa_ AS u, pb_ AS v FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            f AS (SELECT p_partkey AS pk,
+                         CAST(floor(p_retailprice * 100.0 + 0.5)
+                              AS BIGINT) AS fc
+                  FROM part),
+            n1 AS (SELECT und.u, sum(f.fc) AS s1, count(*) AS deg
+                   FROM und JOIN f ON f.pk = und.v GROUP BY 1),
+            n2 AS (SELECT und.u, sum(n1.s1) AS s2, sum(n1.deg) AS w2
+                   FROM und JOIN n1 ON n1.u = und.v GROUP BY 1)
+            SELECT {_PURL.format(c='n1.u')} AS url,
+                   CAST(n1.deg AS BIGINT) AS degree,
+                   n1.s1 * 1.0 / (100.0 * n1.deg) AS h1,
+                   n2.s2 * 1.0 / (100.0 * n2.w2) AS h2
+            FROM n1 JOIN n2 ON n2.u = n1.u
+            ORDER BY url
         """,
         "copart_degree": f"""
             WITH pairs AS ({_COPART_PAIRS}),

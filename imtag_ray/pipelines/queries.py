@@ -66,13 +66,15 @@ def part_url(keys: np.ndarray) -> pa.Array:
 # (object-store refs) stay valid. Mirrors the reference's cached-run-
 # table reuse across algorithm runs (include/imtag.hpp:87).
 _EDGE_URLS_CACHE: dict = {}
+_PK_PAIRS_CACHE: dict = {}
 _GRAPH_CACHE: dict = {}
 
 
-def copart_edge_urls(sf_dir: str) -> "ray.data.Dataset":
-    """Distinct undirected co-purchase pairs (src_url < dst_url), via a
-    hash-partitioned self-join of lineitem on the order key."""
-    cached = _EDGE_URLS_CACHE.get(sf_dir)
+def copart_pk_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct undirected co-purchase pairs in PART-KEY space
+    (pk_a < pk_b), via a hash-partitioned self-join of lineitem on the
+    order key + ONE bucketed distinct (pair cardinality is E)."""
+    cached = _PK_PAIRS_CACHE.get(sf_dir)
     if cached is not None:
         return cached
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -92,11 +94,21 @@ def copart_edge_urls(sf_dir: str) -> "ray.data.Dataset":
 
     from ..util import bucketed_sum_aggregate
 
-    # bucketed distinct — pair cardinality is E (util.bucketed_sum_aggregate)
     dedup = bucketed_sum_aggregate(
         pairs.map_batches(canon, batch_format="pyarrow"),
         key_cols=["pk_a", "pk_b"], sum_cols=[],
-    )
+    ).materialize()
+    _PK_PAIRS_CACHE[sf_dir] = dedup
+    return dedup
+
+
+def copart_edge_urls(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct undirected co-purchase pairs (src_url < dst_url), in
+    the engine's url vocabulary (see copart_pk_pairs)."""
+    cached = _EDGE_URLS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    dedup = copart_pk_pairs(sf_dir)
 
     def to_urls(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2725,3 +2737,103 @@ def doc_source_rank_q(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort("source")
+
+
+def copart_feature_agg2_q(sf_dir: str) -> "ray.data.Dataset":
+    """GNN-style 2-hop neighborhood feature aggregation over the
+    co-purchase graph → (url, degree, h1, h2): per vertex, h1 = mean
+    retail-price feature of its neighbors (one message-passing round)
+    and h2 = the path-weighted 2-hop mean Σ_{v∈N(u)} s1(v) /
+    Σ_{v∈N(u)} deg(v) — the aggregate a 2-layer mean-aggregator GNN
+    computes before the learned transform. Features are exact integer
+    cents; each hop keeps (sum, count) sufficient statistics so the
+    ONLY floating-point ops are the two final divisions of identical
+    int64s on both sides.
+
+    Scale shape: neighbor lists are never materialized — each hop is
+    one hash join (edge table ⋈ per-vertex stats on the v side) + one
+    bucketed sum keyed on u; the feature table joins by part key. Both
+    hops reuse the cached distinct pair Dataset; no driver state
+    beyond scalars."""
+    from ..util import bucketed_aggregate, compact_nonempty
+
+    pairs = copart_pk_pairs(sf_dir)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = col_np(t, "pk_a").astype(np.int64)
+        b = col_np(t, "pk_b").astype(np.int64)
+        return table_from_arrays(
+            u=np.concatenate([a, b]), v=np.concatenate([b, a])
+        )
+
+    und = pairs.map_batches(both_dirs, batch_format="pyarrow")
+
+    def fproj(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            pk=col_np(t, "p_partkey").astype(np.int64),
+            fc=np.floor(
+                col_np(t, "p_retailprice").astype(np.float64) * 100.0
+                + 0.5
+            ).astype(np.int64),
+        )
+
+    feat = _read(
+        sf_dir, "part", columns=["p_partkey", "p_retailprice"]
+    ).map_batches(fproj, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "degree": pa.array([], pa.int64()),
+         "h1": pa.array([], pa.float64()),
+         "h2": pa.array([], pa.float64())}
+    )
+    und_c = compact_nonempty(und)
+    feat_c = compact_nonempty(feat)
+    if und_c is None or feat_c is None:
+        return ray.data.from_arrow(empty)
+    und_c = und_c.materialize()
+
+    hop1 = und_c.join(
+        feat_c, join_type="inner", num_partitions=QCFG.num_partitions,
+        on=("v",), right_on=("pk",),
+    )
+    n1 = compact_nonempty(bucketed_aggregate(
+        hop1.select_columns(["u", "fc"]), key_cols=["u"],
+        aggs=[("fc", "sum", "s1"), ("fc", "count", "deg")],
+    ))
+    if n1 is None:
+        return ray.data.from_arrow(empty)
+    n1 = n1.materialize()
+
+    n1v = n1.rename_columns({"u": "vv", "s1": "s1v", "deg": "degv"})
+    hop2 = und_c.join(
+        compact_nonempty(n1v), join_type="inner",
+        num_partitions=QCFG.num_partitions, on=("v",), right_on=("vv",),
+    )
+    n2 = compact_nonempty(bucketed_aggregate(
+        hop2.select_columns(["u", "s1v", "degv"]), key_cols=["u"],
+        aggs=[("s1v", "sum", "s2"), ("degv", "sum", "w2")],
+    ))
+    if n2 is None:
+        return ray.data.from_arrow(empty)
+
+    j = n1.join(
+        n2.rename_columns({"u": "u2"}), join_type="inner",
+        num_partitions=QCFG.num_partitions, on=("u",), right_on=("u2",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s1 = col_np(t, "s1").astype(np.int64)
+        deg = col_np(t, "deg").astype(np.int64)
+        s2 = col_np(t, "s2").astype(np.int64)
+        w2 = col_np(t, "w2").astype(np.int64)
+        return pa.table(
+            {"url": part_url(col_np(t, "u").astype(np.int64)),
+             "degree": pa.array(deg, pa.int64()),
+             "h1": pa.array(
+                 s1.astype(np.float64) / (100.0 * deg), pa.float64()),
+             "h2": pa.array(
+                 s2.astype(np.float64) / (100.0 * w2), pa.float64())}
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow").sort("url")
