@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_edges": q.copart_edges_q,
         "copart_weighted": q.copart_weighted_q,
         "copart_feature_agg2": q.copart_feature_agg2_q,
+        "copart_negatives": q.copart_negatives_q,
         "copart_backbone": q.copart_backbone_q,
         "copart_degree": q.copart_degree_q,
         "copart_top20": q.copart_top20_q,
@@ -2544,6 +2545,24 @@ def oracle_sql() -> dict[str, str]:
               ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 ORDER BY src_url, dst_url
+        """,
+        "copart_negatives": f"""
+            WITH pairs AS ({_COPART_PAIRS}),
+            verts AS (SELECT DISTINCT u FROM (
+                SELECT pa_ AS u FROM pairs
+                UNION ALL SELECT pb_ FROM pairs)),
+            cand AS (
+              SELECT a.u AS x, b.u AS y
+              FROM verts a JOIN verts b ON a.u < b.u
+              WHERE (a.u * 2654435761 + b.u) % 50 = 0),
+            neg AS (
+              SELECT x, y FROM cand
+              WHERE NOT EXISTS (SELECT 1 FROM pairs
+                                WHERE pairs.pa_ = cand.x
+                                  AND pairs.pb_ = cand.y))
+            SELECT {_PURL.format(c='x')} AS src_url,
+                   {_PURL.format(c='y')} AS dst_url
+            FROM neg ORDER BY src_url, dst_url
         """,
         "copart_feature_agg2": f"""
             WITH pairs AS ({_COPART_PAIRS}),

@@ -2837,3 +2837,92 @@ def copart_feature_agg2_q(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return j.map_batches(finalize, batch_format="pyarrow").sort("url")
+
+
+def copart_negatives_q(sf_dir: str, mod: int = 50) -> "ray.data.Dataset":
+    """Negative-edge sampling for link-prediction training →
+    (src_url, dst_url): a deterministic 1/mod sample of NON-edges of
+    the co-purchase graph — candidate pairs (a < b) kept when the
+    Knuth-mixed key (a·2654435761 + b) % mod == 0, minus the real
+    edge set. The standard negatives-miner a graph-ML data pipeline
+    pairs with its positive edge list; the integer sampler replays
+    exactly in SQL (no float RNG state, restart-safe).
+
+    Scale shape: the vertex id array broadcasts once via ray.put
+    (ids only — the bounded-fixture analogue; at corpus scale the
+    candidate generator samples per-node from a hash ring instead of
+    enumerating V), each vertex batch emits its sampled candidates
+    fully vectorized, and the real-edge subtraction is one
+    hash-partitioned LEFT OUTER join + null filter — candidates are
+    V²/mod rows streaming through the join, never driver-resident."""
+    from ..util import bucketed_sum_aggregate, compact_nonempty, \
+        dataset_to_numpy
+
+    pairs = copart_pk_pairs(sf_dir)
+
+    def both_cols(t: pa.Table) -> pa.Table:
+        return table_from_arrays(u=np.concatenate([
+            col_np(t, "pk_a").astype(np.int64),
+            col_np(t, "pk_b").astype(np.int64),
+        ]))
+
+    verts = bucketed_sum_aggregate(
+        pairs.map_batches(both_cols, batch_format="pyarrow"),
+        key_cols=["u"], sum_cols=[],
+    )
+    empty = pa.table(
+        {"src_url": pa.array([], pa.string()),
+         "dst_url": pa.array([], pa.string())}
+    )
+    verts_c = compact_nonempty(verts)
+    if verts_c is None:
+        return ray.data.from_arrow(empty)
+    verts_c = verts_c.materialize()
+    vids = np.sort(dataset_to_numpy(verts_c, "u")["u"].astype(np.int64))
+    vref = ray.put(vids)
+
+    def gen(t: pa.Table, _vref=vref, _mod=mod) -> pa.Table:
+        vv = ray.get(_vref)
+        a = col_np(t, "u").astype(np.int64)
+        a_rep = np.repeat(a, len(vv))
+        b_til = np.tile(vv, len(a))
+        keep = (b_til > a_rep) & (
+            (a_rep * 2654435761 + b_til) % _mod == 0
+        )
+        return table_from_arrays(x=a_rep[keep], y=b_til[keep])
+
+    cand = verts_c.map_batches(gen, batch_format="pyarrow")
+
+    def mark(t: pa.Table) -> pa.Table:
+        return table_from_arrays(
+            pk_a=col_np(t, "pk_a").astype(np.int64),
+            pk_b=col_np(t, "pk_b").astype(np.int64),
+            __hit=np.ones(t.num_rows, dtype=np.int64),
+        )
+
+    marked = pairs.map_batches(mark, batch_format="pyarrow")
+    cand_c = compact_nonempty(cand)
+    marked_c = compact_nonempty(marked)
+    if cand_c is None:
+        return ray.data.from_arrow(empty)
+    j = cand_c.join(
+        marked_c, join_type="left_outer",
+        num_partitions=QCFG.num_partitions,
+        on=("x", "y"), right_on=("pk_a", "pk_b"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t.column("__hit")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"src_url": part_url(col_np(t, "x").astype(np.int64)[keep]),
+             "dst_url": part_url(col_np(t, "y").astype(np.int64)[keep])}
+        )
+
+    out = compact_nonempty(
+        j.map_batches(finalize, batch_format="pyarrow")
+    )
+    if out is None:
+        return ray.data.from_arrow(empty)
+    return out.sort(["src_url", "dst_url"])
