@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copart_weighted": q.copart_weighted_q,
         "copart_feature_agg2": q.copart_feature_agg2_q,
         "copart_negatives": q.copart_negatives_q,
+        "copart_harmonic8": q.copart_harmonic8_q,
+        "doc_sample3_per_source": d.doc_sample3_per_source_q,
         "copart_backbone": q.copart_backbone_q,
         "copart_degree": q.copart_degree_q,
         "copart_top20": q.copart_top20_q,
@@ -2545,6 +2547,72 @@ def oracle_sql() -> dict[str, str]:
               ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 ORDER BY src_url, dst_url
+        """,
+        "doc_sample3_per_source": r"""
+            WITH h AS (
+              SELECT source, doc_id,
+                     CAST('0x' || substring(
+                         md5('samp:' || CAST(doc_id AS VARCHAR)),
+                         1, 15) AS UBIGINT) AS hv
+              FROM documents),
+            r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                         PARTITION BY source ORDER BY hv, doc_id)
+                         AS rnk
+              FROM h)
+            SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
+            ORDER BY source, rnk
+        """,
+        "copart_harmonic8": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_COPART_PAIRS}),
+            und AS MATERIALIZED (SELECT pa_ AS s, pb_ AS d FROM pairs
+                    UNION ALL SELECT pb_, pa_ FROM pairs),
+            verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM und),
+            sd AS MATERIALIZED (
+                SELECT v, row_number() OVER (ORDER BY v) - 1 AS i
+                FROM (SELECT v FROM verts ORDER BY v LIMIT 4)),
+            w0(it, v, dist) AS (
+                SELECT 0, (SELECT v FROM sd WHERE i = 0), 0
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM w0 w JOIN und u ON u.s = w.v
+                WHERE w.it < 8 GROUP BY w.it, u.d),
+            w1(it, v, dist) AS (
+                SELECT 0, (SELECT v FROM sd WHERE i = 1), 0
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM w1 w JOIN und u ON u.s = w.v
+                WHERE w.it < 8 GROUP BY w.it, u.d),
+            w2(it, v, dist) AS (
+                SELECT 0, (SELECT v FROM sd WHERE i = 2), 0
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM w2 w JOIN und u ON u.s = w.v
+                WHERE w.it < 8 GROUP BY w.it, u.d),
+            w3(it, v, dist) AS (
+                SELECT 0, (SELECT v FROM sd WHERE i = 3), 0
+                UNION ALL
+                SELECT w.it + 1, u.d, min(w.dist) + 1
+                FROM w3 w JOIN und u ON u.s = w.v
+                WHERE w.it < 8 GROUP BY w.it, u.d),
+            d0 AS (SELECT v, min(dist) AS d FROM w0 GROUP BY v),
+            d1 AS (SELECT v, min(dist) AS d FROM w1 GROUP BY v),
+            d2 AS (SELECT v, min(dist) AS d FROM w2 GROUP BY v),
+            d3 AS (SELECT v, min(dist) AS d FROM w3 GROUP BY v)
+            SELECT {_PURL.format(c='verts.v')} AS url,
+                   (CASE WHEN d0.d > 0 THEN 1.0 / d0.d ELSE 0.0 END)
+                 + (CASE WHEN d1.d > 0 THEN 1.0 / d1.d ELSE 0.0 END)
+                 + (CASE WHEN d2.d > 0 THEN 1.0 / d2.d ELSE 0.0 END)
+                 + (CASE WHEN d3.d > 0 THEN 1.0 / d3.d ELSE 0.0 END)
+                   AS harmonic
+            FROM verts
+            LEFT JOIN d0 ON d0.v = verts.v
+            LEFT JOIN d1 ON d1.v = verts.v
+            LEFT JOIN d2 ON d2.v = verts.v
+            LEFT JOIN d3 ON d3.v = verts.v
+            ORDER BY url
         """,
         "copart_negatives": f"""
             WITH pairs AS ({_COPART_PAIRS}),

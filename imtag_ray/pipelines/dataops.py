@@ -2962,3 +2962,54 @@ def embed_hard_negatives_q(sf_dir: str) -> pa.Table:
          "neg_id": pa.array(nid[ni], pa.int64()),
          "neg_sim": pc.round(pa.array(nsim[ni], pa.float64()), 9)}
     ).sort_by([("vec_id", "ascending")])
+
+
+def doc_sample3_per_source_q(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Deterministic stratified sampling → (source, doc_id, rnk): the
+    k docs per source with the smallest md5('samp:'||doc_id) rank —
+    the data-mixing primitive every corpus-curation pipeline needs
+    (uniform-without-replacement per stratum, reproducible across
+    restarts and engines, no RNG state). The 60-bit md5 prefix is a
+    uniform permutation key; rank ties are impossible in practice but
+    doc_id tie-breaks pin determinism anyway.
+
+    Scale shape: the hash is per-row batch-side; the per-group top-k
+    routes through scoring.top_k_per_group (per-batch partial top-k
+    bounds the shuffle at k rows/group/block; finalize is vectorized
+    across all groups of a coarse bucket, never per-group
+    map_groups)."""
+    import hashlib
+
+    from .scoring import top_k_per_group
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = col_np(t, "doc_id").astype(np.int64)
+        h = np.array(
+            [int(hashlib.md5(f"samp:{i}".encode()).hexdigest()[:15], 16)
+             for i in ids],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"source": t.column("source").cast(pa.string()),
+             "doc_id": pa.array(ids, pa.int64()),
+             "negh": pa.array(-h, pa.int64())}
+        )
+
+    top = top_k_per_group(
+        docs.map_batches(hashed, batch_format="pyarrow"),
+        group_col="source", order_col="negh", tiebreak_col="doc_id",
+        k=k,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": t.column("source"),
+             "doc_id": t.column("doc_id").cast(pa.int64()),
+             "rnk": t.column("rnk").cast(pa.int64())}
+        )
+
+    return top.map_batches(finalize, batch_format="pyarrow").sort(
+        ["source", "rnk"]
+    )

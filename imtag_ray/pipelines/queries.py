@@ -2926,3 +2926,54 @@ def copart_negatives_q(sf_dir: str, mod: int = 50) -> "ray.data.Dataset":
     if out is None:
         return ray.data.from_arrow(empty)
     return out.sort(["src_url", "dst_url"])
+
+
+def copart_harmonic8_q(sf_dir: str, n_seeds: int = 4,
+                       rounds: int = 8) -> "ray.data.Dataset":
+    """Sampled harmonic centrality → (url, harmonic): Σ_i 1/d_i(u)
+    over a deterministic pivot set (the n_seeds smallest urls), with
+    d_i the min-hop distance within `rounds` synchronous BFS rounds
+    (unreached or self ⇒ 0 contribution) — the standard
+    sampled-pivot estimator (Eppstein–Wang) for a centrality whose
+    exact form needs all-pairs distances. The score is ONE per-row
+    left-to-right 4-term double expression over exact integer
+    distances, identical on both sides.
+
+    Scale shape: each pivot reuses the gated BFS kernel
+    (broadcast/shuffle per graph size); the per-pivot distance tables
+    attach via hash joins; the pivot list is a ≤n_seeds driver
+    constant (a top-k report)."""
+    from .traversal import bfs_distances
+
+    g = copart_graph(sf_dir)
+    seeds = [
+        row["url"]
+        for row in g.vertices.sort("url").limit(n_seeds).take(n_seeds)
+    ]
+    out = g.vertices.select_columns(["url"])
+    for i, s in enumerate(seeds):
+        di = bfs_distances(g, [s], QCFG, rounds=rounds).rename_columns(
+            {"url": f"u{i}", "dist": f"d{i}"}
+        )
+        out = out.join(
+            di, join_type="left_outer",
+            num_partitions=QCFG.num_partitions,
+            on=("url",), right_on=(f"u{i}",),
+        )
+
+    def finalize(t: pa.Table, _n=len(seeds)) -> pa.Table:
+        n = t.num_rows
+        h = np.zeros(n, dtype=np.float64)
+        for i in range(_n):
+            d = t.column(f"d{i}").to_numpy(zero_copy_only=False)
+            d = np.nan_to_num(
+                d.astype(np.float64), nan=0.0
+            )
+            # left-to-right accumulation, one term per pivot — the
+            # SQL expression adds in the same order
+            h = h + np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+        return pa.table(
+            {"url": t.column("url"), "harmonic": pa.array(h, pa.float64())}
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort("url")
