@@ -2620,9 +2620,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT pa_ AS u FROM pairs
                 UNION ALL SELECT pb_ FROM pairs)),
             cand AS (
+              -- residue form of (a*2654435761 + b) % 50 = 0: never
+              -- overflows BIGINT at any key range (matches the
+              -- engine's closed-form residue-class generator)
               SELECT a.u AS x, b.u AS y
               FROM verts a JOIN verts b ON a.u < b.u
-              WHERE (a.u * 2654435761 + b.u) % 50 = 0),
+              WHERE ((a.u % 50) * (2654435761 % 50) + (b.u % 50)) % 50 = 0),
             neg AS (
               SELECT x, y FROM cand
               WHERE NOT EXISTS (SELECT 1 FROM pairs

@@ -2848,11 +2848,17 @@ def copart_negatives_q(sf_dir: str, mod: int = 50) -> "ray.data.Dataset":
     pairs with its positive edge list; the integer sampler replays
     exactly in SQL (no float RNG state, restart-safe).
 
-    Scale shape: the vertex id array broadcasts once via ray.put
-    (ids only — the bounded-fixture analogue; at corpus scale the
-    candidate generator samples per-node from a hash ring instead of
-    enumerating V), each vertex batch emits its sampled candidates
-    fully vectorized, and the real-edge subtraction is one
+    Scale shape (round 10 — closed-form, no all-pairs): the keep
+    congruence (a·K + b) % mod == 0 fixes b's RESIDUE CLASS given a,
+    so each vertex batch generates its candidates directly from the
+    residue-grouped sorted id array (one searchsorted + ragged gather
+    per class) — O(V²/mod) rows produced with O(V²/mod) work, never
+    the O(V²) repeat/tile screen. All congruence arithmetic is done
+    mod `mod` ((a%m)·(K%m)+b%m), which never overflows int64 at ANY
+    key range (the oracle uses the same residue form). The
+    residue-grouped id array broadcasts once via ray.put (O(V) ids —
+    the broadcast_max_vertices-class footprint every broadcast-mode
+    kernel already carries), and the real-edge subtraction is one
     hash-partitioned LEFT OUTER join + null filter — candidates are
     V²/mod rows streaming through the join, never driver-resident."""
     from ..util import bucketed_sum_aggregate, compact_nonempty, \
@@ -2879,17 +2885,43 @@ def copart_negatives_q(sf_dir: str, mod: int = 50) -> "ray.data.Dataset":
         return ray.data.from_arrow(empty)
     verts_c = verts_c.materialize()
     vids = np.sort(dataset_to_numpy(verts_c, "u")["u"].astype(np.int64))
-    vref = ray.put(vids)
+    # residue-grouped layout: grouped[offsets[r]:offsets[r+1]] is the
+    # sorted id list with id % mod == r
+    res = vids % mod
+    order = np.lexsort((vids, res))
+    grouped = vids[order]
+    offsets = np.searchsorted(res[order], np.arange(mod + 1))
+    vref = ray.put((grouped, offsets))
 
     def gen(t: pa.Table, _vref=vref, _mod=mod) -> pa.Table:
-        vv = ray.get(_vref)
+        grp, off = ray.get(_vref)
         a = col_np(t, "u").astype(np.int64)
-        a_rep = np.repeat(a, len(vv))
-        b_til = np.tile(vv, len(a))
-        keep = (b_til > a_rep) & (
-            (a_rep * 2654435761 + b_til) % _mod == 0
+        # b's residue class: b ≡ -(a·K) (mod m), computed mod m only
+        r_a = (-(a % _mod) * (2654435761 % _mod)) % _mod
+        xs, ys = [], []
+        for r in np.unique(r_a):
+            arr = grp[off[r]:off[r + 1]]
+            aa = a[r_a == r]
+            if len(arr) == 0 or len(aa) == 0:
+                continue
+            start = np.searchsorted(arr, aa, side="right")  # b > a
+            cnt = len(arr) - start
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            base = np.repeat(start, cnt)
+            head = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            within = np.arange(tot) - np.repeat(head, cnt)
+            xs.append(np.repeat(aa, cnt))
+            ys.append(arr[base + within])
+        if not xs:
+            return table_from_arrays(
+                x=np.array([], dtype=np.int64),
+                y=np.array([], dtype=np.int64),
+            )
+        return table_from_arrays(
+            x=np.concatenate(xs), y=np.concatenate(ys)
         )
-        return table_from_arrays(x=a_rep[keep], y=b_til[keep])
 
     cand = verts_c.map_batches(gen, batch_format="pyarrow")
 

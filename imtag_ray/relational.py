@@ -1198,10 +1198,13 @@ def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 
 
 def top_customers_by_revenue(sf_dir: str, k: int = 20) -> pa.Table:
-    """Broadcast join (orders ⨝ customer) + top-k: the small side ships
-    once via ray.put, the big side streams (ray_guide 'Joins')."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    """Top-k customers by order revenue. Per-batch sparse partial sums
+    → bucketed final aggregation (customer-cardinality keys never hit
+    Ray's groupby) → k-row top. Names resolve by broadcasting the K
+    WINNING KEYS (k ints) as a filter over the customer table — the
+    round-10 fix for the old |customers|-dict driver broadcast; the
+    driver holds only the two k-row tables."""
+    from .util import bucketed_sum_aggregate
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -1213,14 +1216,23 @@ def top_customers_by_revenue(sf_dir: str, k: int = 20) -> pa.Table:
         )
         return table_from_arrays(c_custkey=keys, revenue=sums)
 
-    agg = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    agg = bucketed_sum_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        key_cols=["c_custkey"], sum_cols=["revenue"],
     )
     top = agg.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
-    tbl = top.to_pandas()
-    lookup = ray.get(cust_ref)
+    tbl = top.to_pandas()  # k rows
+    topkeys = pa.array(tbl["c_custkey"].to_numpy().astype(np.int64))
+
+    def pick(t: pa.Table, _keys=topkeys) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=_keys))
+
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()  # ≤ k rows survive the filter
+    )
+    lookup = dict(zip(names["c_custkey"], names["c_name"]))
     tbl["c_name"] = tbl["c_custkey"].map(lookup)
     tbl["revenue"] = tbl["revenue"].round(2)
     return pa.Table.from_pandas(
@@ -3825,9 +3837,11 @@ def events_assoc(sf_dir: str) -> "ray.data.Dataset":
     Arrow distinct (U·|types| rows, never driver-resident); pair
     expansion co-locates each user's types with a hash-bucket
     groupby and expands within sorted runs fully vectorized
-    (≤C(|types|,2) pairs per user); pair counts and per-type user
-    counts are bucketed aggregates; only the O(|types|) count map
-    touches the driver."""
+    (≤C(|types|,2) pairs per user); pair counts AND per-type user
+    counts are bucketed aggregates, and n_users is a bucketed
+    distinct + Dataset.count() — the driver sees exactly |types|
+    count rows plus one integer (round 10: the U·|types| driver
+    concat is gone)."""
     from ray.data.aggregate import Count
 
     from .util import bucketed_aggregate, bucketed_sum_aggregate, \
@@ -3859,14 +3873,27 @@ def events_assoc(sf_dir: str) -> "ray.data.Dataset":
         return ray.data.from_arrow(empty)
     ut_c = ut_c.materialize()
 
-    # |types| is vocabulary-bounded; counts resolve on the driver like
-    # the O(25) nation maps (broadcast once into the finalize closure)
+    # per-type user counts: |types| rows (vocabulary-bounded — ONLY
+    # these touch the driver, like the O(25) nation maps); n_users:
+    # bucketed distinct on user_id reduced to one integer
+    tc_ds = compact_nonempty(bucketed_aggregate(
+        ut_c, key_cols=["event_type"],
+        aggs=[("user_id", "count", "__n")],
+    ))
+    if tc_ds is None:
+        return ray.data.from_arrow(empty)
     tc_tab = pa.concat_tables(
-        ray.get(ut_c.to_arrow_refs()), promote_options="default"
+        ray.get(tc_ds.to_arrow_refs()), promote_options="default"
     )
-    tt = tc_tab.column("event_type").to_pandas()
-    type_counts = tt.value_counts().to_dict()
-    n_users = int(tc_tab.column("user_id").to_pandas().nunique())
+    type_counts = dict(zip(
+        tc_tab.column("event_type").to_pylist(),
+        [int(x) for x in col_np(tc_tab, "__n")],
+    ))
+    n_users = int(
+        bucketed_sum_aggregate(
+            ut_c, key_cols=["user_id"], sum_cols=[]
+        ).count()
+    )
 
     def bucketize(t: pa.Table) -> pa.Table:
         u = col_np(t, "user_id").astype(np.int64)
