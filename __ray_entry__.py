@@ -3953,7 +3953,11 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1),
             tot AS (SELECT sum(val) AS t, count(*) AS np FROM pv)
             SELECT pv.l_partkey, pv.val / 100.0 AS value
-            FROM pv, tot WHERE pv.val * tot.np * 2 > 3 * tot.t
+            -- HUGEINT product: exact at any sf (the engine compares
+            -- against the arbitrary-precision threshold (3t)//(2np))
+            FROM pv, tot
+            WHERE CAST(pv.val AS HUGEINT) * tot.np * 2
+                  > CAST(3 AS HUGEINT) * tot.t
             ORDER BY value DESC, pv.l_partkey
         """,
         "q16_suppcnt": r"""

@@ -77,7 +77,18 @@ def copart_pk_pairs(sf_dir: str) -> "ray.data.Dataset":
     cached = _PK_PAIRS_CACHE.get(sf_dir)
     if cached is not None:
         return cached
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    from ..util import compact_nonempty
+
+    li = compact_nonempty(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    )
+    if li is None:  # empty lineitem: typed empty pair table
+        out = ray.data.from_arrow(pa.table(
+            {"pk_a": pa.array([], pa.int64()),
+             "pk_b": pa.array([], pa.int64())}
+        )).materialize()
+        _PK_PAIRS_CACHE[sf_dir] = out
+        return out
     right = li.rename_columns({"l_partkey": "p2"})
     pairs = li.join(
         right, join_type="inner", num_partitions=QCFG.num_partitions,
@@ -2805,9 +2816,12 @@ def copart_feature_agg2_q(sf_dir: str) -> "ray.data.Dataset":
         return ray.data.from_arrow(empty)
     n1 = n1.materialize()
 
+    # n1 is already compacted + materialized; the rename preserves its
+    # block layout, so no further compact (which could return None) is
+    # needed before the join
     n1v = n1.rename_columns({"u": "vv", "s1": "s1v", "deg": "degv"})
     hop2 = und_c.join(
-        compact_nonempty(n1v), join_type="inner",
+        n1v, join_type="inner",
         num_partitions=QCFG.num_partitions, on=("v",), right_on=("vv",),
     )
     n2 = compact_nonempty(bucketed_aggregate(

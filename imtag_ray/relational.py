@@ -20,7 +20,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
-from .util import col_np, table_from_arrays
+from .util import col_np, table_from_arrays, to_pandas_typed
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
@@ -48,9 +48,9 @@ def q5_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
     lo = np.datetime64("1995-01-01")
     hi = np.datetime64("1997-01-01")
 
-    reg = _read(sf_dir, "region").to_pandas()
+    reg = to_pandas_typed(_read(sf_dir, "region"))
     rkeys = set(reg[reg.r_name == region].r_regionkey.astype(int))
-    nat = _read(sf_dir, "nation").to_pandas()
+    nat = to_pandas_typed(_read(sf_dir, "nation"))
     nat = nat[nat.n_regionkey.astype(int).isin(rkeys)]
     nkeys = np.sort(nat.n_nationkey.to_numpy().astype(np.int64))
     nname = dict(
@@ -396,7 +396,7 @@ def q7_volume(sf_dir: str) -> "ray.data.Dataset":
     lo = np.datetime64("1995-01-01")
     hi = np.datetime64("1997-01-01")
 
-    nat = _read(sf_dir, "nation").to_pandas()
+    nat = to_pandas_typed(_read(sf_dir, "nation"))
     nname = dict(
         zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
     )
@@ -503,7 +503,7 @@ def q10_returned(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     lo = np.datetime64("1995-07-01")
     hi = np.datetime64("1996-07-01")
 
-    nat = _read(sf_dir, "nation").to_pandas()
+    nat = to_pandas_typed(_read(sf_dir, "nation"))
     nname = dict(
         zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
     )
@@ -3076,9 +3076,9 @@ def q8_market_share(
     lo = np.datetime64("1995-01-01")
     hi = np.datetime64("1997-01-01")
 
-    reg = _read(sf_dir, "region").to_pandas()
+    reg = to_pandas_typed(_read(sf_dir, "region"))
     rkeys = set(reg[reg.r_name == region].r_regionkey.astype(int))
-    nat = _read(sf_dir, "nation").to_pandas()
+    nat = to_pandas_typed(_read(sf_dir, "nation"))
     in_region = np.sort(
         nat[nat.n_regionkey.astype(int).isin(rkeys)]
         .n_nationkey.to_numpy().astype(np.int64)
@@ -3157,13 +3157,18 @@ def q8_market_share(
         cust_c, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "o_year"])
+    li_c = compact_nonempty(li)
+    oc_c = compact_nonempty(oc)
+    supp_c = compact_nonempty(supp)
+    if li_c is None or oc_c is None or supp_c is None:
+        return ray.data.from_arrow(empty)
     j = (
-        compact_nonempty(li)
+        li_c
         .join(part_c, join_type="inner", num_partitions=8,
               on=("l_partkey",), right_on=("p_partkey",))
-        .join(compact_nonempty(oc), join_type="inner", num_partitions=8,
+        .join(oc_c, join_type="inner", num_partitions=8,
               on=("l_orderkey",), right_on=("o_orderkey",))
-        .join(compact_nonempty(supp), join_type="inner",
+        .join(supp_c, join_type="inner",
               num_partitions=8, on=("l_suppkey",),
               right_on=("s_suppkey",))
     )
@@ -3224,7 +3229,7 @@ def q9_product_profit(
 
     from .util import compact_nonempty, sparse_sum_reduce
 
-    nat = _read(sf_dir, "nation").to_pandas()
+    nat = to_pandas_typed(_read(sf_dir, "nation"))
     nname = dict(
         zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
     )
@@ -3283,17 +3288,21 @@ def q9_product_profit(
          "profit": pa.array([], pa.float64())}
     )
     part_c = compact_nonempty(part)
-    if part_c is None:
+    li_c = compact_nonempty(li)
+    supp_c = compact_nonempty(supp)
+    orders_c = compact_nonempty(orders)
+    if part_c is None or li_c is None or supp_c is None \
+            or orders_c is None:
         return ray.data.from_arrow(empty)
 
     j = (
-        compact_nonempty(li)
+        li_c
         .join(part_c, join_type="inner", num_partitions=8,
               on=("l_partkey",), right_on=("p_partkey",))
-        .join(compact_nonempty(supp), join_type="inner",
+        .join(supp_c, join_type="inner",
               num_partitions=8, on=("l_suppkey",),
               right_on=("s_suppkey",))
-        .join(compact_nonempty(orders), join_type="inner",
+        .join(orders_c, join_type="inner",
               num_partitions=8, on=("l_orderkey",),
               right_on=("o_orderkey",))
     )
@@ -3355,9 +3364,9 @@ def q2_min_cost_supplier(
     equality — the only driver state is the O(25) nation map."""
     from .util import bucketed_aggregate, compact_nonempty
 
-    reg = _read(sf_dir, "region").to_pandas()
+    reg = to_pandas_typed(_read(sf_dir, "region"))
     rkeys = set(reg[reg.r_name == region].r_regionkey.astype(int))
-    nat = _read(sf_dir, "nation").to_pandas()
+    nat = to_pandas_typed(_read(sf_dir, "nation"))
     nat = nat[nat.n_regionkey.astype(int).isin(rkeys)]
     in_region = np.sort(nat.n_nationkey.to_numpy().astype(np.int64))
     nname = dict(
@@ -3503,7 +3512,7 @@ def q11_important_parts(
     from .util import bucketed_aggregate, compact_nonempty, \
         sparse_sum_reduce
 
-    nat = _read(sf_dir, "nation").to_pandas()
+    nat = to_pandas_typed(_read(sf_dir, "nation"))
     in_region = np.sort(
         nat[nat.n_regionkey.astype(int) == regionkey]
         .n_nationkey.to_numpy().astype(np.int64)
@@ -3542,10 +3551,11 @@ def q11_important_parts(
          "value": pa.array([], pa.float64())}
     )
     supp_c = compact_nonempty(supp)
-    if supp_c is None:
+    li_c = compact_nonempty(li)
+    if supp_c is None or li_c is None:
         return ray.data.from_arrow(empty)
 
-    j = compact_nonempty(li).join(
+    j = li_c.join(
         supp_c, join_type="inner", num_partitions=8,
         on=("l_suppkey",), right_on=("s_suppkey",),
     )
@@ -3571,7 +3581,14 @@ def q11_important_parts(
 
     def keep_big(t: pa.Table, _t=total, _np=nparts) -> pa.Table:
         val = col_np(t, "val").astype(np.int64)
-        keep = val * _np * 2 > 3 * _t
+        # val·2np > 3t ⇔ val > (3t)//(2np): the threshold is computed
+        # in arbitrary-precision Python int (3t and 2np·val would wrap
+        # int64 at large sf), the per-row compare stays vectorized
+        thr = (3 * _t) // (2 * _np) if _np else None
+        if thr is None or thr >= np.iinfo(np.int64).max:
+            keep = np.zeros(len(val), dtype=bool)
+        else:
+            keep = val > thr
         return pa.table(
             {"l_partkey": pa.array(
                 col_np(t, "l_partkey").astype(np.int64)[keep],
@@ -3720,7 +3737,7 @@ def q20_dominant_suppliers(
     from .util import bucketed_aggregate, bucketed_sum_aggregate, \
         compact_nonempty
 
-    nat = _read(sf_dir, "nation").to_pandas()
+    nat = to_pandas_typed(_read(sf_dir, "nation"))
     nname = dict(
         zip(nat.n_nationkey.astype(int).tolist(), nat.n_name.tolist())
     )
@@ -3797,11 +3814,14 @@ def q20_dominant_suppliers(
     if winners is None:
         return ray.data.from_arrow(empty)
 
+    supp_c = compact_nonempty(_read(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ))
+    if supp_c is None:
+        return ray.data.from_arrow(empty)
     sj = winners.join(
-        compact_nonempty(_read(
-            sf_dir, "supplier",
-            columns=["s_suppkey", "s_name", "s_nationkey"],
-        )),
+        supp_c,
         join_type="inner", num_partitions=4,
         on=("suppkey",), right_on=("s_suppkey",),
     )
@@ -3816,9 +3836,12 @@ def q20_dominant_suppliers(
              "n_name": pa.array(names, pa.string())}
         )
 
-    out = compact_nonempty(
-        sj.map_batches(finalize, batch_format="pyarrow")
-    )
+    out = compact_nonempty(bucketed_sum_aggregate(
+        # the oracle's SELECT DISTINCT: two winning suppliers sharing
+        # an (s_name, n_name) pair must collapse to one row
+        sj.map_batches(finalize, batch_format="pyarrow"),
+        key_cols=["s_name", "n_name"], sum_cols=[],
+    ))
     if out is None:
         return ray.data.from_arrow(empty)
     return out.sort("s_name")

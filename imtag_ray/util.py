@@ -344,3 +344,24 @@ def compact_nonempty(ds: "ray.data.Dataset"):
     if not refs:
         return None
     return _rd.from_arrow_refs(refs)
+
+
+def to_pandas_typed(ds: "ray.data.Dataset"):
+    """``Dataset.to_pandas()`` returns a COLUMN-LESS DataFrame for a
+    zero-row Dataset even when ``Dataset.schema()`` is correct (Ray
+    2.49) — dimension-table loaders that then do ``df.colname`` crash
+    on legitimately-empty inputs. Concatenating the arrow block refs
+    preserves the blocks' schema (parquet-read blocks carry it even at
+    0 rows). Only for driver-bounded tables (dims, top-k results)."""
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if tabs:
+        return pa.concat_tables(tabs, promote_options="default").to_pandas()
+    # every block is 0-column (an empty parquet file reads as 0-column
+    # blocks); rebuild the typed empty frame from the Dataset schema
+    sch = ds.schema()
+    arrow_schema = getattr(sch, "base_schema", None)
+    if isinstance(arrow_schema, pa.Schema):
+        return arrow_schema.empty_table().to_pandas()
+    return ds.to_pandas()

@@ -16,10 +16,13 @@ SF = "/root/testdata/sf0.001"
 def _tbl(x) -> pa.Table:
     if isinstance(x, pa.Table):
         return x
-    return pa.concat_tables(
-        [t for t in x.iter_batches(batch_format="pyarrow")],
-        promote_options="default",
-    )
+    tabs = [t for t in x.iter_batches(batch_format="pyarrow")]
+    if not tabs:
+        sch = x.schema()
+        base = getattr(sch, "base_schema", None)
+        return base.empty_table() if isinstance(base, pa.Schema) \
+            else pa.table({})
+    return pa.concat_tables(tabs, promote_options="default")
 
 
 def _assert_frames_equal(a: pa.Table, b: pa.Table):
@@ -67,3 +70,52 @@ def test_gate_defaults_to_broadcast_on_fixture():
     path (a pa.Table, not a Dataset)."""
     out = d.embed_knn_graph_q(SF)
     assert isinstance(out, pa.Table)
+
+
+# --- empty-input short-circuits (ADVICE r4: compact_nonempty's None
+# contract must be honored by every join consumer) ---------------------
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """A sf dir where every table has the sf0.001 schema but 0 rows."""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("empty_sf")
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings"):
+        schema = pq.read_schema(f"{src}/{name}.parquet")
+        pq.write_table(schema.empty_table(), dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "fn,cols",
+    [
+        ("q8_market_share", ["o_year", "mkt_share"]),
+        ("q9_product_profit", ["nation", "o_year", "profit"]),
+        ("q11_important_parts", ["l_partkey", "value"]),
+        ("q16_supplier_counts",
+         ["p_brand", "p_type", "p_size", "supplier_cnt"]),
+        ("q20_dominant_suppliers", ["s_name", "n_name"]),
+        ("events_assoc",
+         ["type_a", "type_b", "n_both", "n_a", "n_b", "lift"]),
+    ],
+)
+def test_relational_empty_inputs(empty_sf_dir, fn, cols):
+    from imtag_ray import relational as r
+
+    out = getattr(r, fn)(empty_sf_dir)
+    t = _tbl(out) if not isinstance(out, pa.Table) else out
+    assert t.num_rows == 0
+    assert list(t.column_names) == cols
+
+
+def test_copart_feature_agg2_empty_inputs(empty_sf_dir):
+    from imtag_ray.pipelines import queries as q
+
+    out = q.copart_feature_agg2_q(empty_sf_dir)
+    t = _tbl(out) if not isinstance(out, pa.Table) else out
+    assert t.num_rows == 0
+    assert list(t.column_names) == ["url", "degree", "h1", "h2"]
