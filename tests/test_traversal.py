@@ -600,3 +600,71 @@ def test_wl_distinguishes_roles():
     g2 = _eigen_digraph(cyc)
     df2 = wl_colors(g2, CFG, rounds=3).to_pandas()
     assert df2["wl_color"].nunique() == 1
+
+
+def test_wl_commutative_same_partition():
+    """The commutative multiset hash must induce the SAME color
+    partition as the sorted-concat contract (colors differ as
+    strings; the equivalence classes must not)."""
+    from imtag_ray.pipelines.wl import wl_colors
+
+    rng = np.random.default_rng(53)
+    edges = sorted(
+        {tuple(sorted((int(a), int(b))))
+         for a, b in rng.integers(0, 24, size=(70, 2)) if a != b}
+    )
+    g = _eigen_digraph(edges)
+    for rounds in (1, 2, 3):
+        a = wl_colors(g, CFG, rounds=rounds).to_pandas()
+        b = wl_colors(
+            g, CFG, rounds=rounds, hash_mode="commutative"
+        ).to_pandas()
+
+        def partition(df):
+            groups = {}
+            for u, c in zip(df["url"], df["wl_color"]):
+                groups.setdefault(c, set()).add(u)
+            return {frozenset(v) for v in groups.values()}
+
+        assert partition(a) == partition(b), rounds
+
+
+def test_wl_commutative_star_and_cycle():
+    from imtag_ray.pipelines.wl import wl_colors
+
+    star = [(0, i) for i in range(1, 8)]
+    g = _eigen_digraph(star)
+    df = wl_colors(g, CFG, rounds=2, hash_mode="commutative").to_pandas()
+    colors = dict(zip(df["url"], df["wl_color"]))
+    assert len({colors[f"u{i:03d}"] for i in range(1, 8)}) == 1
+    assert colors["u000"] != colors["u001"]
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    g2 = _eigen_digraph(cyc)
+    df2 = wl_colors(g2, CFG, rounds=3, hash_mode="commutative").to_pandas()
+    assert len(set(df2["wl_color"])) == 1
+
+
+def test_wl_commutative_block_invariance():
+    """Wrapping int64 sums must merge identically across block
+    layouts: 1-partition vs 16-partition runs give identical colors
+    (the sums overflow 2^64 immediately, so this exercises the wrap
+    path on both the numpy partial and Arrow merge sides)."""
+    from imtag_ray.config import EngineConfig
+    from imtag_ray.pipelines.wl import wl_colors
+
+    rng = np.random.default_rng(59)
+    edges = sorted(
+        {tuple(sorted((int(a), int(b))))
+         for a, b in rng.integers(0, 30, size=(120, 2)) if a != b}
+    )
+    g = _eigen_digraph(edges)
+    a = wl_colors(
+        g, EngineConfig(num_partitions=1), rounds=2,
+        hash_mode="commutative",
+    ).to_pandas()
+    b = wl_colors(
+        g, EngineConfig(num_partitions=16), rounds=2,
+        hash_mode="commutative",
+    ).to_pandas()
+    assert dict(zip(a["url"], a["wl_color"])) == \
+        dict(zip(b["url"], b["wl_color"]))
