@@ -119,3 +119,28 @@ def test_copart_feature_agg2_empty_inputs(empty_sf_dir):
     t = _tbl(out) if not isinstance(out, pa.Table) else out
     assert t.num_rows == 0
     assert list(t.column_names) == ["url", "degree", "h1", "h2"]
+
+
+# --- doc_cosine_pairs df-capped large path ----------------------------
+
+def test_cosine_dfcap_uncapped_equals_exact():
+    """With df_cap >= max df every pair is a candidate, so the dfcap
+    route must reproduce the exact inverted-index join bit-for-bit."""
+    exact = d.doc_cosine_pairs_q(SF, mode="exact")
+    capped = d.doc_cosine_pairs_q(SF, mode="dfcap", df_cap=1 << 30)
+    _assert_frames_equal(_tbl(exact), _tbl(capped))
+
+
+def test_cosine_dfcap_subset_with_exact_scores():
+    """With a small cap, dfcap output is a subset of the exact result
+    and every emitted cosine matches the exact score."""
+    exact = _tbl(d.doc_cosine_pairs_q(SF, mode="exact"))
+    capped = _tbl(d.doc_cosine_pairs_q(SF, mode="dfcap", df_cap=20))
+    ex = {(a, b): c for a, b, c in zip(
+        exact["id_a"].to_pylist(), exact["id_b"].to_pylist(),
+        exact["cosine"].to_pylist())}
+    for a, b, c in zip(
+        capped["id_a"].to_pylist(), capped["id_b"].to_pylist(),
+        capped["cosine"].to_pylist(),
+    ):
+        assert (a, b) in ex and ex[(a, b)] == c
