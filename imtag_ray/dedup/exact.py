@@ -105,9 +105,10 @@ def exact_dup_pairs(
         {"id_a": pa.array([], pa.int64()),
          "id_b": pa.array([], pa.int64())}
     )
-    if mins is None:
+    hashed_c = compact_nonempty(hashed)
+    if mins is None or hashed_c is None:
         return ray.data.from_arrow(empty)
-    joined = compact_nonempty(hashed).join(
+    joined = hashed_c.join(
         mins.rename_columns({"content_hash": "ch"}),
         join_type="inner", num_partitions=num_partitions,
         on=("content_hash",), right_on=("ch",),

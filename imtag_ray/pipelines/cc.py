@@ -506,6 +506,10 @@ def connected_components_urls(
         labels_ds = _cc_shuffle(graph, cfg)
     from ..util import compact_nonempty
 
+    _EMPTY_UR = pa.table(
+        {"url": pa.array([], pa.string()),
+         "root_url": pa.array([], pa.string())}
+    )
     labels_c = compact_nonempty(labels_ds.materialize())
     roots = compact_nonempty(
         graph.vertices.map_batches(
@@ -517,12 +521,16 @@ def connected_components_urls(
         ).materialize()
     )
     verts = compact_nonempty(graph.vertices.materialize())
+    if labels_c is None or roots is None or verts is None:
+        return ray.data.from_arrow(_EMPTY_UR)
     first = compact_nonempty(
         labels_c.join(
             roots, join_type="inner", num_partitions=cfg.num_partitions,
             on=("label",),
         ).materialize()  # two fused JoinOperators can deadlock (Ray 2.49)
     )
+    if first is None:
+        return ray.data.from_arrow(_EMPTY_UR)
     return first.join(
         verts, join_type="inner",
         num_partitions=cfg.num_partitions, on=("vid",),

@@ -212,6 +212,18 @@ def dedup_exact_q(sf_dir: str) -> "ray.data.Dataset":
     return dedup_exact_ids(ds, "text", "doc_id").sort("doc_id")
 
 
+def _pairs_or_none(x, cols=("id_a", "id_b")):
+    """The dedup pair builders return a typed pa.Table when the result
+    is empty (Ray's zero-row to_pandas column loss); normalize any
+    pair result to a compacted Dataset of `cols` — or None — so join/
+    union/cluster chains can short-circuit uniformly."""
+    from ..util import compact_nonempty
+
+    if isinstance(x, pa.Table):
+        return None
+    return compact_nonempty(x.select_columns(list(cols)))
+
+
 def _round_col(ds, col: str, ndigits: int = 9):
     import pyarrow.compute as pc
 
@@ -244,12 +256,10 @@ def dedup_src_matrix_q(sf_dir: str) -> pa.Table:
     from ..util import compact_nonempty
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
-    pairs = compact_nonempty(
-        minhash_dup_pairs(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]),
-            "doc_id", "text", threshold=0.5,
-        ).select_columns(["id_a", "id_b"])
-    )
+    pairs = _pairs_or_none(minhash_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "doc_id", "text", threshold=0.5,
+    ))
     empty = pa.table(
         {"src_a": pa.array([], pa.string()),
          "src_b": pa.array([], pa.string()),
@@ -308,12 +318,10 @@ def dedup_cluster_sizes_q(sf_dir: str) -> pa.Table:
         {"cluster_size": pa.array([], pa.int64()),
          "n_clusters": pa.array([], pa.int64())}
     )
-    pairs = compact_nonempty(
-        minhash_dup_pairs(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]),
-            "doc_id", "text", threshold=0.5,
-        ).select_columns(["id_a", "id_b"])
-    )
+    pairs = _pairs_or_none(minhash_dup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "doc_id", "text", threshold=0.5,
+    ))
     if pairs is None:
         return empty
     labels = minlabel_clusters(pairs, rounds=6)
@@ -427,6 +435,12 @@ def _query_matrix(sf_dir: str):
 
 def embed_knn_q(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if ds.count() == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        )
     q, qids = _query_matrix(sf_dir)
     out = knn_brute_force(ds, "vec_id", "embedding", q, qids, k=TOP_K)
     import pyarrow.compute as pc
@@ -478,6 +492,12 @@ def embed_knn_graph_q(
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     n = ds.count()
+    if n == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        )
     if mode is None:
         mode = "broadcast" if n <= EMBED_BROADCAST_MAX_VECTORS else "ivf"
     if mode == "broadcast":
@@ -529,6 +549,11 @@ def embed_outlier3_q(
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     n = ds.count()
+    if n == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "knn3_sim": pa.array([], pa.float64())}
+        )
     if mode is None:
         mode = "broadcast" if n <= EMBED_BROADCAST_MAX_VECTORS else "ivf"
     if mode == "broadcast":
@@ -581,6 +606,11 @@ def embed_knn_cc_q(sf_dir: str, k: int = 3, rounds: int = 8) -> "ray.data.Datase
     from ..dedup.cluster import minlabel_clusters
 
     graph = embed_knn_graph_q(sf_dir, k=k)
+    if graph.num_rows == 0:
+        return ray.data.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64())}
+        ))
     pairs = ray.data.from_arrow(
         pa.table(
             {"id_a": graph["query_id"], "id_b": graph["neighbor_id"]}
@@ -606,6 +636,12 @@ def embed_knn_ivf_q(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if ds.count() == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        )
     q, qids = _query_matrix(sf_dir)
     cent_df = (
         ds.sort("vec_id").limit(N_CELLS).to_pandas()
@@ -861,6 +897,11 @@ def embed_kmeans_q(sf_dir: str) -> "ray.data.Dataset":
     from .kmeans import kmeans_assignments
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if ds.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64())}
+        ))
     return kmeans_assignments(
         ds, "vec_id", "embedding", k=8, assign_rounds=2
     ).sort("vec_id")
@@ -890,6 +931,11 @@ def embed_pq4_q(
     ds = _read(
         sf_dir, "embeddings", columns=["vec_id", "embedding"]
     ).materialize()
+    if ds.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             **{f"code{j}": pa.array([], pa.int64()) for j in range(m)}}
+        ))
 
     def assignments(j: int) -> "ray.data.Dataset":
         lo = j * sub
@@ -960,6 +1006,12 @@ def embed_adc3_q(
     ds = _read(
         sf_dir, "embeddings", columns=["vec_id", "embedding"]
     ).materialize()
+    if ds.count() == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "adc_dist": pa.array([], pa.float64())}
+        )
 
     def sliced(j: int) -> "ray.data.Dataset":
         lo = j * sub
@@ -1046,9 +1098,14 @@ def embed_adc_recall_q(sf_dir: str, topk: int = 3) -> pa.Table:
     from ..ann.knn import _emb_matrix, _topk_merge
     from ..util import dataset_to_numpy, table_from_arrays
 
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if ds.count() == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "n_hits": pa.array([], pa.int64())}
+        )
     adc = embed_adc3_q(sf_dir, topk=topk).to_pandas()
     q, qids = _query_matrix(sf_dir)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qn = (q * q).sum(axis=1, keepdims=True)
     qref = ray.put((q, qn, np.asarray(qids, dtype=np.int64)))
 
@@ -1118,12 +1175,20 @@ def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
              "c": pa.array(vc.to_numpy(np.int64))}
         )
 
+    _COOC_EMPTY = pa.table(
+        {"term_a": pa.array([], pa.string()),
+         "term_b": pa.array([], pa.string()),
+         "n_pairs": pa.array([], pa.int64()),
+         "pmi": pa.array([], pa.float64())}
+    )
     uni = compact_nonempty(
         bucketed_aggregate(
             docs.map_batches(uni_partial, batch_format="pyarrow"),
             key_cols=["term"], aggs=[("c", "sum", "c")],
         )
     )
+    if uni is None:
+        return ray.data.from_arrow(_COOC_EMPTY)
     total_t = float(uni.aggregate(Sum("c", alias_name="s"))["s"] or 0)
 
     SEP = "\x1f"
@@ -1157,6 +1222,8 @@ def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
             key_cols=["pair"], aggs=[("n_pairs", "sum", "n_pairs")],
         )
     )
+    if pairs is None:
+        return ray.data.from_arrow(_COOC_EMPTY)
     total_w = float(pairs.aggregate(Sum("n_pairs", alias_name="s"))["s"] or 0)
 
     def split_pair(t: pa.Table) -> pa.Table:
@@ -1172,6 +1239,8 @@ def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
     split = compact_nonempty(
         pairs.map_batches(split_pair, batch_format="pyarrow")
     )
+    if split is None:
+        return ray.data.from_arrow(_COOC_EMPTY)
     wa = compact_nonempty(
         split.join(
             uni.rename_columns({"term": "ka", "c": "c_a"}),
@@ -1179,6 +1248,8 @@ def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
             on=("term_a",), right_on=("ka",),
         )
     )
+    if wa is None:
+        return ray.data.from_arrow(_COOC_EMPTY)
     wb = compact_nonempty(
         wa.join(
             uni.rename_columns({"term": "kb", "c": "c_b"}),
@@ -1186,6 +1257,9 @@ def doc_cooccur_q(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
             on=("term_b",), right_on=("kb",),
         )
     )
+
+    if wb is None:
+        return ray.data.from_arrow(_COOC_EMPTY)
 
     def score(t: pa.Table, _t=total_t, _w=total_w) -> pa.Table:
         n = col_np(t, "n_pairs").astype(np.float64)
@@ -1932,6 +2006,12 @@ def embed_sq8_q(sf_dir: str, dim: int = 64) -> "ray.data.Dataset":
     from ray.data.aggregate import Max, Min
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if ds.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "code": pa.array([], pa.int64())}
+        ))
 
     def _mat(t: pa.Table) -> np.ndarray:
         arr = t.column("embedding")
@@ -2357,14 +2437,20 @@ def dedup_multisignal_q(sf_dir: str) -> pa.Table:
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()
-    ex = exact_dup_pairs(docs, "text", "doc_id")
-    mh = minhash_dup_pairs(
+    ex = _pairs_or_none(exact_dup_pairs(docs, "text", "doc_id"))
+    mh = _pairs_or_none(minhash_dup_pairs(
         docs, "doc_id", "text", threshold=0.5
-    ).select_columns(["id_a", "id_b"])
-    sh = simhash_dup_pairs(
+    ))
+    sh = _pairs_or_none(simhash_dup_pairs(
         docs, "doc_id", "text", hamming_k=8
-    ).select_columns(["id_a", "id_b"])
-    pairs = compact_nonempty(ex.union(mh).union(sh))
+    ))
+    sigs = [p for p in (ex, mh, sh) if p is not None]
+    pairs = None
+    if sigs:
+        u = sigs[0]
+        for p in sigs[1:]:
+            u = u.union(p)
+        pairs = compact_nonempty(u)
     if pairs is None:
         return pa.table(
             {"cluster_size": pa.array([1], pa.int64()),
@@ -3078,6 +3164,8 @@ def embed_hard_negatives_q(
     ds = _read(sf_dir, "embeddings",
                columns=["vec_id", "embedding", "label"])
     n = ds.count()
+    if n == 0:
+        return _HARDNEG_EMPTY
     if mode is None:
         mode = "broadcast" if n <= EMBED_BROADCAST_MAX_VECTORS else "ivf"
     if mode == "ivf":

@@ -605,8 +605,16 @@ def clustering_coefficients(
     from ..stages.graph_build import degree_dataset
     from .triangles import triangle_counts
 
-    tri = triangle_counts(graph, cfg)
-    deg = degree_dataset(graph, "undirected")
+    from ..util import compact_nonempty
+
+    tri = compact_nonempty(triangle_counts(graph, cfg))
+    deg = compact_nonempty(degree_dataset(graph, "undirected"))
+    if tri is None or deg is None:
+        return ray.data.from_arrow(pa.table(
+            {"vid": pa.array([], pa.int64()),
+             "url": pa.array([], pa.string()),
+             "lcc": pa.array([], pa.float64())}
+        ))
     joined = tri.join(
         deg, join_type="inner", num_partitions=cfg.num_partitions,
         on=("vid",), right_on=("vid",),
@@ -1004,9 +1012,12 @@ def joint_degree_matrix(
          "deg_b": pa.array([], pa.int64()),
          "n_edges": pa.array([], pa.int64())}
     )
-    deg = degree_dataset(graph, "undirected")
+    deg = compact_nonempty(degree_dataset(graph, "undirected"))
+    edges_c = compact_nonempty(graph.edges)
+    if deg is None or edges_c is None:
+        return empty
     edges_s = compact_nonempty(
-        graph.edges.join(
+        edges_c.join(
             deg.rename_columns({"vid": "sv", "degree": "deg_s"}),
             join_type="inner", num_partitions=cfg.num_partitions,
             on=("src",), right_on=("sv",),
@@ -1126,7 +1137,15 @@ def rich_club_curve(graph, cfg: EngineConfig = DEFAULT_CONFIG,
 
     from ..stages.graph_build import degree_dataset
 
-    deg = degree_dataset(graph, "undirected")
+    deg = compact_nonempty(degree_dataset(graph, "undirected"))
+    edges_c = compact_nonempty(graph.edges)
+    if deg is None or edges_c is None:
+        return pa.table(
+            {"k": pa.array([], pa.int64()),
+             "n_nodes": pa.array([], pa.int64()),
+             "n_club_edges": pa.array([], pa.int64()),
+             "phi": pa.array([], pa.float64())}
+        )
 
     def hist_partial(t: pa.Table, col: str) -> pa.Table:
         k, s = sparse_sum_reduce(
@@ -1144,7 +1163,7 @@ def rich_club_curve(graph, cfg: EngineConfig = DEFAULT_CONFIG,
     )
 
     edges_s = compact_nonempty(
-        graph.edges.join(
+        edges_c.join(
             deg.rename_columns({"vid": "sv", "degree": "deg_s"}),
             join_type="inner", num_partitions=cfg.num_partitions,
             on=("src",), right_on=("sv",),

@@ -141,12 +141,18 @@ def copart_weighted_q(sf_dir: str) -> "ray.data.Dataset":
     what similarity/backbone-extraction algorithms consume). One
     hash-partitioned self-join + ONE bucketed pair count — pair
     cardinality is E so Ray's groupby never sees it raw."""
-    from ..util import bucketed_sum_aggregate
+    from ..util import bucketed_sum_aggregate, compact_nonempty
 
-    li = bucketed_sum_aggregate(
+    li = compact_nonempty(bucketed_sum_aggregate(
         _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
         key_cols=["l_orderkey", "l_partkey"], sum_cols=[],
-    )  # distinct (order, part): weight counts ORDERS, not lineitem rows
+    ))  # distinct (order, part): weight counts ORDERS, not lineitem rows
+    if li is None:
+        return ray.data.from_arrow(pa.table(
+            {"src_url": pa.array([], pa.string()),
+             "dst_url": pa.array([], pa.string()),
+             "weight": pa.array([], pa.int64())}
+        ))
     right = li.rename_columns({"l_partkey": "p2"})
     pairs = li.join(
         right, join_type="inner", num_partitions=QCFG.num_partitions,
@@ -260,6 +266,11 @@ def copart_degree_q(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.graph_build import degree_dataset
 
     g = copart_graph(sf_dir)
+    if g.num_vertices == 0:
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "degree": pa.array([], pa.int64())}
+        ))
     return (
         g.vertices.join(
             degree_dataset(g, "undirected"),
@@ -390,7 +401,9 @@ def geo_labelprop_q(sf_dir: str) -> "ray.data.Dataset":
     from .labelprop import label_propagation
 
     g = build_graph(geo_edge_urls(sf_dir), QCFG)
-    regions = _read(sf_dir, "region", columns=["r_regionkey"]).to_pandas()
+    from ..util import to_pandas_typed
+
+    regions = to_pandas_typed(_read(sf_dir, "region", columns=["r_regionkey"]))
     seeds = {
         f"r://{int(k):04d}": f"region_{int(k):04d}"
         for k in regions["r_regionkey"]
@@ -413,7 +426,9 @@ def geo_quotient_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
     from .quotient import quotient_edges
 
     g = build_graph(geo_edge_urls(sf_dir), QCFG)
-    regions = _read(sf_dir, "region", columns=["r_regionkey"]).to_pandas()
+    from ..util import to_pandas_typed
+
+    regions = to_pandas_typed(_read(sf_dir, "region", columns=["r_regionkey"]))
     seeds = {
         f"r://{int(k):04d}": f"region_{int(k):04d}"
         for k in regions["r_regionkey"]
@@ -567,6 +582,23 @@ def doc_link_density_q(sf_dir: str) -> "ray.data.Dataset":
             key_cols=["lurl"], sum_cols=["n_links"],
         )
     )
+    if texts is None:
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "n_links": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64())}
+        ))
+    if links is None:
+        # no anchors anywhere: zero links for every page
+        return texts.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("url").cast(pa.string()),
+                 "n_links": pa.array(
+                     np.zeros(t.num_rows, dtype=np.int64)),
+                 "n_tokens": t.column("n_tokens").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sort("url")
     joined = texts.join(
         links, join_type="left_outer",
         num_partitions=QCFG.num_partitions,
@@ -1323,6 +1355,13 @@ def geo_attack_q(sf_dir: str) -> pa.Table:
     edges = geo_edge_urls(sf_dir).materialize()
     g_full = build_graph(edges, QCFG)
     V = g_full.num_vertices
+    if V == 0:
+        return pa.table(
+            {"k": pa.array([], pa.int64()),
+             "n_edges": pa.array([], pa.int64()),
+             "n_components": pa.array([], pa.int64()),
+             "max_size": pa.array([], pa.int64())}
+        )
     degu = (
         g_full.vertices.join(
             degree_dataset(g_full, "undirected"),
@@ -1503,6 +1542,11 @@ def copart_ppr12_q(sf_dir: str) -> "ray.data.Dataset":
 
     cfg = EngineConfig(num_partitions=8, max_iterations=12, pagerank_tol=0)
     g = copart_sym_graph(sf_dir)
+    if g.num_vertices == 0:
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "rank": pa.array([], pa.float64())}
+        ))
     seeds = [
         r["vid"]
         for r in g.vertices.sort("url").limit(5).take(5)
@@ -1707,6 +1751,13 @@ def copart_nbr_top3_q(sf_dir: str) -> "ray.data.Dataset":
     adj = compact_nonempty(
         wedges.map_batches(both_urls, batch_format="pyarrow")
     )
+    if adj is None:
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "nbr": pa.array([], pa.string()),
+             "w": pa.array([], pa.int64()),
+             "rnk": pa.array([], pa.int64())}
+        ))
     return top_k_per_group(
         adj, group_col="url", order_col="w", tiebreak_col="nbr", k=3
     ).sort(["url", "rnk"])
@@ -1726,10 +1777,17 @@ def copart_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
         )
         return pa.table({"kvid": t["vid"], "key": key})
 
+    _W_EMPTY = pa.table(
+        {"src": pa.array([], pa.int64()),
+         "dst": pa.array([], pa.int64()),
+         "w": pa.array([], pa.int64())}
+    )
     vk = compact_nonempty(
         g.vertices.map_batches(keyed, batch_format="pyarrow")
     )
     e = compact_nonempty(g.edges.select_columns(["src", "dst"]))
+    if vk is None or e is None:
+        return ray.data.from_arrow(_W_EMPTY)
     a = compact_nonempty(
         e.join(
             vk, join_type="inner", num_partitions=QCFG.num_partitions,
@@ -1742,7 +1800,9 @@ def copart_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
-    return compact_nonempty(
+    if a is None:
+        return ray.data.from_arrow(_W_EMPTY)
+    out = compact_nonempty(
         a.join(
             vk, join_type="inner", num_partitions=QCFG.num_partitions,
             on=("dst",), right_on=("kvid",),
@@ -1754,6 +1814,9 @@ def copart_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+    if out is None:
+        return ray.data.from_arrow(_W_EMPTY)
+    return out
 
 
 def copart_sssp16_q(sf_dir: str) -> "ray.data.Dataset":
@@ -1799,16 +1862,24 @@ def copart_avg_nbr_deg_q(sf_dir: str) -> "ray.data.Dataset":
     )
     deg_nbr = degree_dataset(g, "undirected", col="dnbr")
     deg_self = degree_dataset(g, "undirected", col="degree")
+    und_c = compact_nonempty(und)
+    dn_c = compact_nonempty(deg_nbr)
+    ds_c = compact_nonempty(deg_self)
+    if und_c is None or dn_c is None or ds_c is None:
+        return ray.data.from_arrow(pa.table(
+            {"degree": pa.array([], pa.int64()),
+             "avg_nbr_deg": pa.array([], pa.float64())}
+        ))
     j = (
-        compact_nonempty(und)
+        und_c
         .join(
-            compact_nonempty(deg_nbr), join_type="inner",
+            dn_c, join_type="inner",
             num_partitions=QCFG.num_partitions,
             on=("b",), right_on=("vid",),
         )
         .select_columns(["a", "dnbr"])
         .join(
-            compact_nonempty(deg_self), join_type="inner",
+            ds_c, join_type="inner",
             num_partitions=QCFG.num_partitions,
             on=("a",), right_on=("vid",),
         )
@@ -1844,8 +1915,15 @@ def doc_degree_corr_q(sf_dir: str) -> pa.Table:
     from ..util import compact_nonempty
 
     g = doc_graph(sf_dir)
-    dj = compact_nonempty(degree_dataset(g, "in", col="din")).join(
-        compact_nonempty(degree_dataset(g, "out", col="dout")),
+    din_c = compact_nonempty(degree_dataset(g, "in", col="din"))
+    dout_c = compact_nonempty(degree_dataset(g, "out", col="dout"))
+    if din_c is None or dout_c is None:
+        return pa.table(
+            {"n_vertices": pa.array([0], pa.int64()),
+             "corr": pa.array([0.0], pa.float64())}
+        )
+    dj = din_c.join(
+        dout_c,
         join_type="inner", num_partitions=QCFG.num_partitions,
         on=("vid",), right_on=("vid",),
     )
@@ -1922,8 +2000,16 @@ def copart_squares_q(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         )
     )
-    wedges = compact_nonempty(und).join(
-        compact_nonempty(right), join_type="inner",
+    und_c = compact_nonempty(und)
+    right_c = compact_nonempty(right)
+    if und_c is None or right_c is None:
+        return pa.table(
+            {"n_codeg_pairs": pa.array([0], pa.int64()),
+             "n_wedge_pairs": pa.array([0], pa.int64()),
+             "n_squares": pa.array([0], pa.int64())}
+        )
+    wedges = und_c.join(
+        right_c, join_type="inner",
         num_partitions=QCFG.num_partitions, on=("m",),
     )
 
@@ -2006,7 +2092,9 @@ def geo_modularity_q(sf_dir: str) -> "ray.data.Dataset":
     from .labelprop import label_propagation
 
     g = build_graph(geo_edge_urls(sf_dir), QCFG)
-    regions = _read(sf_dir, "region", columns=["r_regionkey"]).to_pandas()
+    from ..util import to_pandas_typed
+
+    regions = to_pandas_typed(_read(sf_dir, "region", columns=["r_regionkey"]))
     seeds = {
         f"r://{int(k):04d}": f"region_{int(k):04d}"
         for k in regions["r_regionkey"]
@@ -2014,44 +2102,73 @@ def geo_modularity_q(sf_dir: str) -> "ray.data.Dataset":
     labels = compact_nonempty(
         label_propagation(g, seeds, QCFG).select_columns(["vid", "label"])
     )
+    edges_c = compact_nonempty(g.edges)
+    if labels is None or edges_c is None:
+        return ray.data.from_arrow(pa.table(
+            {"label": pa.array([], pa.string()),
+             "n_intra": pa.array([], pa.int64()),
+             "deg_sum": pa.array([], pa.int64()),
+             "q_c": pa.array([], pa.float64())}
+        ))
     m = float(g.num_edges)
 
-    intra = (
-        compact_nonempty(
-            compact_nonempty(
-                g.edges.join(
-                    labels.rename_columns({"vid": "sv", "label": "lab_s"}),
-                    join_type="inner", num_partitions=QCFG.num_partitions,
-                    on=("src",), right_on=("sv",),
-                )
-            ).join(
+    j1 = compact_nonempty(
+        edges_c.join(
+            labels.rename_columns({"vid": "sv", "label": "lab_s"}),
+            join_type="inner", num_partitions=QCFG.num_partitions,
+            on=("src",), right_on=("sv",),
+        )
+    )
+    intra = None
+    if j1 is not None:
+        j2 = compact_nonempty(
+            j1.join(
                 labels.rename_columns({"vid": "dv", "label": "lab_d"}),
                 join_type="inner", num_partitions=QCFG.num_partitions,
                 on=("dst",), right_on=("dv",),
             )
         )
-        .map_batches(
-            lambda t: t.filter(pc.equal(t.column("lab_s"), t.column("lab_d"))),
+        if j2 is not None:
+            intra = compact_nonempty(
+                j2.map_batches(
+                    lambda t: t.filter(
+                        pc.equal(t.column("lab_s"), t.column("lab_d"))
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("lab_s")
+                .aggregate(Count(alias_name="n_intra"))
+            )
+    degmass = compact_nonempty(
+        degree_dataset(g, "undirected").join(
+            labels, join_type="inner",
+            num_partitions=QCFG.num_partitions,
+            on=("vid",), right_on=("vid",),
+        )
+    )
+    if degmass is None:
+        return ray.data.from_arrow(pa.table(
+            {"label": pa.array([], pa.string()),
+             "n_intra": pa.array([], pa.int64()),
+             "deg_sum": pa.array([], pa.int64()),
+             "q_c": pa.array([], pa.float64())}
+        ))
+    degmass = degmass.groupby("label").aggregate(
+        Sum("degree", alias_name="deg_sum")
+    )
+    if intra is None:
+        joined = degmass.map_batches(
+            lambda t: t.append_column(
+                "n_intra",
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            ),
             batch_format="pyarrow",
         )
-        .groupby("lab_s")
-        .aggregate(Count(alias_name="n_intra"))
-    )
-    degmass = (
-        compact_nonempty(
-            degree_dataset(g, "undirected").join(
-                labels, join_type="inner",
-                num_partitions=QCFG.num_partitions,
-                on=("vid",), right_on=("vid",),
-            )
+    else:
+        joined = compact_nonempty(degmass).join(
+            intra, join_type="left_outer", num_partitions=4,
+            on=("label",), right_on=("lab_s",),
         )
-        .groupby("label")
-        .aggregate(Sum("degree", alias_name="deg_sum"))
-    )
-    joined = compact_nonempty(degmass).join(
-        compact_nonempty(intra), join_type="left_outer", num_partitions=4,
-        on=("label",), right_on=("lab_s",),
-    )
 
     def fin(t: pa.Table, _m=m) -> pa.Table:
         ni = pc.coalesce(t.column("n_intra"), pa.scalar(0, pa.int64()))
@@ -2105,6 +2222,13 @@ def copart_diam16_q(sf_dir: str) -> pa.Table:
     from .traversal import bfs_distances
 
     g = copart_graph(sf_dir)
+    if g.num_vertices == 0:
+        return pa.table(
+            {"src_url": pa.array([], pa.string()),
+             "mid_url": pa.array([], pa.string()),
+             "dst_url": pa.array([], pa.string()),
+             "diameter": pa.array([], pa.int64())}
+        )
     seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
     d1 = bfs_distances(g, [seed], QCFG, rounds=16)
     far1 = d1.sort(["dist", "url"], descending=[True, False]).limit(1).take(1)[0]
@@ -2179,6 +2303,12 @@ def _source_edge_matrix(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         ).materialize()
     )
+    if eids is None or src_map is None or dst_map is None:
+        return ray.data.from_arrow(pa.table(
+            {"src_source": pa.array([], pa.string()),
+             "dst_source": pa.array([], pa.string()),
+             "n_links": pa.array([], pa.int64())}
+        ))
     attributed = (
         eids.join(
             src_map, join_type="inner",
@@ -2285,7 +2415,17 @@ def doc_cocitation_q(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
             a=_url_doc_ids(t.column("dst_url")),
         )
 
-    eids = edges.map_batches(ids, batch_format="pyarrow").materialize()
+    from ..util import compact_nonempty
+
+    eids = compact_nonempty(
+        edges.map_batches(ids, batch_format="pyarrow").materialize()
+    )
+    if eids is None:
+        return ray.data.from_arrow(pa.table(
+            {"url_a": pa.array([], pa.string()),
+             "url_b": pa.array([], pa.string()),
+             "n_cociting": pa.array([], pa.int64())}
+        ))
     right = eids.map_batches(
         lambda t: pa.table({"src_id": t.column("src_id"),
                             "b": t.column("a")}),
@@ -2349,6 +2489,12 @@ def copart_bfs_tree12_q(sf_dir: str) -> "ray.data.Dataset":
     from .traversal import bfs_distances
 
     g = copart_graph(sf_dir)
+    if g.num_vertices == 0:
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "dist": pa.array([], pa.int64()),
+             "parent_url": pa.array([], pa.string())}
+        ))
     seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
     dist = bfs_distances(g, [seed], QCFG, rounds=12)
     dvert = compact_nonempty(g.vertices.materialize())
@@ -2479,6 +2625,13 @@ def copart_bipartite12_q(sf_dir: str) -> pa.Table:
     from .traversal import bfs_distances
 
     g = copart_graph(sf_dir)
+    z = pa.array([0], pa.int64())
+    zeros = pa.table(
+        {"n_reached": z, "n_even": z, "n_odd": z,
+         "n_same_parity_edges": z, "n_cross_parity_edges": z}
+    )
+    if g.num_vertices == 0:
+        return zeros
     seed = g.vertices.aggregate(Min("url", alias_name="m"))["m"]
     dist = bfs_distances(g, [seed], QCFG, rounds=12)
     distv = compact_nonempty(
@@ -2489,11 +2642,7 @@ def copart_bipartite12_q(sf_dir: str) -> pa.Table:
         ).materialize()
     )
     if distv is None:
-        z = pa.array([0], pa.int64())
-        return pa.table(
-            {"n_reached": z, "n_even": z, "n_odd": z,
-             "n_same_parity_edges": z, "n_cross_parity_edges": z}
-        )
+        return zeros
     n_reached = distv.count()
     n_odd = int(
         distv.map_batches(

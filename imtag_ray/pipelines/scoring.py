@@ -655,6 +655,8 @@ def doc_curate_q(sf_dir: str) -> "ray.data.Dataset | pa.Table":
         .sort("nt")
         .to_pandas()
     )
+    if "c" not in hist.columns:  # zero-row to_pandas drops all columns
+        hist = pd.DataFrame({"nt": [], "c": []})
     cum = hist["c"].cumsum().to_numpy()
     n = int(cum[-1]) if len(cum) else 0
     nts = hist["nt"].to_numpy()

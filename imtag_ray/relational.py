@@ -29,6 +29,25 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _join_ne(left, right, **kw):
+    """None-propagating compacted join: compacts both sides (Ray's
+    hash-shuffle join breaks when a side's FIRST block is empty — see
+    util.compact_nonempty) and returns None when either side — or a
+    None passed through from an inner _join_ne — is all-empty, so
+    query bodies short-circuit to their typed empty result instead of
+    crashing mid-chain. Inner joins only (an all-empty side means an
+    all-empty result)."""
+    from .util import compact_nonempty
+
+    if left is None or right is None:
+        return None
+    lc = compact_nonempty(left)
+    rc = compact_nonempty(right)
+    if lc is None or rc is None:
+        return None
+    return lc.join(rc, **kw)
+
+
 def q5_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
     """TPC-H-Q5-style local-supplier volume: revenue by nation for
     orders whose customer and supplier share a nation, one region, a
@@ -81,21 +100,19 @@ def q5_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(ofilt, batch_format="pyarrow")
 
-    co = (
-        compact_nonempty(orders)
-        .join(
-            compact_nonempty(cust), join_type="inner", num_partitions=8,
-            on=("o_custkey",), right_on=("c_custkey",),
-        )
-        .select_columns(["o_orderkey", "c_nationkey"])
+    co = _join_ne(
+        orders, cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
     )
+    if co is not None:
+        co = co.select_columns(["o_orderkey", "c_nationkey"])
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    lico = compact_nonempty(li).join(
-        compact_nonempty(co), join_type="inner", num_partitions=8,
+    lico = _join_ne(
+        li, co, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -111,10 +128,15 @@ def q5_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
         sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
     ).map_batches(sfilt, batch_format="pyarrow")
 
-    j = compact_nonempty(lico).join(
-        compact_nonempty(supp), join_type="inner", num_partitions=8,
+    j = _join_ne(
+        lico, supp, join_type="inner", num_partitions=8,
         on=("l_suppkey",), right_on=("s_suppkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(pa.table(
+            {"n_name": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64())}
+        ))
 
     def partial(t: pa.Table) -> pa.Table:
         cn = col_np(t, "c_nationkey").astype(np.int64)
@@ -198,14 +220,12 @@ def q3_shipping(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(ofilt, batch_format="pyarrow")
 
-    co = (
-        compact_nonempty(orders)
-        .join(
-            compact_nonempty(cust), join_type="inner", num_partitions=8,
-            on=("o_custkey",), right_on=("c_custkey",),
-        )
-        .select_columns(["o_orderkey", "o_orderdate"])
+    co = _join_ne(
+        orders, cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
     )
+    if co is not None:
+        co = co.select_columns(["o_orderkey", "o_orderdate"])
 
     def lfilt(t: pa.Table) -> pa.Table:
         ts = t.column("l_shipdate").to_numpy(zero_copy_only=False)
@@ -224,10 +244,16 @@ def q3_shipping(
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
     ).map_batches(lfilt, batch_format="pyarrow")
 
-    j = compact_nonempty(li).join(
-        compact_nonempty(co), join_type="inner", num_partitions=8,
+    j = _join_ne(
+        li, co, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "revenue": pa.array([], pa.float64()),
+             "o_orderdate": pa.array([], pa.timestamp("us"))}
+        ))
 
     # orderkey-cardinality keys → bucketed, never raw Ray groupby
     agg = bucketed_aggregate(
@@ -310,12 +336,16 @@ def q4_late(sf_dir: str, late_days: int = 90) -> "ray.data.Dataset":
                  pa.string())}
         )
 
-    joined = compact_nonempty(
-        orders.map_batches(od, batch_format="pyarrow")
-    ).join(
+    joined = _join_ne(
+        orders.map_batches(od, batch_format="pyarrow"),
         shipmax, join_type="inner", num_partitions=8,
         on=("o_orderkey",), right_on=("ok",),
     )
+    if joined is None:
+        return ray.data.from_arrow(pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "n_late": pa.array([], pa.int64())}
+        ))
     delta = late_days * 86_400_000_000
 
     def late(t: pa.Table, _d=delta) -> pa.Table:
@@ -358,19 +388,38 @@ def q13_custdist(sf_dir: str) -> "ray.data.Dataset":
             key_cols=["ck"], aggs=[("ck", "count", "n")],
         )
     )
-    cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    joined = compact_nonempty(cust).join(
-        percust, join_type="left_outer", num_partitions=8,
-        on=("c_custkey",), right_on=("ck",),
+    cust_c = compact_nonempty(
+        _read(sf_dir, "customer", columns=["c_custkey"])
     )
-
-    def fill(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"c_count": pc.fill_null(t.column("n").cast(pa.int64()), 0)}
+    if cust_c is None:
+        return ray.data.from_arrow(pa.table(
+            {"c_count": pa.array([], pa.int64()),
+             "custdist": pa.array([], pa.int64())}
+        ))
+    if percust is None:
+        # no orders at all: every customer counts as zero-order
+        counts = cust_c.map_batches(
+            lambda t: pa.table(
+                {"c_count": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = cust_c.join(
+            percust, join_type="left_outer", num_partitions=8,
+            on=("c_custkey",), right_on=("ck",),
         )
 
+        def fill(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"c_count": pc.fill_null(t.column("n").cast(pa.int64()), 0)}
+            )
+
+        counts = joined.map_batches(fill, batch_format="pyarrow")
+
     return (
-        joined.map_batches(fill, batch_format="pyarrow")
+        counts
         .groupby("c_count")  # |distinct counts| groups — tiny
         .aggregate(Count(alias_name="custdist"))
         .sort(["custdist", "c_count"], descending=[True, True])
@@ -431,21 +480,27 @@ def q7_volume(sf_dir: str) -> "ray.data.Dataset":
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
 
-    co = compact_nonempty(orders).join(
-        compact_nonempty(cust), join_type="inner", num_partitions=8,
+    co = _join_ne(
+        orders, cust, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "c_nationkey"])
-    j = (
-        compact_nonempty(li)
-        .join(
-            compact_nonempty(co), join_type="inner", num_partitions=8,
-            on=("l_orderkey",), right_on=("o_orderkey",),
-        )
-        .join(
-            compact_nonempty(supp), join_type="inner", num_partitions=8,
-            on=("l_suppkey",), right_on=("s_suppkey",),
-        )
     )
+    if co is not None:
+        co = co.select_columns(["o_orderkey", "c_nationkey"])
+    j = _join_ne(
+        _join_ne(
+            li, co, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ),
+        supp, join_type="inner", num_partitions=8,
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    )
+    if j is None:
+        return ray.data.from_arrow(pa.table(
+            {"supp_nation": pa.array([], pa.string()),
+             "cust_nation": pa.array([], pa.string()),
+             "l_year": pa.array([], pa.int64()),
+             "revenue": pa.array([], pa.float64())}
+        ))
 
     def partial(t: pa.Table) -> pa.Table:
         sn = col_np(t, "s_nationkey").astype(np.int64)
@@ -538,21 +593,23 @@ def q10_returned(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(ofilt, batch_format="pyarrow")
 
-    j = compact_nonempty(li).join(
-        compact_nonempty(orders), join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-    percust = compact_nonempty(
-        bucketed_sum_aggregate(
-            j.select_columns(["o_custkey", "rev"]),
-            key_cols=["o_custkey"], sum_cols=["rev"],
-        )
-    )
     empty = pa.table(
         {"c_custkey": pa.array([], pa.int64()),
          "c_name": pa.array([], pa.string()),
          "n_name": pa.array([], pa.string()),
          "revenue": pa.array([], pa.float64())}
+    )
+    j = _join_ne(
+        li, orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    if j is None:
+        return ray.data.from_arrow(empty)
+    percust = compact_nonempty(
+        bucketed_sum_aggregate(
+            j.select_columns(["o_custkey", "rev"]),
+            key_cols=["o_custkey"], sum_cols=["rev"],
+        )
     )
     if percust is None:
         return ray.data.from_arrow(empty)
@@ -569,11 +626,10 @@ def q10_returned(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         .limit(k)
         .to_arrow_refs()
     )
-    tops = pa.concat_tables(
-        [t for t in map(ray.get, topk) if t.num_rows]
-    )
-    if tops.num_rows == 0:
+    top_tabs = [t for t in map(ray.get, topk) if t.num_rows]
+    if not top_tabs:
         return ray.data.from_arrow(empty)
+    tops = pa.concat_tables(top_tabs)
     want = set(col_np(tops, "o_custkey").astype(np.int64).tolist())
     rev_by = dict(
         zip(col_np(tops, "o_custkey").astype(np.int64).tolist(),
@@ -636,10 +692,14 @@ def q14_promo(sf_dir: str) -> "ray.data.Dataset":
                  "l_discount"],
     ).map_batches(lfilt, batch_format="pyarrow")
     part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
-    j = compact_nonempty(li).join(
-        compact_nonempty(part), join_type="inner", num_partitions=8,
+    j = _join_ne(
+        li, part, join_type="inner", num_partitions=8,
         on=("l_partkey",), right_on=("p_partkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(
+            pa.table({"promo_revenue": pa.array([0.0], pa.float64())})
+        )
 
     def partial(t: pa.Table) -> pa.Table:
         rev = col_np(t, "rev").astype(np.float64)
@@ -698,12 +758,11 @@ def q17_small_quantity(sf_dir: str, brand: str = "Brand#1") -> (
         sf_dir, "lineitem",
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
-    bli = compact_nonempty(
-        compact_nonempty(li).join(
-            bparts, join_type="inner", num_partitions=8,
-            on=("l_partkey",), right_on=("p_partkey",),
-        )
+    bli0 = _join_ne(
+        li, bparts, join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
     )
+    bli = compact_nonempty(bli0) if bli0 is not None else None
     if bli is None:
         return ray.data.from_arrow(empty)
     stats = compact_nonempty(
@@ -760,10 +819,14 @@ def q19_disjunct(sf_dir: str) -> "ray.data.Dataset":
     )
     part = _read(sf_dir, "part",
                  columns=["p_partkey", "p_brand", "p_size"])
-    j = compact_nonempty(li).join(
-        compact_nonempty(part), join_type="inner", num_partitions=8,
+    j = _join_ne(
+        li, part, join_type="inner", num_partitions=8,
         on=("l_partkey",), right_on=("p_partkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(
+            pa.table({"revenue": pa.array([0.0], pa.float64())})
+        )
     arms = [("Brand#1", 1, 15, 1.0, 21.0),
             ("Brand#2", 1, 25, 10.0, 30.0),
             ("Brand#3", 1, 35, 20.0, 40.0)]
@@ -1038,15 +1101,24 @@ def q18_large_orders(
         sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
-    jo = compact_nonempty(big).join(
-        compact_nonempty(orders), join_type="inner", num_partitions=8,
+    jo = _join_ne(
+        big, orders, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    j = compact_nonempty(jo).join(
-        compact_nonempty(cust), join_type="inner", num_partitions=8,
+    j = _join_ne(
+        jo, cust, join_type="inner", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string()),
+             "o_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_totalprice": pa.array([], pa.float64()),
+             "sum_qty": pa.array([], pa.int64())}
+        ))
 
     def partial_top(t: pa.Table) -> pa.Table:
         tp = col_np(t, "o_totalprice").astype(np.float64)
@@ -1221,17 +1293,22 @@ def top_customers_by_revenue(sf_dir: str, k: int = 20) -> pa.Table:
         key_cols=["c_custkey"], sum_cols=["revenue"],
     )
     top = agg.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
-    tbl = top.to_pandas()  # k rows
+    tbl = to_pandas_typed(top)  # k rows
+    if len(tbl) == 0:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64())}
+        )
     topkeys = pa.array(tbl["c_custkey"].to_numpy().astype(np.int64))
 
     def pick(t: pa.Table, _keys=topkeys) -> pa.Table:
         return t.filter(pc.is_in(t["c_custkey"], value_set=_keys))
 
-    names = (
+    names = to_pandas_typed(
         _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
         .map_batches(pick, batch_format="pyarrow")
-        .to_pandas()  # ≤ k rows survive the filter
-    )
+    )  # ≤ k rows survive the filter
     lookup = dict(zip(names["c_custkey"], names["c_name"]))
     tbl["c_name"] = tbl["c_custkey"].map(lookup)
     tbl["revenue"] = tbl["revenue"].round(2)
@@ -1790,10 +1867,34 @@ def customer_order_stats(sf_dir: str) -> "ray.data.Dataset":
         aggs=[("o_totalprice", "sum", "total_spent"),
               ("o_totalprice", "count", "n_orders")],
     )
-    joined = cust.join(
-        per_cust, join_type="left_outer", num_partitions=16,
-        on=("c_custkey",), right_on=("o_custkey",),
-    )
+    from .util import compact_nonempty
+
+    cust_c = compact_nonempty(cust)
+    if cust_c is None:
+        return ray.data.from_arrow(pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_mktsegment": pa.array([], pa.string()),
+             "n_orders": pa.array([], pa.int64()),
+             "total_spent": pa.array([], pa.float64())}
+        ))
+    per_cust_c = compact_nonempty(per_cust)
+    if per_cust_c is None:
+        # no orders at all: zero-fill every customer without a join
+        joined = cust_c.map_batches(
+            lambda t: t.append_column(
+                "n_orders",
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            ).append_column(
+                "total_spent",
+                pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = cust_c.join(
+            per_cust_c, join_type="left_outer", num_partitions=16,
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
 
     def fin(t: pa.Table) -> pa.Table:
         n = pc.coalesce(t.column("n_orders"), pa.scalar(0, pa.int64()))
@@ -2217,11 +2318,17 @@ def events_retention(sf_dir: str, max_offset: int = 7) -> "ray.data.Dataset":
     first = bucketed_aggregate(
         days, key_cols=["user_id"], aggs=[("day", "min", "cohort")]
     )
-    joined = compact_nonempty(days).join(
-        compact_nonempty(first.rename_columns({"user_id": "u2"})),
+    joined = _join_ne(
+        days, first.rename_columns({"user_id": "u2"}),
         join_type="inner", num_partitions=16,
         on=("user_id",), right_on=("u2",),
     )
+    if joined is None:
+        return ray.data.from_arrow(pa.table(
+            {"cohort_date": pa.array([], pa.timestamp("us")),
+             "day_offset": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64())}
+        ))
 
     def offset(t: pa.Table, _m=max_offset) -> pa.Table:
         off = pc.subtract(t.column("day"), t.column("cohort"))
@@ -2489,10 +2596,16 @@ def events_dau_wau(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow",
     )
 
-    joined = compact_nonempty(dau.materialize()).join(
-        compact_nonempty(wau.materialize()), join_type="inner",
+    joined = _join_ne(
+        dau.materialize(), wau.materialize(), join_type="inner",
         num_partitions=8, on=("day_us",),
     )
+    if joined is None:
+        return ray.data.from_arrow(pa.table(
+            {"day": pa.array([], pa.timestamp("us")),
+             "dau": pa.array([], pa.int64()),
+             "wau": pa.array([], pa.int64())}
+        ))
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2697,13 +2810,13 @@ def q15_top_supplier(sf_dir: str) -> "ray.data.Dataset":
     )
     if top is None:
         return ray.data.from_arrow(empty)
-    j = top.join(
-        compact_nonempty(
-            _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-        ),
+    j = _join_ne(
+        top, _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
         join_type="inner", num_partitions=4,
         on=("l_suppkey",), right_on=("s_suppkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(empty)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2767,10 +2880,16 @@ def q12_priority(sf_dir: str, days: int = 60) -> "ray.data.Dataset":
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(ofilt, batch_format="pyarrow")
 
-    j = compact_nonempty(li).join(
-        compact_nonempty(orders), join_type="inner", num_partitions=8,
+    j = _join_ne(
+        li, orders, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(pa.table(
+            {"l_linestatus": pa.array([], pa.string()),
+             "high_line_count": pa.array([], pa.int64()),
+             "low_line_count": pa.array([], pa.int64())}
+        ))
     late_us = int(lateness.astype("timedelta64[us]").astype(np.int64))
 
     def partial(t: pa.Table, _lus=late_us) -> pa.Table:
@@ -3028,13 +3147,13 @@ def q21_holdup(sf_dir: str) -> "ray.data.Dataset":
     if waits is None:
         return ray.data.from_arrow(empty)
 
-    j = waits.join(
-        compact_nonempty(
-            _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-        ),
+    j = _join_ne(
+        waits, _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
         join_type="inner", num_partitions=4,
         on=("s",), right_on=("s_suppkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(empty)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table(

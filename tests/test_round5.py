@@ -144,3 +144,29 @@ def test_cosine_dfcap_subset_with_exact_scores():
         capped["cosine"].to_pylist(),
     ):
         assert (a, b) in ex and ex[(a, b)] == c
+
+
+def test_all_queries_survive_empty_inputs(empty_sf_dir):
+    """EVERY contract query must run on an all-empty sf dir without
+    crashing (the compact_nonempty None contract, Ray's empty-first-
+    block join bug, and zero-row to_pandas column loss are all latent
+    crashers only empty inputs exercise). Row counts are not asserted
+    — scalar-report queries legitimately return one zero row."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    failures = {}
+    for name, fn in sorted(E.queries().items()):
+        try:
+            res = fn(empty_sf_dir)
+            # force execution for lazy Datasets
+            if not isinstance(res, pa.Table):
+                res.count()
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            failures[name] = f"{type(e).__name__}: {e}"[:160]
+    assert not failures, (
+        f"{len(failures)} queries crash on empty inputs: "
+        + ", ".join(f"{k} [{v}]" for k, v in sorted(failures.items())[:10])
+    )
