@@ -52,10 +52,14 @@ def _init_centroids(
 
     rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
     got = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64) for r in rows}
-    missing = idset - set(got)
-    if missing:
-        raise ValueError(f"k-means init ids not found: {sorted(missing)}")
-    return np.stack([got[int(i)] for i in init_ids])
+    found = [int(i) for i in init_ids if int(i) in got]
+    if not found:
+        raise ValueError(
+            f"k-means init ids not found: {sorted(idset)}"
+        )
+    # a corpus smaller than k clamps to the init vectors that exist
+    # (k_eff = len(found)); full-size corpora are unaffected
+    return np.stack([got[i] for i in found])
 
 
 def kmeans_centroids(

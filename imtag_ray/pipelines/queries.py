@@ -1362,15 +1362,37 @@ def geo_attack_q(sf_dir: str) -> pa.Table:
              "n_components": pa.array([], pa.int64()),
              "max_size": pa.array([], pa.int64())}
         )
-    degu = (
-        g_full.vertices.join(
-            degree_dataset(g_full, "undirected"),
-            join_type="inner", num_partitions=QCFG.num_partitions,
-            on=("vid",), right_on=("vid",),
+    from ..util import compact_nonempty as _cn
+
+    verts_c = _cn(g_full.vertices)
+    deg_c = _cn(degree_dataset(g_full, "undirected"))
+    if verts_c is None:
+        return pa.table(
+            {"k": pa.array([], pa.int64()),
+             "n_edges": pa.array([], pa.int64()),
+             "n_components": pa.array([], pa.int64()),
+             "max_size": pa.array([], pa.int64())}
         )
-        .select_columns(["url", "degree"])
-        .materialize()
-    )
+    if deg_c is None:
+        # edgeless graph: every vertex has degree 0
+        degu = verts_c.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("url"),
+                 "degree": pa.array(
+                     np.zeros(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        degu = (
+            verts_c.join(
+                deg_c,
+                join_type="inner", num_partitions=QCFG.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
+            .select_columns(["url", "degree"])
+            .materialize()
+        )
     rows = []
     for k in (0, 4, 8, 16):
         hubs = (
@@ -2139,12 +2161,17 @@ def geo_modularity_q(sf_dir: str) -> "ray.data.Dataset":
                 .groupby("lab_s")
                 .aggregate(Count(alias_name="n_intra"))
             )
-    degmass = compact_nonempty(
-        degree_dataset(g, "undirected").join(
-            labels, join_type="inner",
-            num_partitions=QCFG.num_partitions,
-            on=("vid",), right_on=("vid",),
+    deg_c = compact_nonempty(degree_dataset(g, "undirected"))
+    degmass = (
+        compact_nonempty(
+            deg_c.join(
+                labels, join_type="inner",
+                num_partitions=QCFG.num_partitions,
+                on=("vid",), right_on=("vid",),
+            )
         )
+        if deg_c is not None
+        else None
     )
     if degmass is None:
         return ray.data.from_arrow(pa.table(

@@ -3281,16 +3281,18 @@ def q8_market_share(
     supp_c = compact_nonempty(supp)
     if li_c is None or oc_c is None or supp_c is None:
         return ray.data.from_arrow(empty)
-    j = (
-        li_c
-        .join(part_c, join_type="inner", num_partitions=8,
-              on=("l_partkey",), right_on=("p_partkey",))
-        .join(oc_c, join_type="inner", num_partitions=8,
-              on=("l_orderkey",), right_on=("o_orderkey",))
-        .join(supp_c, join_type="inner",
-              num_partitions=8, on=("l_suppkey",),
-              right_on=("s_suppkey",))
+    j = _join_ne(
+        _join_ne(
+            _join_ne(li_c, part_c, join_type="inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("p_partkey",)),
+            oc_c, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ),
+        supp_c, join_type="inner", num_partitions=8,
+        on=("l_suppkey",), right_on=("s_suppkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(empty)
 
     def partial(t: pa.Table) -> pa.Table:
         yr = col_np(t, "o_year").astype(np.int64)
@@ -3414,17 +3416,18 @@ def q9_product_profit(
             or orders_c is None:
         return ray.data.from_arrow(empty)
 
-    j = (
-        li_c
-        .join(part_c, join_type="inner", num_partitions=8,
-              on=("l_partkey",), right_on=("p_partkey",))
-        .join(supp_c, join_type="inner",
-              num_partitions=8, on=("l_suppkey",),
-              right_on=("s_suppkey",))
-        .join(orders_c, join_type="inner",
-              num_partitions=8, on=("l_orderkey",),
-              right_on=("o_orderkey",))
+    j = _join_ne(
+        _join_ne(
+            _join_ne(li_c, part_c, join_type="inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("p_partkey",)),
+            supp_c, join_type="inner", num_partitions=8,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        ),
+        orders_c, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
+    if j is None:
+        return ray.data.from_arrow(empty)
 
     def partial(t: pa.Table) -> pa.Table:
         profit = (
@@ -3562,14 +3565,15 @@ def q2_min_cost_supplier(
     if eu_c is None or part_c is None or supply_c is None:
         return ray.data.from_arrow(empty)
 
-    cand = supply_c.join(
-        eu_c, join_type="inner", num_partitions=8,
-        on=("suppkey",), right_on=("s_suppkey",),
-    ).join(
+    cand_c = _join_ne(
+        _join_ne(supply_c, eu_c, join_type="inner", num_partitions=8,
+                 on=("suppkey",), right_on=("s_suppkey",)),
         part_c, join_type="inner", num_partitions=8,
         on=("partkey",), right_on=("p_partkey",),
     )
-    cand_c = compact_nonempty(cand)
+    if cand_c is None:
+        return ray.data.from_arrow(empty)
+    cand_c = compact_nonempty(cand_c)
     if cand_c is None:
         return ray.data.from_arrow(empty)
     cand_c = cand_c.materialize()
@@ -3800,13 +3804,15 @@ def q16_supplier_counts(
     if ok_c is None or part_c is None or supply_c is None:
         return ray.data.from_arrow(empty)
 
-    j = supply_c.join(
-        ok_c, join_type="inner", num_partitions=8,
-        on=("suppkey",), right_on=("s_suppkey",),
-    ).join(
+    j = _join_ne(
+        _join_ne(supply_c, ok_c, join_type="inner", num_partitions=8,
+                 on=("suppkey",), right_on=("s_suppkey",)),
         part_c, join_type="inner", num_partitions=8,
         on=("partkey",), right_on=("p_partkey",),
-    ).select_columns(["p_brand", "p_type", "p_size", "suppkey"])
+    )
+    if j is None:
+        return ray.data.from_arrow(empty)
+    j = j.select_columns(["p_brand", "p_type", "p_size", "suppkey"])
 
     distinct = bucketed_sum_aggregate(
         j, key_cols=["p_brand", "p_type", "p_size", "suppkey"],

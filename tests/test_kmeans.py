@@ -66,8 +66,17 @@ def test_sizes_match_assignments():
     assert got == {int(k): int(v) for k, v in asg.items()}
 
 
-def test_missing_init_id_raises():
+def test_missing_init_ids_clamp_or_raise():
+    """Round 5: init ids that don't exist are dropped (k_eff = found
+    count) so k-parameter ops survive corpora smaller than k; only an
+    ENTIRELY absent init set still raises."""
     vecs = np.zeros((3, 2))
+    out = kmeans_assignments(
+        _ds(vecs), "vec_id", "embedding", k=2,
+        assign_rounds=1, init_ids=np.array([0, 99]),
+    ).to_pandas()
+    # one surviving centroid → every vector lands in cluster 0
+    assert set(out["cluster"]) == {0}
     with pytest.raises(ValueError, match="init ids not found"):
         kmeans_assignments(_ds(vecs), "vec_id", "embedding", k=2,
-                           assign_rounds=1, init_ids=np.array([0, 99]))
+                           assign_rounds=1, init_ids=np.array([98, 99]))

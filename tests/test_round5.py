@@ -170,3 +170,45 @@ def test_all_queries_survive_empty_inputs(empty_sf_dir):
         f"{len(failures)} queries crash on empty inputs: "
         + ", ".join(f"{k} [{v}]" for k, v in sorted(failures.items())[:10])
     )
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(tmp_path_factory):
+    """Every table truncated to its FIRST row — the FK-dangling
+    degenerate (lineitems referencing absent orders/parts, a single
+    embedding, one region): intermediate joins go empty even though
+    base tables are non-empty."""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("one_row_sf")
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings"):
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t.slice(0, 1), dst / f"{name}.parquet")
+    return str(dst)
+
+
+def test_all_queries_survive_one_row_inputs(one_row_sf_dir):
+    """EVERY contract query must run on 1-row tables without crashing
+    — this catches empty INTERMEDIATE join results (dangling foreign
+    keys) that the all-empty sweep cannot reach, plus k-parameter ops
+    (kmeans k=8, 5-seed PPR) on corpora smaller than k."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    failures = {}
+    for name, fn in sorted(E.queries().items()):
+        try:
+            res = fn(one_row_sf_dir)
+            if not isinstance(res, pa.Table):
+                res.count()
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            failures[name] = f"{type(e).__name__}: {e}"[:160]
+    assert not failures, (
+        f"{len(failures)} queries crash on 1-row inputs: "
+        + ", ".join(f"{k} [{v}]" for k, v in sorted(failures.items())[:10])
+    )
