@@ -330,10 +330,18 @@ def compact_nonempty(ds: "ray.data.Dataset"):
     Returns the compacted Dataset, or None if every block is empty
     (callers must handle the all-empty case with typed short-circuits
     — from_arrow_refs of nothing has no schema to offer).
+
+    Idempotent-cheap: the returned Dataset is MARKED, and re-compacting
+    a marked Dataset is a no-op — so helpers like relational._join_ne
+    can defensively compact every side without re-materializing
+    already-compacted base tables (the round-5 q2/q8/q9 wall
+    regression).
     """
     import ray as _ray
     import ray.data as _rd
 
+    if getattr(ds, "_imtag_nonempty", False):
+        return ds
     mat = ds.materialize()
     refs = [
         block_ref
@@ -343,7 +351,9 @@ def compact_nonempty(ds: "ray.data.Dataset"):
     ]
     if not refs:
         return None
-    return _rd.from_arrow_refs(refs)
+    out = _rd.from_arrow_refs(refs)
+    out._imtag_nonempty = True
+    return out
 
 
 def to_pandas_typed(ds: "ray.data.Dataset"):
