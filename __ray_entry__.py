@@ -3401,7 +3401,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_knn_cc": _knn_cc_sql(rounds=8, k=3),
         "embed_outlier3": """
-            WITH sub AS (SELECT vec_id, embedding AS e FROM embeddings),
+            -- CAST to DOUBLE[] like every other cosine oracle:
+            -- list_cosine_similarity on raw FLOAT lists computes in
+            -- f32 (~1e-7 error), which survives 9dp rounding and
+            -- hash-mismatches the engine's f64 kernel
+            WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
             p AS (
                 SELECT a.vec_id AS q,
                        list_cosine_similarity(a.e, b.e) AS s
@@ -4048,11 +4053,19 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "events_rfm": """
+            -- exact int64 cents on both sides: double-SUM reduction
+            -- order + round() implementation differences can land on
+            -- adjacent ulps; sum(c)/100.0 from identical integers is
+            -- bit-equal to the engine
+            WITH c AS (SELECT user_id, ts,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                                  AS c
+                       FROM events)
             SELECT user_id, max(ts) AS last_ts,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(sum(value), 2) AS total_value,
-                   round(avg(value), 6) AS avg_value
-            FROM events GROUP BY user_id ORDER BY user_id
+                   sum(c) / 100.0 AS total_value,
+                   sum(c) / (100.0 * count(*)) AS avg_value
+            FROM c GROUP BY user_id ORDER BY user_id
         """,
         "q6_forecast": """
             SELECT round(coalesce(sum(l_extendedprice * l_discount),
@@ -4103,10 +4116,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(o.o_totalprice) DESC, c_custkey LIMIT 20
         """,
         "events_hourly": """
-            SELECT user_id, date_trunc('hour', ts) AS window_start,
+            WITH c AS (SELECT user_id, date_trunc('hour', ts) AS w,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                                  AS c
+                       FROM events)
+            SELECT user_id, w AS window_start,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(sum(value), 2) AS sum_value
-            FROM events GROUP BY user_id, date_trunc('hour', ts)
+                   sum(c) / 100.0 AS sum_value
+            FROM c GROUP BY user_id, w
             ORDER BY user_id, window_start
         """,
         "events_sessions": """
@@ -4147,19 +4164,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cust_order_stats": """
             SELECT c.c_custkey, c.c_mktsegment,
-                   CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-                   round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+                   coalesce(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)), 0) / 100.0
+                       AS total_spent
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY c.c_custkey, c.c_mktsegment ORDER BY c.c_custkey
         """,
         "orders_rollup": """
             SELECT coalesce(o_year, -1) AS o_year,
                    coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-                   round(sum_price, 2) AS sum_price, n_orders
+                   c_sum / 100.0 AS sum_price, n_orders
             FROM (
                 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                        o_orderpriority,
-                       sum(o_totalprice) AS sum_price,
+                       sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                AS BIGINT)) AS c_sum,
                        CAST(count(*) AS BIGINT) AS n_orders
                 FROM orders GROUP BY ROLLUP(o_year, o_orderpriority)
             ) ORDER BY o_year, o_orderpriority
@@ -4211,10 +4231,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": """
             SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
                    coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-                   round(sum_price, 2) AS sum_price, n_orders
+                   c_sum / 100.0 AS sum_price, n_orders
             FROM (
                 SELECT o_orderstatus, o_orderpriority,
-                       sum(o_totalprice) AS sum_price,
+                       sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                AS BIGINT)) AS c_sum,
                        CAST(count(*) AS BIGINT) AS n_orders
                 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ) ORDER BY o_orderstatus, o_orderpriority

@@ -1154,24 +1154,40 @@ def events_rfm(sf_dir: str) -> "ray.data.Dataset":
     from .util import bucketed_aggregate
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    # integer-cent sufficient statistics: double SUMs reduced in a
+    # different order than the serial oracle can round to an adjacent
+    # ulp at the 2dp boundary; exact int64 cents + one final division
+    # from identical integers make both sides bit-equal (round 10)
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            col_np(t, "value").astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"],
+             "c": pa.array(c, pa.int64())}
+        )
+
     agg = bucketed_aggregate(
-        ev, key_cols=["user_id"],
+        ev.map_batches(cents, batch_format="pyarrow"),
+        key_cols=["user_id"],
         aggs=[
             ("ts", "max", "last_ts"),
             ("user_id", "count", "n_events"),
-            ("value", "sum", "total_value"),
-            ("value", "mean", "avg_value"),
+            ("c", "sum", "c_sum"),
         ],
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        c = col_np(t, "c_sum").astype(np.int64)
+        n = col_np(t, "n_events").astype(np.int64)
         return pa.table(
             {
                 "user_id": t["user_id"],
                 "last_ts": t["last_ts"],
-                "n_events": t["n_events"],
-                "total_value": pc.round(t["total_value"], 2),
-                "avg_value": pc.round(t["avg_value"], 6),
+                "n_events": pa.array(n, pa.int64()),
+                "total_value": pa.array(c / 100.0, pa.float64()),
+                "avg_value": pa.array(c / (100.0 * n), pa.float64()),
             }
         )
 
@@ -1327,9 +1343,13 @@ def events_hourly_windows(sf_dir: str) -> "ray.data.Dataset":
     def add_window(t: pa.Table) -> pa.Table:
         ts = t["ts"].cast(pa.int64())  # µs since epoch
         hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
+        # exact int64 cents (see events_rfm: ulp-stable vs the oracle)
+        c = np.floor(
+            col_np(t, "value").astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
         return pa.table(
             {"user_id": t["user_id"], "wstart_us": hour,
-             "value": t["value"]}
+             "c": pa.array(c, pa.int64())}
         )
 
     # bucketed: (user, window) cardinality is data-sized
@@ -1337,7 +1357,7 @@ def events_hourly_windows(sf_dir: str) -> "ray.data.Dataset":
         ev.map_batches(add_window, batch_format="pyarrow"),
         key_cols=["user_id", "wstart_us"],
         aggs=[("user_id", "count", "n_events"),
-              ("value", "sum", "sum_value")],
+              ("c", "sum", "c_sum")],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1346,7 +1366,10 @@ def events_hourly_windows(sf_dir: str) -> "ray.data.Dataset":
                 "user_id": t["user_id"],
                 "window_start": t["wstart_us"].cast(pa.timestamp("us")),
                 "n_events": t["n_events"],
-                "sum_value": pc.round(t["sum_value"], 2),
+                "sum_value": pa.array(
+                    col_np(t, "c_sum").astype(np.int64) / 100.0,
+                    pa.float64(),
+                ),
             }
         )
 
@@ -1861,11 +1884,23 @@ def customer_order_stats(sf_dir: str) -> "ray.data.Dataset":
     from .util import bucketed_aggregate
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    # exact int64 cents (see events_rfm: ulp-stable vs the oracle)
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            col_np(t, "o_totalprice").astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "c": pa.array(c, pa.int64())}
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow")
     per_cust = bucketed_aggregate(
         orders, key_cols=["o_custkey"],
-        aggs=[("o_totalprice", "sum", "total_spent"),
-              ("o_totalprice", "count", "n_orders")],
+        aggs=[("c", "sum", "c_sum"),
+              ("c", "count", "n_orders")],
     )
     from .util import compact_nonempty
 
@@ -1885,8 +1920,8 @@ def customer_order_stats(sf_dir: str) -> "ray.data.Dataset":
                 "n_orders",
                 pa.array(np.zeros(t.num_rows, dtype=np.int64)),
             ).append_column(
-                "total_spent",
-                pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+                "c_sum",
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
             ),
             batch_format="pyarrow",
         )
@@ -1898,15 +1933,16 @@ def customer_order_stats(sf_dir: str) -> "ray.data.Dataset":
 
     def fin(t: pa.Table) -> pa.Table:
         n = pc.coalesce(t.column("n_orders"), pa.scalar(0, pa.int64()))
-        s = pc.round(
-            pc.coalesce(t.column("total_spent"), pa.scalar(0.0)), 2
+        c = pc.coalesce(
+            t.column("c_sum").cast(pa.int64()), pa.scalar(0, pa.int64())
         )
+        spent = np.asarray(c).astype(np.int64) / 100.0
         return pa.table(
             {
                 "c_custkey": t.column("c_custkey"),
                 "c_mktsegment": t.column("c_mktsegment"),
                 "n_orders": pc.cast(n, pa.int64()),
-                "total_spent": s,
+                "total_spent": pa.array(spent, pa.float64()),
             }
         )
 
@@ -1925,11 +1961,15 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # exact int64 cents (see events_rfm: ulp-stable vs the oracle)
+        c = np.floor(
+            col_np(t, "o_totalprice").astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
         return pa.table(
             {
                 "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
                 "o_orderpriority": t.column("o_orderpriority"),
-                "o_totalprice": t.column("o_totalprice"),
+                "c": pa.array(c, pa.int64()),
             }
         )
 
@@ -1937,20 +1977,20 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
         orders.map_batches(prep, batch_format="pyarrow")
         .groupby(["o_year", "o_orderpriority"])
         .aggregate(
-            Sum("o_totalprice", alias_name="sum_price"),
+            Sum("c", alias_name="c_sum"),
             Count(alias_name="n_orders"),
         )
     )
 
     def roll(t: pa.Table) -> pa.Table:
         lvl1 = t.group_by("o_year").aggregate(
-            [("sum_price", "sum"), ("n_orders", "sum")]
+            [("c_sum", "sum"), ("n_orders", "sum")]
         )
         lvl1 = pa.table(
             {
                 "o_year": lvl1.column("o_year"),
                 "o_orderpriority": pa.array(["ALL"] * len(lvl1)),
-                "sum_price": lvl1.column("sum_price_sum"),
+                "c_sum": lvl1.column("c_sum_sum"),
                 "n_orders": lvl1.column("n_orders_sum"),
             }
         )
@@ -1958,8 +1998,8 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
             {
                 "o_year": pa.array([-1], pa.int64()),
                 "o_orderpriority": pa.array(["ALL"]),
-                "sum_price": pa.array(
-                    [pc.sum(t.column("sum_price")).as_py() or 0.0]
+                "c_sum": pa.array(
+                    [pc.sum(t.column("c_sum")).as_py() or 0], pa.int64()
                 ),
                 "n_orders": pa.array(
                     [pc.sum(t.column("n_orders")).as_py() or 0], pa.int64()
@@ -1967,12 +2007,20 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
             }
         )
         out = pa.concat_tables(
-            [t.select(["o_year", "o_orderpriority", "sum_price", "n_orders"]),
+            [t.select(["o_year", "o_orderpriority", "c_sum", "n_orders"]),
              lvl1, total]
         )
-        return out.set_column(
-            out.schema.get_field_index("sum_price"), "sum_price",
-            pc.round(out.column("sum_price"), 2),
+        return pa.table(
+            {
+                "o_year": out.column("o_year"),
+                "o_orderpriority": out.column("o_orderpriority"),
+                "sum_price": pa.array(
+                    np.asarray(out.column("c_sum")).astype(np.int64)
+                    / 100.0,
+                    pa.float64(),
+                ),
+                "n_orders": out.column("n_orders"),
+            }
         )
 
     return (
@@ -2176,8 +2224,21 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
         sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
     )
 
-    fine = orders.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
-        Sum("o_totalprice", alias_name="sum_price"),
+    # exact int64 cents (see events_rfm: ulp-stable vs the oracle)
+    def prep(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            col_np(t, "o_totalprice").astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderstatus": t["o_orderstatus"],
+             "o_orderpriority": t["o_orderpriority"],
+             "c": pa.array(c, pa.int64())}
+        )
+
+    fine = orders.map_batches(prep, batch_format="pyarrow").groupby(
+        ["o_orderstatus", "o_orderpriority"]
+    ).aggregate(
+        Sum("c", alias_name="c_sum"),
         Count(alias_name="n_orders"),
     )
 
@@ -2185,7 +2246,7 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
         def grain(keys: list[str]) -> pa.Table:
             if keys:
                 g = t.group_by(keys).aggregate(
-                    [("sum_price", "sum"), ("n_orders", "sum")]
+                    [("c_sum", "sum"), ("n_orders", "sum")]
                 )
                 cols = {
                     "o_orderstatus": (
@@ -2198,7 +2259,7 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
                         if "o_orderpriority" in keys
                         else pa.array(["ALL"] * len(g))
                     ),
-                    "sum_price": g.column("sum_price_sum"),
+                    "c_sum": g.column("c_sum_sum"),
                     "n_orders": g.column("n_orders_sum"),
                 }
                 return pa.table(cols)
@@ -2206,8 +2267,8 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
                 {
                     "o_orderstatus": pa.array(["ALL"]),
                     "o_orderpriority": pa.array(["ALL"]),
-                    "sum_price": pa.array(
-                        [pc.sum(t.column("sum_price")).as_py() or 0.0]
+                    "c_sum": pa.array(
+                        [pc.sum(t.column("c_sum")).as_py() or 0], pa.int64()
                     ),
                     "n_orders": pa.array(
                         [pc.sum(t.column("n_orders")).as_py() or 0], pa.int64()
@@ -2218,16 +2279,24 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
         out = pa.concat_tables(
             [
                 t.select(
-                    ["o_orderstatus", "o_orderpriority", "sum_price", "n_orders"]
+                    ["o_orderstatus", "o_orderpriority", "c_sum", "n_orders"]
                 ),
                 grain(["o_orderstatus"]),
                 grain(["o_orderpriority"]),
                 grain([]),
             ]
         )
-        return out.set_column(
-            out.schema.get_field_index("sum_price"), "sum_price",
-            pc.round(out.column("sum_price"), 2),
+        return pa.table(
+            {
+                "o_orderstatus": out.column("o_orderstatus"),
+                "o_orderpriority": out.column("o_orderpriority"),
+                "sum_price": pa.array(
+                    np.asarray(out.column("c_sum")).astype(np.int64)
+                    / 100.0,
+                    pa.float64(),
+                ),
+                "n_orders": out.column("n_orders"),
+            }
         )
 
     return (
